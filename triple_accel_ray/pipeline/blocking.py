@@ -1,0 +1,164 @@
+"""Stage 2: docs → exploded (block_key, conv_id, ...) candidate-block rows.
+
+Three stateless key families, all computed batch-vectorized in numpy inside
+``map_batches`` (no shuffle in this stage; the shuffle happens in pair
+generation, keyed by block_key):
+
+  * ``mh``  — MinHash-LSH bands over char shingles: the recall workhorse.
+    Flat sliding-window shingle hashing across the whole batch (one byte
+    array, ``np.minimum.reduceat`` per permutation), banded into
+    ``n_bands`` keys per doc.
+  * ``x``   — exact content hash: guarantees exact duplicates always share
+    a block, regardless of MinHash behavior on short docs.
+  * ``s``   — structure signature: (role_sig digest, length bucket), with
+    the half-shifted bucket emitted too so near-dups straddling a bucket
+    boundary still collide.
+
+The BlockKeyer is a callable CLASS: permutation tables are built once per
+actor (``__init__``), reused across batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.batch import to_byte_rows
+
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer, vectorized on uint64."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= _M1
+    h ^= h >> np.uint64(33)
+    h *= _M2
+    h ^= h >> np.uint64(33)
+    return h
+
+
+class BlockKeyer:
+    def __init__(
+        self,
+        num_perm: int = 32,
+        n_bands: int = 8,
+        shingle: int = 5,
+        seed: int = 7,
+        len_band_width: int = 32,
+    ):
+        assert num_perm % n_bands == 0
+        self.num_perm = num_perm
+        self.n_bands = n_bands
+        self.rows_per_band = num_perm // n_bands
+        self.shingle = shingle
+        self.len_band_width = len_band_width
+        rng = np.random.default_rng(seed)
+        self.pa_mult = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.pb_add = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
+        self.shingle_coef = rng.integers(1, 1 << 62, size=shingle, dtype=np.uint64) | np.uint64(1)
+
+    # ------------------------------------------------------------------
+    def minhash_matrix(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) uint64 minhash signatures; rows with no
+        shingles (doc shorter than the shingle size) are all-max."""
+        n = len(offsets) - 1
+        lens = np.diff(offsets)
+        counts = np.maximum(0, lens - self.shingle + 1).astype(np.int64)
+        total = int(counts.sum())
+        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if total == 0:
+            return sig
+        doc_of = np.repeat(np.arange(n), counts)
+        cum = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        pos = offsets[:-1][doc_of] + (np.arange(total) - cum[doc_of])
+
+        h = np.zeros(total, dtype=np.uint64)
+        for kk in range(self.shingle):
+            h += data[pos + kk].astype(np.uint64) * self.shingle_coef[kk]
+        h = _mix64(h)
+
+        has = counts > 0
+        seg_starts = cum[has]
+        for p in range(self.num_perm):
+            v = h * self.pa_mult[p] + self.pb_add[p]
+            sig[has, p] = np.minimum.reduceat(v, seg_starts)
+        return sig
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(n_docs, n_bands) uint64 band hashes."""
+        n = sig.shape[0]
+        out = np.empty((n, self.n_bands), dtype=np.uint64)
+        for b in range(self.n_bands):
+            band = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+            acc = np.uint64(((b + 1) * int(_M2)) & 0xFFFFFFFFFFFFFFFF)
+            h = np.full(n, acc, dtype=np.uint64)
+            for r in range(self.rows_per_band):
+                h = _mix64(h ^ band[:, r])
+            out[:, b] = h
+        return out
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["doc_text"]
+        data, offsets = to_byte_rows(texts)
+        n = batch.num_rows
+        lens = np.diff(offsets)
+
+        sig = self.minhash_matrix(data, offsets)
+        bands = self.band_keys(sig)
+        has_shingles = lens >= self.shingle
+
+        keys: list = []
+        key_doc: list = []
+
+        # mh family
+        for b in range(self.n_bands):
+            col = bands[:, b]
+            for i in np.nonzero(has_shingles)[0]:
+                keys.append(f"mh{b}:{col[i]:016x}")
+                key_doc.append(i)
+
+        # x family: exact content hash (always emitted)
+        text_py = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
+        for i, t in enumerate(text_py):
+            d = hashlib.blake2b((t or "").encode(), digest_size=12).hexdigest()
+            keys.append(f"x:{d}")
+            key_doc.append(i)
+
+        # s family: role-structure signature × length bucket (+half shift)
+        role_sig = batch["role_sig"].to_pylist()
+        W = self.len_band_width
+        for i in range(n):
+            rs = hashlib.blake2b((role_sig[i] or "").encode(), digest_size=6).hexdigest()
+            lb = int(lens[i]) // W
+            lb2 = (int(lens[i]) + W // 2) // W
+            keys.append(f"s:{rs}:{lb}")
+            key_doc.append(i)
+            if lb2 != lb:
+                keys.append(f"s:{rs}:{lb2}")
+                key_doc.append(i)
+
+        idx = pa.array(np.asarray(key_doc, dtype=np.int64))
+        sel = batch.select(["conv_id", "doc_text", "doc_len"]).take(idx)
+        return sel.append_column("block_key", pa.array(keys, pa.string()))
+
+
+def build_blocks(docs, keyer_kwargs: dict | None = None, concurrency=None):
+    """docs Dataset → block rows Dataset. Stateless map; keyer state (perm
+    tables) lives per actor when concurrency is given."""
+    kw = keyer_kwargs or {}
+    if concurrency:
+        return docs.map_batches(
+            BlockKeyer,
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    keyer = BlockKeyer(**kw)
+    return docs.map_batches(keyer, batch_format="pyarrow")

@@ -1,0 +1,134 @@
+"""Stage 3: block rows → candidate pairs (with both texts carried).
+
+Ray-Data shape: one hash-bucket shuffle keyed by block_key
+(``groupby(bucket)``), then vectorized per-bucket pair generation. A block
+always lands wholly inside one bucket, so pair generation never needs
+cross-task state.
+
+Skew control (explicit, per north_rule): a block with more docs than
+``hot_block_cap`` would emit O(n²) pairs; instead it is sorted by
+(doc_len, conv_id) and paired in a sliding window of ``hot_block_window``
+neighbors — near-duplicates have near-equal lengths, so recall loss is
+confined to the skewed key while cost drops to O(n·window). Per-block pair
+counts are emitted so the skew decision is observable downstream.
+
+Texts are carried on the pair rows (space-for-shuffle tradeoff): two extra
+join shuffles to re-attach texts would move every doc again; carrying them
+duplicates text ~pair-multiplicity times through one shuffle instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+
+def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    df = pl.from_arrow(batch)
+    df = df.with_columns(
+        (pl.col("block_key").hash(seed=1) % np.uint64(num_buckets))
+        .cast(pl.Int32)
+        .alias("bucket")
+    )
+    return df.to_arrow()
+
+
+def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
+    df = (
+        pl.from_arrow(batch)
+        .sort(["block_key", "doc_len", "conv_id"])
+    )
+    key = df["block_key"].to_numpy()
+    # run boundaries per block_key
+    change = np.nonzero(key[1:] != key[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(key)]])
+
+    ai: list = []
+    bi: list = []
+    blk: list = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        if n <= cap:
+            iu = np.triu_indices(n, k=1)
+            a = iu[0] + s
+            b = iu[1] + s
+        else:  # hot block: sorted-neighborhood window
+            offs = np.arange(1, window + 1)
+            base = np.arange(s, e)
+            a = np.repeat(base, window)
+            b = (base[:, None] + offs[None, :]).ravel()
+            keep = b < e
+            a, b = a[keep], b[keep]
+        ai.append(a)
+        bi.append(b)
+        blk.append(np.full(len(a), s, dtype=np.int64))
+
+    if not ai:
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.string()),
+                "b_id": pa.array([], pa.string()),
+                "a_text": pa.array([], pa.string()),
+                "b_text": pa.array([], pa.string()),
+                "block_key": pa.array([], pa.string()),
+            }
+        )
+
+    a_idx = np.concatenate(ai)
+    b_idx = np.concatenate(bi)
+    conv = df["conv_id"]
+    text = df["doc_text"]
+    out = pl.DataFrame(
+        {
+            "a_id": conv.gather(a_idx),
+            "b_id": conv.gather(b_idx),
+            "a_text": text.gather(a_idx),
+            "b_text": text.gather(b_idx),
+            "block_key": df["block_key"].gather(np.concatenate(blk)),
+        }
+    )
+    # canonicalize a_id < b_id, then dedup within the bucket
+    swapped = out["a_id"] > out["b_id"]
+    out = (
+        out.with_columns(
+            pl.when(swapped).then(pl.col("b_id")).otherwise(pl.col("a_id")).alias("a_id"),
+            pl.when(swapped).then(pl.col("a_id")).otherwise(pl.col("b_id")).alias("b_id"),
+            pl.when(swapped).then(pl.col("b_text")).otherwise(pl.col("a_text")).alias("a_text"),
+            pl.when(swapped).then(pl.col("a_text")).otherwise(pl.col("b_text")).alias("b_text"),
+        )
+        .unique(subset=["a_id", "b_id"], keep="first", maintain_order=True)
+    )
+    schema = pa.schema(
+        [
+            ("a_id", pa.string()),
+            ("b_id", pa.string()),
+            ("a_text", pa.string()),
+            ("b_text", pa.string()),
+            ("block_key", pa.string()),
+        ]
+    )
+    return out.to_arrow().select(schema.names).cast(schema)
+
+
+def gen_pairs(blocks, num_buckets: int = 64, hot_block_cap: int = 64,
+              hot_block_window: int = 8):
+    """block rows Dataset → candidate pair Dataset (a_id < b_id, deduped
+    within bucket; cross-bucket duplicates — the same pair surfaced by two
+    different block keys — are deduped at the edge stage after scoring)."""
+    return (
+        blocks.map_batches(
+            _add_bucket,
+            batch_format="pyarrow",
+            fn_kwargs={"num_buckets": num_buckets},
+        )
+        .groupby("bucket")
+        .map_groups(
+            _bucket_to_pairs,
+            batch_format="pyarrow",
+            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
+        )
+    )

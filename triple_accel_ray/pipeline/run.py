@@ -1,0 +1,175 @@
+"""End-to-end entity-resolution pipeline orchestrator.
+
+read_parquet(transcripts)
+  → build_docs          (shuffle 1: conv_id buckets)
+  → build_blocks        (stateless vectorized map)
+  → gen_pairs           (shuffle 2: block_key buckets, skew-capped)
+  → score_pairs         (kernel hot loop, whole-batch banded DP)
+  → dedup_edges         (shuffle 3: pair buckets)
+  → connected_components(shuffles 4..4+r: label-propagation fixpoint)
+  → clusters + metrics
+
+Every stage checkpoints to Parquet with a manifest (checkpoint.py); a rerun
+with unchanged inputs resumes after the last complete stage. Callers own the
+Ray session — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .blocking import build_blocks
+from .checkpoint import read_manifest, run_stage
+from .cluster import connected_components, connected_components_local
+from .config import PipelineConfig
+from .docs import build_docs
+from .metrics import pairwise_f1
+from .pairs import gen_pairs
+from .score import dedup_edges, score_pairs
+
+
+def _fingerprint(*parts) -> str:
+    h = hashlib.blake2b(digest_size=12)
+    for p in parts:
+        h.update(str(p).encode())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _read_dir(stage_dir: str):
+    return rd.read_parquet(stage_dir)
+
+
+def run_er_pipeline(
+    transcripts_path: str,
+    run_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    labels_path: Optional[str] = None,
+    resume: bool = True,
+) -> dict:
+    """Run the full ER pipeline; returns summary dict (stage dirs, counts,
+    and pairwise F1 when ``labels_path`` is given)."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(run_dir, exist_ok=True)
+    base_fp = _fingerprint(transcripts_path, os.path.getmtime(transcripts_path))
+
+    # stage: docs ---------------------------------------------------------
+    fp_docs = _fingerprint(base_fp, cfg.doc_buckets, "docs_v1")
+
+    def _w_docs(tmp):
+        ds = rd.read_parquet(transcripts_path)
+        build_docs(ds, cfg.doc_buckets).write_parquet(tmp)
+
+    docs_dir = run_stage(run_dir, "docs", fp_docs, _w_docs, resume)
+
+    # stage: blocks -------------------------------------------------------
+    fp_blocks = _fingerprint(
+        fp_docs, cfg.minhash_perms, cfg.minhash_bands, cfg.shingle_size,
+        cfg.blocking_seed, cfg.len_band_width, "blocks_v1",
+    )
+
+    def _w_blocks(tmp):
+        build_blocks(
+            _read_dir(docs_dir),
+            keyer_kwargs=dict(
+                num_perm=cfg.minhash_perms,
+                n_bands=cfg.minhash_bands,
+                shingle=cfg.shingle_size,
+                seed=cfg.blocking_seed,
+                len_band_width=cfg.len_band_width,
+            ),
+        ).write_parquet(tmp)
+
+    blocks_dir = run_stage(run_dir, "blocks", fp_blocks, _w_blocks, resume)
+
+    # stage: pairs --------------------------------------------------------
+    fp_pairs = _fingerprint(
+        fp_blocks, cfg.pair_buckets, cfg.hot_block_cap, cfg.hot_block_window,
+        "pairs_v1",
+    )
+
+    def _w_pairs(tmp):
+        gen_pairs(
+            _read_dir(blocks_dir),
+            num_buckets=cfg.pair_buckets,
+            hot_block_cap=cfg.hot_block_cap,
+            hot_block_window=cfg.hot_block_window,
+        ).write_parquet(tmp)
+
+    pairs_dir = run_stage(run_dir, "pairs", fp_pairs, _w_pairs, resume)
+
+    # stage: scored edges -------------------------------------------------
+    fp_edges = _fingerprint(
+        fp_pairs, cfg.rel_k, cfg.abs_min_k, cfg.abs_max_k, cfg.min_similarity,
+        str(cfg.costs), "edges_v1",
+    )
+
+    def _w_edges(tmp):
+        scored = score_pairs(
+            _read_dir(pairs_dir),
+            batch_size=cfg.score_batch_size,
+            concurrency=cfg.score_concurrency,
+            rel_k=cfg.rel_k,
+            abs_min_k=cfg.abs_min_k,
+            abs_max_k=cfg.abs_max_k,
+            costs=cfg.costs,
+            min_similarity=cfg.min_similarity,
+        )
+        dedup_edges(scored, num_buckets=cfg.pair_buckets).write_parquet(tmp)
+
+    edges_dir = run_stage(run_dir, "edges", fp_edges, _w_edges, resume)
+
+    # stage: clusters -----------------------------------------------------
+    fp_clusters = _fingerprint(
+        fp_edges, cfg.cluster_partitions, cfg.cluster_max_iters, "clusters_v1"
+    )
+
+    def _w_clusters(tmp):
+        n_edges = read_manifest(edges_dir)["rows"]
+        if n_edges <= cfg.local_cluster_edge_cap:
+            # documented small-graph shortcut: collect edges, driver union-find
+            et = pq.read_table(edges_dir, columns=["a_id", "b_id"])
+            nt = pq.read_table(docs_dir, columns=["conv_id"])
+            out = connected_components_local(et, nt)
+            pq.write_table(out, os.path.join(tmp, "clusters_0.parquet"))
+        else:
+            connected_components(
+                _read_dir(edges_dir),
+                _read_dir(docs_dir).select_columns(["conv_id"]),
+                num_partitions=cfg.cluster_partitions,
+                max_iters=cfg.cluster_max_iters,
+            ).write_parquet(tmp)
+        return {"n_edges": int(n_edges)}
+
+    clusters_dir = run_stage(run_dir, "clusters", fp_clusters, _w_clusters, resume)
+
+    summary = {
+        "docs_dir": docs_dir,
+        "blocks_dir": blocks_dir,
+        "pairs_dir": pairs_dir,
+        "edges_dir": edges_dir,
+        "clusters_dir": clusters_dir,
+        "rows": {
+            s: read_manifest(d)["rows"]
+            for s, d in [
+                ("docs", docs_dir), ("blocks", blocks_dir),
+                ("pairs", pairs_dir), ("edges", edges_dir),
+                ("clusters", clusters_dir),
+            ]
+        },
+    }
+    if labels_path:
+        clusters = pq.read_table(clusters_dir)
+        labels = pq.read_table(labels_path)
+        summary["metrics"] = pairwise_f1(clusters, labels)
+    with open(os.path.join(run_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, default=str)
+    return summary
