@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,37 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full ER run (docs → blocking → pairing → scoring
+    → clustering) over the deterministic sf0.001 transcript fixture;
+    returns the cluster assignment Dataset."""
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline import PipelineConfig, run_er_pipeline
+    from triple_accel_ray.pipeline.transcripts import ensure_fixture
+
+    tp, _ = ensure_fixture("/root/testdata/sf0.001")
+    s = run_er_pipeline(tp, "/tmp/ta_ray_runs/entry_sf0.001", PipelineConfig())
+    return rd.read_parquet(s["clusters_dir"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline (SURVEY.md §2 + the
+    training-data ops). Callables take sf_dir and return a Dataset /
+    DataFrame / pyarrow Table with oracle-matching column names."""
+    from triple_accel_ray.pipeline.transcripts import ensure_fixture
+    from triple_accel_ray.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # oracles reference the sf0.01 fixture path; make sure it exists even
+    # if the driver evaluates SQL before the corresponding query callable
+    ensure_fixture("/root/testdata/sf0.01")
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (same parquet views + fixture
+    parquet paths). Queries without an entry here are genuinely
+    non-SQL-expressible (custom hashes, approximate/stub operators) and get
+    the driver's rows-only check."""
+    from triple_accel_ray.queries import build_oracles
+
+    return build_oracles()

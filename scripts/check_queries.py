@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at sf0.01 (or a given sf dir), run its oracle SQL in DuckDB, compare
+row count + (sorted) schema + order-insensitive value hash.
+
+Usage: python scripts/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+
+def to_table(res) -> pa.Table:
+    import ray.data as rd
+
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    if isinstance(res, rd.Dataset):
+        return pa.Table.from_pandas(res.to_pandas())
+    raise TypeError(type(res))
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ours: pa.Table, theirs: pa.Table) -> str:
+    a = canonical(ours.to_pandas())
+    b = canonical(theirs.to_pandas())
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA MISMATCH ours={list(a.columns)} oracle={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWCOUNT MISMATCH ours={len(a)} oracle={len(b)}"
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        return "VALUE MISMATCH: " + str(e).split("\n")[0] + " | " + "\n".join(
+            str(e).split("\n")[1:6]
+        )
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            ours = to_table(fn(sf_dir))
+        except Exception as ex:
+            print(f"[FAIL-RUN ] {name}: {type(ex).__name__}: {ex}")
+            n_bad += 1
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"[ROWS-ONLY] {name}: {ours.num_rows} rows ({dt:.1f}s)")
+            n_ok += 1
+            continue
+        try:
+            theirs = con.sql(oracles[name]).fetch_arrow_table()
+        except Exception as ex:
+            print(f"[FAIL-SQL ] {name}: {type(ex).__name__}: {ex}")
+            n_bad += 1
+            continue
+        verdict = compare(name, ours, theirs)
+        status = "OK" if verdict == "OK" else "FAIL-CMP"
+        if verdict == "OK":
+            n_ok += 1
+        else:
+            n_bad += 1
+        print(f"[{status:9s}] {name}: {ours.num_rows} rows ({dt:.1f}s) {'' if verdict=='OK' else verdict}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,159 @@
+"""Pipeline-stage tests: doc building vs a DuckDB oracle, blocking
+determinism, pair canonicalization, scorer vs scalar kernel, cluster-path
+equivalence, and end-to-end F1 + resume on a small synthetic corpus."""
+
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from triple_accel_ray.kernels.scalar import levenshtein_k_with_opts
+from triple_accel_ray.pipeline.blocking import BlockKeyer
+from triple_accel_ray.pipeline.cluster import connected_components_local
+from triple_accel_ray.pipeline.docs import build_docs_local
+from triple_accel_ray.pipeline.metrics import pairwise_f1
+from triple_accel_ray.pipeline.pairs import _add_bucket, _bucket_to_pairs
+from triple_accel_ray.pipeline.score import PairScorer
+from triple_accel_ray.pipeline.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(300, seed=42)
+
+
+def test_generator_deterministic():
+    t1, l1 = generate_transcripts(50, seed=42)
+    t2, l2 = generate_transcripts(50, seed=42)
+    assert t1.equals(t2) and l1.equals(l2)
+    t3, _ = generate_transcripts(50, seed=43)
+    assert not t1.equals(t3)
+
+
+def test_docs_match_duckdb_oracle(corpus):
+    transcripts, _ = corpus
+    docs = build_docs_local(transcripts)
+    con = duckdb.connect()
+    con.register("transcripts", transcripts)
+    want = con.sql(
+        """
+        SELECT conv_id,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
+               count(*)::BIGINT AS n_turns
+        FROM transcripts GROUP BY conv_id ORDER BY conv_id
+        """
+    ).fetch_arrow_table()
+    got = (
+        docs.select(["conv_id", "doc_text", "n_turns"])
+        .sort_by("conv_id")
+    )
+    assert got.equals(want.cast(got.schema))
+
+
+def test_blocking_deterministic_and_exact_dup_guarantee(corpus):
+    transcripts, _ = corpus
+    docs = build_docs_local(transcripts)
+    k1 = BlockKeyer()(docs)
+    k2 = BlockKeyer()(docs)
+    assert k1.equals(k2)
+    # identical doc_texts must share at least the exact-hash block key
+    texts = docs["doc_text"].to_pylist()
+    dup_text = texts[0]
+    import polars as pl
+
+    df = pl.from_arrow(k1)
+    x_keys = df.filter(pl.col("block_key").str.starts_with("x:"))
+    assert x_keys.height == docs.num_rows
+
+
+def test_pairs_canonical_and_deduped(corpus):
+    transcripts, _ = corpus
+    docs = build_docs_local(transcripts)
+    blocks = BlockKeyer()(docs)
+    pairs = _bucket_to_pairs(_add_bucket(blocks, 1), cap=64, window=8)
+    a = pairs["a_id"].to_pylist()
+    b = pairs["b_id"].to_pylist()
+    assert all(x < y for x, y in zip(a, b))
+    assert len(set(zip(a, b))) == len(a)
+
+
+def test_hot_block_cap_bounds_pairs():
+    """A pathological block (every doc identical) must emit O(n·window)
+    pairs, not O(n²)."""
+    n = 500
+    docs = pa.table(
+        {
+            "conv_id": [f"c{i:05d}" for i in range(n)],
+            "doc_text": ["same text repeated for everyone"] * n,
+            "doc_len": pa.array([31] * n, pa.int64()),
+            "role_sig": ["uau"] * n,
+        }
+    )
+    blocks = BlockKeyer()(docs)
+    pairs = _bucket_to_pairs(_add_bucket(blocks, 1), cap=64, window=8)
+    assert pairs.num_rows <= n * 8
+
+
+def test_scorer_matches_scalar_kernel(corpus):
+    transcripts, _ = corpus
+    docs = build_docs_local(transcripts)
+    blocks = BlockKeyer()(docs)
+    pairs = _bucket_to_pairs(_add_bucket(blocks, 1), cap=64, window=8)
+    scored = PairScorer()(pairs)
+    # spot-check every 13th row against the scalar oracle
+    at = pairs["a_text"].to_pylist()
+    bt = pairs["b_text"].to_pylist()
+    dist = scored["dist"].to_pylist()
+    kv = scored["k"].to_pylist()
+    for i in range(0, len(at), 13):
+        want = levenshtein_k_with_opts(at[i].encode(), bt[i].encode(), kv[i])
+        if want is None:
+            assert dist[i] == -1
+        else:
+            assert dist[i] == want[0]
+
+
+def test_cluster_local_transitivity():
+    edges = pa.table({"a_id": ["a", "b", "x"], "b_id": ["b", "c", "y"]})
+    nodes = pa.table({"conv_id": ["a", "b", "c", "x", "y", "z"]})
+    out = connected_components_local(edges, nodes)
+    m = dict(zip(out["conv_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["x"] == m["y"] == "x"
+    assert m["z"] == "z"
+
+
+def test_e2e_f1_and_resume(ray_session, tmp_path):
+    from triple_accel_ray.pipeline import PipelineConfig, run_er_pipeline
+    from triple_accel_ray.pipeline.transcripts import ensure_fixture
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "fx")
+    os.makedirs(tdir, exist_ok=True)
+    transcripts, labels = generate_transcripts(120, seed=42)
+    tp = os.path.join(tdir, "transcripts.parquet")
+    lp = os.path.join(tdir, "labels.parquet")
+    pq.write_table(transcripts, tp)
+    pq.write_table(labels, lp)
+
+    run_dir = str(tmp_path / "run")
+    s = run_er_pipeline(tp, run_dir, PipelineConfig(doc_buckets=8,
+                        pair_buckets=8), labels_path=lp)
+    assert s["metrics"]["f1"] >= 0.99
+
+    # resume: delete the clusters stage only; rerun must reuse the rest
+    shutil.rmtree(os.path.join(run_dir, "clusters"))
+    s2 = run_er_pipeline(tp, run_dir, PipelineConfig(doc_buckets=8,
+                         pair_buckets=8), labels_path=lp)
+    assert s2["metrics"] == s["metrics"]
+
+    # distributed clustering path produces identical F1
+    run_dir2 = str(tmp_path / "run2")
+    cfg = PipelineConfig(doc_buckets=8, pair_buckets=8,
+                         local_cluster_edge_cap=0, cluster_partitions=4)
+    s3 = run_er_pipeline(tp, run_dir2, cfg, labels_path=lp)
+    assert s3["metrics"]["f1"] == s["metrics"]["f1"]

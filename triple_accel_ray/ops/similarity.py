@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns.
+
+* ``knn_bruteforce`` — exact top-k cosine: the query matrix is broadcast
+  once (``ray.put``), every corpus batch computes a numpy matmul and emits
+  its partial top-k; partials merge in one small reduce. No shuffle of the
+  corpus; wall time scales with corpus/batches.
+* ``knn_ivf`` — the scale path: seeded k-means-style coarse centroids
+  (built on a sample), corpus bucketed by nearest centroid (one shuffle),
+  queries probe only ``nprobe`` buckets. Approximate by design.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+
+def _stack(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(1e-12, np.linalg.norm(m, axis=1))[:, None]
+
+
+def knn_bruteforce(corpus, queries_table: pa.Table, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ (query_id, neighbor_id, cosine, rank 1..k) — exact, deterministic
+    (ties broken by neighbor_id asc; self-matches excluded)."""
+    import ray
+
+    Q = _normalize(_stack(queries_table[vec_col]))
+    qids = queries_table[id_col].to_numpy()
+    ref = ray.put((qids, Q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(ref)
+        C = _normalize(_stack(batch[vec_col]))
+        cids = batch[id_col].to_numpy()
+        sims = Q_ @ C.T  # (nq, nc)
+        nq, nc = sims.shape
+        kk = min(k, nc)
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for r in range(nq):
+            row = sims[r]
+            mask = cids != qids_[r]
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            # partial top-k with (−sim, id) ordering for determinism
+            order = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
+            out["query_id"].extend([int(qids_[r])] * len(order))
+            out["neighbor_id"].extend(int(cids[i]) for i in order)
+            out["cosine"].extend(float(row[i]) for i in order)
+        return pa.table(
+            {"query_id": pa.array(out["query_id"], pa.int64()),
+             "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+    partials = corpus.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(["query_id", "cosine", "neighbor_id"],
+                    descending=[False, True, False])
+            .group_by("query_id", maintain_order=True)
+            .head(k)
+            .with_columns(
+                rank=pl.col("cosine").rank("ordinal", descending=True)
+                .over("query_id").cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                       ("cosine", pa.float64()), ("rank", pa.int64())])
+        )
+
+    # the partial top-k table is tiny (nq × k × nbatches): merge in one group
+    return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
+def build_centroids(corpus_sample: np.ndarray, n_centroids: int, seed: int = 13,
+                    iters: int = 5) -> np.ndarray:
+    """Seeded mini k-means on a sample (numpy only, deterministic)."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(corpus_sample)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 13):
+    """IVF-style approximate top-k: corpus bucketed by nearest centroid
+    (one shuffle), each query scored only against its ``nprobe`` closest
+    centroid buckets."""
+    import ray
+
+    sample = np.stack(
+        corpus.limit(4096).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    C = build_centroids(sample, n_centroids, seed)
+    Q = _normalize(_stack(queries_table[vec_col]))
+    qids = queries_table[id_col].to_numpy()
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qids, Q, probe))
+    cref = ray.put(C)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        X = _normalize(_stack(batch[vec_col]))
+        cell = np.argmax(X @ C_.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    def _cell_topk(t: pa.Table) -> pa.Table:
+        qids_, Q_, probe_ = ray.get(ref)
+        cell = int(t["cell"][0].as_py())
+        probe_mask = (probe_ == cell).any(axis=1)
+        rows = np.nonzero(probe_mask)[0]
+        if rows.size == 0 or t.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        X = _normalize(_stack(t[vec_col]))
+        cids = t[id_col].to_numpy()
+        sims = Q_[rows] @ X.T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, len(cids))
+        for i, r in enumerate(rows):
+            mask = cids != qids_[r]
+            idx = np.nonzero(mask)[0]
+            order = idx[np.lexsort((cids[idx], -sims[i][idx]))][:kk]
+            out_q.extend([int(qids_[r])] * len(order))
+            out_n.extend(int(cids[j]) for j in order)
+            out_s.extend(float(sims[i, j]) for j in order)
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "neighbor_id": pa.array(out_n, pa.int64()),
+             "cosine": pa.array(out_s, pa.float64())}
+        )
+
+    partials = (
+        corpus.map_batches(_assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(_cell_topk, batch_format="pyarrow")
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(["query_id", "cosine", "neighbor_id"],
+                    descending=[False, True, False])
+            .group_by("query_id", maintain_order=True)
+            .head(k)
+            .with_columns(
+                rank=pl.col("cosine").rank("ordinal", descending=True)
+                .over("query_id").cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                       ("cosine", pa.float64()), ("rank", pa.int64())])
+        )
+
+    return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")

@@ -1,0 +1,192 @@
+"""Text-analysis operators over document tables: token counting, quality
+scoring, language ID, and document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms (numpy byte
+histograms / polars string kernels — no per-row Python in hot paths).
+Definitions are chosen to be exactly reproducible in ANSI SQL where an
+oracle exists (see __ray_entry__.oracle_sql): integer counts first, ratios
+as the same two-integer division on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ..kernels.batch import to_byte_rows
+
+# tiny built-in stopword lists per language (used by both quality scoring
+# and the language-ID heuristic; deliberately small and explicit)
+STOPWORDS = {
+    "en": ["the", "and", "of", "a", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "est", "en"],
+    "zh": ["de", "shi", "bu", "le", "wo", "ni", "ta", "zai", "you", "he"],
+}
+EN_STOPWORDS = set(STOPWORDS["en"])
+
+
+def _byte_class_counts(texts) -> dict:
+    """Vectorized per-row byte-class counts via one segmented bincount."""
+    data, offsets = to_byte_rows(texts)
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    ids = np.repeat(np.arange(n), lens)
+    hist = np.bincount(ids * 256 + data.astype(np.int64), minlength=n * 256).reshape(
+        n, 256
+    )
+    alpha = hist[:, 65:91].sum(1) + hist[:, 97:123].sum(1)
+    digit = hist[:, 48:58].sum(1)
+    space = hist[:, 32:33].sum(1) + hist[:, 9:14].sum(1)
+    punct = hist[:, 33:48].sum(1) + hist[:, 58:65].sum(1) + hist[:, 91:97].sum(1) + hist[:, 123:127].sum(1)
+    return {
+        "n_bytes": lens.astype(np.int64),
+        "alpha_count": alpha.astype(np.int64),
+        "digit_count": digit.astype(np.int64),
+        "space_count": space.astype(np.int64),
+        "punct_count": punct.astype(np.int64),
+    }
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    df = pl.from_arrow(batch)
+    out = df.with_columns(
+        token_count=pl.when(pl.col(text_col).str.strip_chars().str.len_bytes() == 0)
+        .then(0)
+        .otherwise(
+            pl.col(text_col).str.strip_chars().str.count_matches(r"\s+") + 1
+        )
+        .cast(pl.Int64)
+    )
+    return out.to_arrow().cast(
+        pa.schema(list(zip(batch.schema.names, batch.schema.types)) + [("token_count", pa.int64())])
+    )
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Counts + ratios + stopword ratio + a composite quality score."""
+    texts = batch[text_col]
+    counts = _byte_class_counts(texts)
+    tok = token_count_batch(pa.table({text_col: texts}), text_col)["token_count"].to_numpy()
+
+    df = pl.from_arrow(pa.table({text_col: texts}))
+    stop = (
+        df.with_row_index()
+        .with_columns(pl.col(text_col).str.strip_chars().str.to_lowercase()
+                      .str.split(by=" ").alias("toks"))
+        .explode("toks")
+        .filter(pl.col("toks").str.len_bytes() > 0)
+        .with_columns(pl.col("toks").str.strip_chars(".,!?;:'\"()").alias("toks"))
+        .group_by("index")
+        .agg(stop_count=pl.col("toks").is_in(sorted(EN_STOPWORDS)).sum())
+        .sort("index")
+    )
+    stop_counts = np.zeros(batch.num_rows, dtype=np.int64)
+    stop_counts[stop["index"].to_numpy()] = stop["stop_count"].to_numpy()
+
+    n = np.maximum(1, counts["n_bytes"])
+    ntok = np.maximum(1, tok)
+    alpha_ratio = counts["alpha_count"] / n
+    stop_ratio = stop_counts / ntok
+    quality = (
+        0.4 * alpha_ratio
+        + 0.3 * np.clip(stop_ratio * 3.0, 0, 1)
+        + 0.3 * np.clip(counts["n_bytes"] / 500.0, 0, 1)
+    )
+    cols = {k: pa.array(v) for k, v in counts.items()}
+    keep = [c for c in batch.column_names if c != text_col]
+    base = {c: batch[c] for c in keep}
+    return pa.table(
+        {
+            **base,
+            **cols,
+            "token_count": pa.array(tok, pa.int64()),
+            "stop_count": pa.array(stop_counts, pa.int64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            "quality": pa.array(quality, pa.float64()),
+        }
+    )
+
+
+class LangId:
+    """Stopword/character n-gram heuristic language identifier.
+
+    Stateful stage: the per-language token tries are built once per actor
+    (``__init__``), scoring is vectorized per batch via polars token
+    explode + join.
+    """
+
+    def __init__(self):
+        rows = []
+        for lang, words in STOPWORDS.items():
+            for w in words:
+                rows.append({"tok": w, "lang_cand": lang})
+        self.lookup = pl.DataFrame(rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        toks = (
+            df.with_columns(
+                pl.col("text").str.to_lowercase().str.split(by=" ").alias("toks")
+            )
+            .explode("toks")
+            .with_columns(pl.col("toks").str.strip_chars(".,!?;:'\"()"))
+            .join(self.lookup, left_on="toks", right_on="tok", how="inner")
+            .group_by(["doc_id", "lang_cand"])
+            .len()
+            .sort(["doc_id", "len", "lang_cand"], descending=[False, True, False])
+            .group_by("doc_id", maintain_order=True)
+            .first()
+            .select(["doc_id", "lang_cand"])
+            .rename({"lang_cand": "lang_pred"})
+        )
+        out = (
+            pl.from_arrow(batch)
+            .join(toks, on="doc_id", how="left")
+            .with_columns(pl.col("lang_pred").fill_null("und"))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                list(zip(batch.schema.names, batch.schema.types))
+                + [("lang_pred", pa.string())]
+            )
+        )
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", gram: int = 8
+) -> pa.Table:
+    """Rolling-hash document fingerprint: the minimum 64-bit rolling hash
+    over all ``gram``-byte windows (a 1-perm MinHash — stable under small
+    edits elsewhere in the document) plus the full content hash."""
+    from ..pipeline.blocking import _mix64
+
+    data, offsets = to_byte_rows(batch[text_col])
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    counts = np.maximum(0, lens - gram + 1).astype(np.int64)
+    total = int(counts.sum())
+    fp = np.zeros(n, dtype=np.uint64)
+    if total:
+        doc_of = np.repeat(np.arange(n), counts)
+        cum = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        pos = offsets[:-1][doc_of] + (np.arange(total) - cum[doc_of])
+        h = np.zeros(total, dtype=np.uint64)
+        coef = np.uint64(0x9E3779B97F4A7C15)
+        for kk in range(gram):
+            h = h * coef + data[pos + kk].astype(np.uint64)
+        h = _mix64(h)
+        has = counts > 0
+        fp[has] = np.minimum.reduceat(h, cum[has])
+    import hashlib
+
+    content = [
+        hashlib.blake2b(t.encode(), digest_size=8).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(
+        "min_gram_hash", pa.array(fp.astype("uint64"))
+    ).append_column("content_hash", pa.array(content, pa.string()))

@@ -1,0 +1,91 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time window primitive; the engine treats the event
+log as a keyed, time-sortable table (the ray_guide pattern): tumbling
+windows are a derived key + grouped aggregate; session windows are a
+per-key sorted gap scan inside hash buckets. Both are deterministic and
+SQL-expressible (oracles in __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def tumbling_window_agg(events, window_sec: int = 3600):
+    """→ (user_id, window_start, n_events, sum_value) per tumbling window."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["user_id", "ts", "value"]))
+        df = df.with_columns(
+            window_start=(
+                (pl.col("ts").cast(pl.Int64) // (window_sec * 1_000_000))
+                * (window_sec * 1_000_000)
+            ).cast(pl.Datetime("us"))
+        ).drop("ts")
+        return df.to_arrow()
+
+    out = (
+        events.map_batches(_key, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+    return out
+
+
+def sessionize(events, gap_sec: int = 1800, num_buckets: int = 32):
+    """→ (user_id, session_start, session_end, n_events) where a session
+    breaks when consecutive events of a user are more than ``gap_sec``
+    apart. One shuffle keyed by user bucket; the gap scan is a vectorized
+    polars window inside each bucket."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["user_id", "ts", "event_id"]))
+        df = df.with_columns(
+            (pl.col("user_id").hash(seed=21) % np.uint64(num_buckets))
+            .cast(pl.Int32).alias("bucket")
+        )
+        return df.to_arrow()
+
+    def _sessions(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            new_sess=(
+                (pl.col("ts").cast(pl.Int64)
+                 - pl.col("ts").cast(pl.Int64).shift(1).over("user_id"))
+                > gap_sec * 1_000_000
+            ).fill_null(True).cast(pl.Int64)
+        ).with_columns(
+            sess_idx=pl.col("new_sess").cum_sum().over("user_id")
+        )
+        out = (
+            df.group_by(["user_id", "sess_idx"])
+            .agg(
+                session_start=pl.col("ts").min(),
+                session_end=pl.col("ts").max(),
+                n_events=pl.len().cast(pl.Int64),
+            )
+            .drop("sess_idx")
+            .sort(["user_id", "session_start"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("user_id", pa.int64()),
+                 ("session_start", pa.timestamp("us")),
+                 ("session_end", pa.timestamp("us")),
+                 ("n_events", pa.int64())]
+            )
+        )
+
+    return (
+        events.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_sessions, batch_format="pyarrow")
+    )

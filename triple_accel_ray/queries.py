@@ -1,0 +1,724 @@
+"""Driver-contract query registry: every operator exposed as a callable
+(sf_dir -> Dataset/Table) plus, where ANSI-SQL-expressible, a DuckDB oracle
+string computing the same result with the same column names.
+
+Float-parity rules used throughout (driver hashes values):
+  * integer counts preferred; ratios/similarities only where both sides
+    perform the identical IEEE-754 double operations in the same order;
+  * distributed double SUMs are avoided in compared outputs (summation
+    order differs) — monetary-style values go through
+    floor(v*100 + 0.5) integer cents on both sides;
+  * float32-sourced cosines are never value-compared (ids/ranks only).
+
+The transcript fixture used by er_* queries is synthesized deterministically
+per scale dir by ``pipeline.transcripts.ensure_fixture``; oracles reference
+its absolute sf0.01 path (the driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .ops.dedup import exact_dup_groups, minhash_dup_pairs, simhash_dup_pairs
+from .ops.multimodal import media_features, synthesize_media_table
+from .ops.search import search_dataset
+from .ops.similarity import knn_bruteforce, knn_ivf
+from .ops.text import LangId, fingerprint_batch, quality_score_batch, token_count_batch
+from .ops.windows import sessionize, tumbling_window_agg
+from .pipeline.cluster import connected_components_local
+from .pipeline.docs import build_docs
+from .pipeline.pairs import _bucket_to_pairs
+from .pipeline.score import PairScorer
+from .pipeline.transcripts import ensure_fixture
+
+# absolute fixture path at the driver's correctness scale (sf0.01, seed 42)
+FIXTURE_SF001 = "/tmp/ta_ray_fixtures/sf0.01_s42/transcripts.parquet"
+
+LEN_BUCKET = 32  # doc_len bucket width for the SQL-expressible sig blocking
+SEARCH_NEEDLE = "data"
+
+
+# --------------------------------------------------------------- helpers
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _er_docs_ds(sf_dir: str):
+    tp, _ = ensure_fixture(sf_dir)
+    return build_docs(rd.read_parquet(tp), num_buckets=16)
+
+
+def _docs_sorted_cols(ds):
+    return ds.select_columns(["conv_id", "doc_text", "n_turns", "doc_len", "role_sig"])
+
+
+def _sig_pairs(docs_ds):
+    """SQL-expressible blocking: block_key = role_sig + '|' + doc_len//W.
+    No hot-block cap here (the oracle join has none either); the capped
+    production path lives in pipeline.pairs."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["conv_id", "doc_text", "doc_len", "role_sig"]))
+        df = df.with_columns(
+            (pl.col("role_sig") + "|" + (pl.col("doc_len") // LEN_BUCKET).cast(pl.String))
+            .alias("block_key"),
+            (pl.col("role_sig").hash(seed=3) % np.uint64(16)).cast(pl.Int32).alias("bucket"),
+        )
+        return df.to_arrow()
+
+    return (
+        docs_ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            _bucket_to_pairs, batch_format="pyarrow",
+            fn_kwargs={"cap": 1 << 30, "window": 8},
+        )
+    )
+
+
+def _er_edges_ds(sf_dir: str):
+    pairs = _sig_pairs(_er_docs_ds(sf_dir))
+    scored = pairs.map_batches(
+        PairScorer(rel_k=0.15, abs_min_k=4, abs_max_k=128, min_similarity=0.85),
+        batch_format="pyarrow", batch_size=2048,
+    )
+    return scored.map_batches(
+        lambda t: t.filter(pc.equal(t["is_match"], True)).select(
+            ["a_id", "b_id", "dist", "sim"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _adjacent_docs(sf_dir: str, min_len: int | None = None):
+    """(a_id, b_id=a_id+1, a_text, b_text) via Ray hash join."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    left = docs.map_batches(
+        lambda t: t.append_column("next_id", pc.add(t["doc_id"], 1)),
+        batch_format="pyarrow",
+    )
+    j = left.join(
+        docs, join_type="inner", num_partitions=8,
+        on=("next_id",), right_on=("doc_id",),
+        left_suffix="_a", right_suffix="_b",
+    )
+    out = j.map_batches(
+        lambda t: pa.table(
+            {
+                "a_id": t["doc_id"],
+                "b_id": t["next_id"],
+                "a_text": t["text_a"],
+                "b_text": t["text_b"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+# ------------------------------------------------------------ queries()
+
+def build_queries() -> Dict[str, Callable]:
+    q: Dict[str, Callable] = {}
+
+    # ---- ER family over the transcript fixture -------------------------
+    def er_docs_build(sf_dir):
+        return _docs_sorted_cols(_er_docs_ds(sf_dir))
+
+    q["er_docs_build"] = er_docs_build
+
+    def er_exact_dup_clusters(sf_dir):
+        docs = _er_docs_ds(sf_dir)
+        return exact_dup_groups(
+            docs, id_col="conv_id", text_col="doc_text", num_buckets=16
+        )
+
+    q["er_exact_dup_clusters"] = er_exact_dup_clusters
+
+    def er_block_stats(sf_dir):
+        docs = _er_docs_ds(sf_dir)
+
+        def _key(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.select(["role_sig", "doc_len"]))
+            return df.with_columns(
+                len_bucket=(pl.col("doc_len") // LEN_BUCKET).cast(pl.Int64)
+            ).drop("doc_len").to_arrow()
+
+        from ray.data.aggregate import Count
+
+        out = (
+            docs.map_batches(_key, batch_format="pyarrow")
+            .groupby(["role_sig", "len_bucket"])
+            .aggregate(Count(alias_name="n_docs"))
+        )
+        return out.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)),
+            batch_format="pyarrow",
+        )
+
+    q["er_block_stats"] = er_block_stats
+
+    def er_candidate_pairs(sf_dir):
+        return _sig_pairs(_er_docs_ds(sf_dir)).select_columns(["a_id", "b_id"])
+
+    q["er_candidate_pairs"] = er_candidate_pairs
+
+    def er_match_edges(sf_dir):
+        return _er_edges_ds(sf_dir)
+
+    q["er_match_edges"] = er_match_edges
+
+    def er_clusters(sf_dir):
+        edges = pa.Table.from_pandas(_er_edges_ds(sf_dir).to_pandas())
+        nodes = pa.Table.from_pandas(
+            _er_docs_ds(sf_dir).select_columns(["conv_id"]).to_pandas()
+        )
+        return connected_components_local(
+            edges.select(["a_id", "b_id"]), nodes
+        )
+
+    q["er_clusters"] = er_clusters
+
+    def er_clusters_full(sf_dir):
+        """Full production pipeline (MinHash blocking; no SQL oracle)."""
+        from .pipeline import PipelineConfig, run_er_pipeline
+
+        tp, _ = ensure_fixture(sf_dir)
+        run_dir = os.path.join(
+            "/tmp/ta_ray_runs", os.path.basename(os.path.dirname(tp))
+        )
+        s = run_er_pipeline(tp, run_dir, PipelineConfig())
+        return pq.read_table(s["clusters_dir"])
+
+    q["er_clusters_full"] = er_clusters_full
+
+    # ---- kernel ops over the documents table ---------------------------
+    def lev_adjacent(sf_dir):
+        pairs = _adjacent_docs(sf_dir)
+
+        def _score(t: pa.Table) -> pa.Table:
+            from .kernels.batch import levenshtein_batch
+
+            d = levenshtein_batch(t["a_text"], t["b_text"])
+            return pa.table(
+                {"a_id": t["a_id"], "b_id": t["b_id"],
+                 "dist": pa.array(d, pa.int64())}
+            )
+
+        return pairs.map_batches(_score, batch_format="pyarrow")
+
+    q["lev_adjacent"] = lev_adjacent
+
+    def lev_k_adjacent(sf_dir):
+        pairs = _adjacent_docs(sf_dir)
+
+        def _score(t: pa.Table) -> pa.Table:
+            from .kernels.batch import levenshtein_k_batch
+
+            d = levenshtein_k_batch(t["a_text"], t["b_text"], 25)
+            return pa.table(
+                {"a_id": t["a_id"], "b_id": t["b_id"],
+                 "dist_k": pa.array(d, pa.int64())}
+            )
+
+        return pairs.map_batches(_score, batch_format="pyarrow")
+
+    q["lev_k_adjacent"] = lev_k_adjacent
+
+    def ham_prefix64_adjacent(sf_dir):
+        pairs = _adjacent_docs(sf_dir)
+
+        def _score(t: pa.Table) -> pa.Table:
+            from .kernels.batch import hamming_batch
+
+            a = pc.utf8_slice_codeunits(t["a_text"], 0, 64)
+            b = pc.utf8_slice_codeunits(t["b_text"], 0, 64)
+            la = pc.binary_length(t["a_text"])
+            lb = pc.binary_length(t["b_text"])
+            mask = pc.and_(pc.greater_equal(la, 64), pc.greater_equal(lb, 64))
+            sub = pa.table({"a_id": t["a_id"], "b_id": t["b_id"],
+                            "a": a, "b": b}).filter(mask)
+            d = hamming_batch(sub["a"], sub["b"])
+            return pa.table(
+                {"a_id": sub["a_id"], "b_id": sub["b_id"],
+                 "ham64": pa.array(d.astype(np.int64), pa.int64())}
+            )
+
+        return pairs.map_batches(_score, batch_format="pyarrow")
+
+    q["ham_prefix64_adjacent"] = ham_prefix64_adjacent
+
+    def rdamerau_adjacent(sf_dir):
+        pairs = _adjacent_docs(sf_dir)
+
+        def _score(t: pa.Table) -> pa.Table:
+            from .kernels.batch import levenshtein_batch
+            from .kernels.types import RDAMERAU_COSTS
+
+            d = levenshtein_batch(t["a_text"], t["b_text"], RDAMERAU_COSTS)
+            return pa.table(
+                {"a_id": t["a_id"], "b_id": t["b_id"],
+                 "rdam": pa.array(d, pa.int64())}
+            )
+
+        return pairs.map_batches(_score, batch_format="pyarrow")
+
+    q["rdamerau_adjacent"] = rdamerau_adjacent
+
+    def search_exact_hits(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = search_dataset(docs, SEARCH_NEEDLE.encode(), 0, mode="hamming")
+        return out.select_columns(["doc_id", "start", "end"])
+
+    q["search_exact_hits"] = search_exact_hits
+
+    def lev_search_best(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return search_dataset(
+            docs, b"value pert", 2, mode="levenshtein", search_type="best"
+        )
+
+    q["lev_search_best"] = lev_search_best
+
+    # ---- dedup family ---------------------------------------------------
+    def dedup_exact(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return exact_dup_groups(docs, num_buckets=16)
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_pairs(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return minhash_dup_pairs(docs, threshold=0.5, num_buckets=16)
+
+    q["dedup_minhash_pairs"] = dedup_minhash_pairs
+
+    def dedup_simhash_pairs(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return simhash_dup_pairs(docs, max_hamming=6, num_buckets=16)
+
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
+    def charset_jaccard_adjacent(sf_dir):
+        pairs = _adjacent_docs(sf_dir)
+
+        def _j(t: pa.Table) -> pa.Table:
+            from .kernels.batch import to_byte_rows
+
+            da, oa = to_byte_rows(t["a_text"])
+            db, ob = to_byte_rows(t["b_text"])
+            n = t.num_rows
+            out = np.zeros(n, dtype=np.float64)
+            for i in range(n):
+                sa = np.unique(da[oa[i]:oa[i + 1]])
+                sb = np.unique(db[ob[i]:ob[i + 1]])
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                out[i] = inter / union if union else 1.0
+            return pa.table(
+                {"a_id": t["a_id"], "b_id": t["b_id"],
+                 "jac": pa.array(out, pa.float64())}
+            )
+
+        return pairs.map_batches(_j, batch_format="pyarrow")
+
+    q["charset_jaccard_adjacent"] = charset_jaccard_adjacent
+
+    def embed_near_dups(sf_dir):
+        """Near-dup pairs by embedding inner product on integer-quantized
+        vectors (floor(x*1000)): exact integer arithmetic on both sides, so
+        the oracle comparison has no float-boundary risk."""
+        import ray
+
+        emb_table = pq.read_table(_t(sf_dir, "embeddings"))
+        ids = emb_table["vec_id"].to_numpy()
+        M = np.stack(emb_table["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        Q = np.floor(M * 1000.0).astype(np.int64)
+        ref = ray.put((ids, Q))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            all_ids, mat = ray.get(ref)
+            bm = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            bq = np.floor(bm * 1000.0).astype(np.int64)
+            bids = batch["vec_id"].to_numpy()
+            ip = bq @ mat.T
+            a_out, b_out, ip_out = [], [], []
+            for r in range(ip.shape[0]):
+                hit = np.nonzero(ip[r] >= 300_000)[0]
+                for c in hit:
+                    if bids[r] < all_ids[c]:
+                        a_out.append(int(bids[r]))
+                        b_out.append(int(all_ids[c]))
+                        ip_out.append(int(ip[r, c]))
+            return pa.table(
+                {"a_id": pa.array(a_out, pa.int64()),
+                 "b_id": pa.array(b_out, pa.int64()),
+                 "qip": pa.array(ip_out, pa.int64())}
+            )
+
+        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        return emb.map_batches(_score, batch_format="pyarrow")
+
+    q["embed_near_dups"] = embed_near_dups
+
+    # ---- similarity search ---------------------------------------------
+    def knn_top5(sf_dir):
+        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
+        out = knn_bruteforce(emb, queries_table, k=5)
+        return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+    q["knn_top5"] = knn_top5
+
+    def knn_ivf_top5(sf_dir):
+        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
+        out = knn_ivf(emb, queries_table, k=5, n_centroids=8, nprobe=3)
+        return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+    q["knn_ivf_top5"] = knn_ivf_top5
+
+    # ---- text analysis --------------------------------------------------
+    def token_count(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(
+            lambda t: token_count_batch(t).select(["doc_id", "token_count"]),
+            batch_format="pyarrow",
+        )
+
+    q["token_count"] = token_count
+
+    def quality_scores(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(
+            lambda t: quality_score_batch(t).select(
+                ["doc_id", "n_bytes", "alpha_count", "digit_count",
+                 "space_count", "punct_count", "token_count", "stop_count",
+                 "alpha_ratio"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    q["quality_scores"] = quality_scores
+
+    def lang_id_pred(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2,
+                                batch_size=512).select_columns(
+            ["doc_id", "lang_pred"]
+        )
+
+    q["lang_id_pred"] = lang_id_pred
+
+    def fingerprints(sf_dir):
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(
+            lambda t: fingerprint_batch(t).select(
+                ["doc_id", "min_gram_hash", "content_hash"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    q["fingerprints"] = fingerprints
+
+    # ---- stream-shaped --------------------------------------------------
+    def events_tumbling_1h(sf_dir):
+        ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+        def _cents(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy()
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {"user_id": t["user_id"], "ts": t["ts"],
+                 "value_cents": pa.array(cents, pa.int64())}
+            )
+
+        from ray.data.aggregate import Count, Sum
+
+        keyed = ev.map_batches(_cents, batch_format="pyarrow").map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                    "value_cents": t["value_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return keyed.groupby(["user_id", "window_start"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_cents"),
+        )
+
+    q["events_tumbling_1h"] = events_tumbling_1h
+
+    def events_sessions(sf_dir):
+        ev = rd.read_parquet(_t(sf_dir, "events"),
+                             columns=["user_id", "ts", "event_id"])
+        return sessionize(ev, gap_sec=1800, num_buckets=16)
+
+    q["events_sessions"] = events_sessions
+
+    # ---- multimodal plumbing (no SQL oracle: stub decoder) -------------
+    def media_feature_rows(sf_dir):
+        media = rd.from_arrow(synthesize_media_table(200, seed=42))
+        return media_features(media, concurrency=2, batch_size=64)
+
+    q["media_feature_rows"] = media_feature_rows
+
+    return q
+
+
+# ---------------------------------------------------------- oracle_sql()
+
+def build_oracles() -> Dict[str, str]:
+    fx = FIXTURE_SF001
+    W = LEN_BUCKET
+    docs_cte = f"""
+docs AS (
+  SELECT conv_id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
+         count(*)::BIGINT AS n_turns,
+         string_agg(substr(role,1,1), '' ORDER BY turn_idx) AS role_sig
+  FROM read_parquet('{fx}') GROUP BY conv_id
+),
+docs2 AS (
+  SELECT conv_id, doc_text, n_turns, strlen(doc_text)::BIGINT AS doc_len,
+         role_sig
+  FROM docs
+)"""
+    sig_pairs_cte = f"""
+sig_pairs AS (
+  SELECT a.conv_id AS a_id, b.conv_id AS b_id,
+         a.doc_text AS a_text, b.doc_text AS b_text,
+         a.doc_len AS a_len, b.doc_len AS b_len
+  FROM docs2 a JOIN docs2 b
+    ON a.role_sig = b.role_sig
+   AND a.doc_len // {W} = b.doc_len // {W}
+   AND a.conv_id < b.conv_id
+)"""
+    scored_cte = """
+scored AS (
+  SELECT a_id, b_id,
+         LEAST(128, GREATEST(4, CEIL(0.15 * GREATEST(a_len, b_len))))::BIGINT AS k,
+         levenshtein(a_text, b_text)::BIGINT AS lev,
+         GREATEST(a_len, b_len) AS max_len
+  FROM sig_pairs
+),
+edges AS (
+  SELECT a_id, b_id,
+         CASE WHEN lev <= k THEN lev ELSE -1 END AS dist,
+         CASE WHEN lev <= k THEN 1.0 - CAST(lev AS DOUBLE) / max_len ELSE 0.0 END AS sim
+  FROM scored
+  WHERE lev <= k AND (1.0 - CAST(lev AS DOUBLE) / max_len) >= 0.85
+)"""
+
+    o: Dict[str, str] = {}
+
+    o["er_docs_build"] = f"WITH {docs_cte} SELECT conv_id, doc_text, n_turns, doc_len, role_sig FROM docs2"
+
+    o["er_exact_dup_clusters"] = f"""
+WITH {docs_cte}
+SELECT conv_id,
+       min(conv_id) OVER (PARTITION BY doc_text) AS dup_group,
+       (count(*) OVER (PARTITION BY doc_text))::BIGINT AS group_size
+FROM docs2"""
+
+    o["er_block_stats"] = f"""
+WITH {docs_cte}
+SELECT role_sig, (doc_len // {W})::BIGINT AS len_bucket, count(*)::BIGINT AS n_docs
+FROM docs2 GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+    o["er_candidate_pairs"] = f"WITH {docs_cte}, {sig_pairs_cte} SELECT a_id, b_id FROM sig_pairs"
+
+    o["er_match_edges"] = f"WITH {docs_cte}, {sig_pairs_cte}, {scored_cte} SELECT a_id, b_id, dist, sim FROM edges"
+
+    o["er_clusters"] = f"""
+WITH RECURSIVE {docs_cte}, {sig_pairs_cte}, {scored_cte},
+sym(u, v) AS (
+  SELECT a_id, b_id FROM edges UNION ALL SELECT b_id, a_id FROM edges
+),
+lp(node, label) AS (
+  SELECT conv_id, conv_id FROM docs2
+  UNION
+  SELECT s.u, lp.label FROM sym s JOIN lp ON lp.node = s.v
+)
+SELECT node AS conv_id, min(label) AS cluster_id FROM lp GROUP BY node"""
+
+    o["lev_adjacent"] = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+
+    o["lev_k_adjacent"] = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CASE WHEN levenshtein(a.text, b.text) <= 25
+            THEN levenshtein(a.text, b.text) ELSE -1 END::BIGINT AS dist_k
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+
+    o["ham_prefix64_adjacent"] = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       hamming(substr(a.text, 1, 64), substr(b.text, 1, 64))::BIGINT AS ham64
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE strlen(a.text) >= 64 AND strlen(b.text) >= 64"""
+
+    L = len(SEARCH_NEEDLE)
+    o["search_exact_hits"] = f"""
+SELECT d.doc_id, s AS start, s + {L} AS "end"
+FROM documents d JOIN generate_series(0, 100000) t(s)
+  ON s <= strlen(d.text) - {L}
+WHERE substr(d.text, s + 1, {L}) = '{SEARCH_NEEDLE}'"""
+
+    o["dedup_exact"] = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY text) AS dup_group,
+       (count(*) OVER (PARTITION BY text))::BIGINT AS group_size
+FROM documents"""
+
+    o["charset_jaccard_adjacent"] = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       jaccard(a.text, b.text) AS jac
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+
+    o["embed_near_dups"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS qe
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qip
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.qe, b.qe) >= 300000"""
+
+    o["knn_top5"] = """
+WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5"""
+
+    o["token_count"] = r"""
+SELECT doc_id,
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+            ELSE len(regexp_split_to_array(
+                   trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+       END::BIGINT AS token_count
+FROM documents"""
+
+    stop_list = "'the','and','of','a','to','in','is','it','for','on'"
+    o["quality_scores"] = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         strlen(text)::BIGINT AS n_bytes,
+         (strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS alpha_count,
+         (strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS digit_count,
+         (strlen(text) - strlen(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13) || ']', '', 'g')))::BIGINT AS space_count,
+         (strlen(text) - strlen(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')))::BIGINT AS punct_count,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+         END::BIGINT AS token_count
+  FROM documents
+),
+stops AS (
+  SELECT doc_id, count(*)::BIGINT AS stop_count
+  FROM (
+    SELECT doc_id,
+           trim(tok, '.,!?;:''"()') AS tok2
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))), ' ')) AS tok
+      FROM documents
+    )
+    WHERE strlen(tok) > 0
+  )
+  WHERE tok2 IN ({stop_list})
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_bytes, b.alpha_count, b.digit_count, b.space_count,
+       b.punct_count, b.token_count,
+       coalesce(s.stop_count, 0)::BIGINT AS stop_count,
+       CAST(b.alpha_count AS DOUBLE) / GREATEST(1, b.n_bytes) AS alpha_ratio
+FROM base b LEFT JOIN stops s ON b.doc_id = s.doc_id"""
+
+    lang_rows = []
+    from .ops.text import STOPWORDS
+
+    for lang, words in STOPWORDS.items():
+        for w in words:
+            lang_rows.append(f"('{w}','{lang}')")
+    o["lang_id_pred"] = f"""
+WITH lookup(tok, lang_cand) AS (VALUES {', '.join(lang_rows)}),
+toks AS (
+  SELECT doc_id, trim(tok, '.,!?;:''"()') AS tok2
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  )
+),
+counts AS (
+  SELECT t.doc_id, l.lang_cand, count(*)::BIGINT AS cnt
+  FROM toks t JOIN lookup l ON t.tok2 = l.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang_cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, lang_cand ASC) AS rn
+  FROM counts
+)
+SELECT d.doc_id, coalesce(b.lang_cand, 'und') AS lang_pred
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON d.doc_id = b.doc_id"""
+
+    o["events_tumbling_1h"] = """
+SELECT user_id,
+       time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+    o["events_sessions"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sess_idx"""
+
+    return o
