@@ -1,0 +1,147 @@
+"""Benchmark harness: runs the headline ER pipeline (and representative
+operator benches) over $GRAFT_SF_DIR and prints ONE JSON line.
+
+  python bench.py              # single run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                               # same input; reports both + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _run_benches(sf_dir: str, ncpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline import PipelineConfig, run_er_pipeline
+    from triple_accel_ray.pipeline.transcripts import ensure_fixture, parse_sf
+
+    tp, lp = ensure_fixture(sf_dir)
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    with open(tp, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    n_turns = pq.read_metadata(tp).num_rows
+    timings: dict = {}
+
+    # headline: full ER pipeline, fresh run dir (no checkpoint reuse)
+    run_dir = f"/tmp/ta_ray_bench/er_{os.path.basename(os.path.dirname(tp))}_{ncpus}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_er_pipeline(tp, run_dir, PipelineConfig(), labels_path=lp)
+    t_er = time.perf_counter() - t0
+    timings["er_pipeline"] = round(t_er, 3)
+
+    # representative operator benches over the shared testdata tables
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        from triple_accel_ray.ops.dedup import minhash_dup_pairs
+        from triple_accel_ray.ops.text import quality_score_batch
+
+        timed(
+            "dedup_minhash",
+            lambda: minhash_dup_pairs(
+                rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+                threshold=0.5, num_buckets=32,
+            ).count(),
+        )
+        timed(
+            "quality_scores",
+            lambda: rd.read_parquet(docs_path, columns=["doc_id", "text"])
+            .map_batches(quality_score_batch, batch_format="pyarrow")
+            .count(),
+        )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(ev_path):
+        from triple_accel_ray.ops.windows import sessionize
+
+        timed(
+            "events_sessions",
+            lambda: sessionize(
+                rd.read_parquet(ev_path, columns=["user_id", "ts", "event_id"]),
+                num_buckets=32,
+            ).count(),
+        )
+
+    result = {
+        "metric": "er_pipeline_sec",
+        "value": round(t_er, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(sf_dir),
+        "num_cpus": ncpus,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / t_er, 1),
+        "rows": summary["rows"],
+        "f1": round(summary["metrics"]["f1"], 6) if "metrics" in summary else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def main() -> int:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "--scaling" in sys.argv:
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo = run(lo)
+        r_hi = run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_8": r_lo["value"],
+            "sec_32": r_hi["value"],
+            "turns_per_sec_8": r_lo["turns_per_sec"],
+            "turns_per_sec_32": r_hi["turns_per_sec"],
+            "sf": r_hi["sf"],
+            "queries": {"er_pipeline_8": r_lo["value"],
+                        "er_pipeline_32": r_hi["value"]},
+        }))
+        return 0
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(_run_benches(sf_dir, ncpus)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,10 +46,11 @@ class BlockKeyer:
     def __init__(
         self,
         num_perm: int = 32,
-        n_bands: int = 8,
+        n_bands: int = 16,
         shingle: int = 5,
         seed: int = 7,
         len_band_width: int = 32,
+        sig_max_len: int = 64,
     ):
         assert num_perm % n_bands == 0
         self.num_perm = num_perm
@@ -57,6 +58,10 @@ class BlockKeyer:
         self.rows_per_band = num_perm // n_bands
         self.shingle = shingle
         self.len_band_width = len_band_width
+        # structure-signature keys only cover docs too short for reliable
+        # MinHash (few shingles); longer docs are recalled by the mh family,
+        # and emitting s-keys for them floods scoring with false candidates
+        self.sig_max_len = sig_max_len
         rng = np.random.default_rng(seed)
         self.pa_mult = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) | np.uint64(1)
         self.pb_add = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
@@ -131,10 +136,11 @@ class BlockKeyer:
             keys.append(f"x:{d}")
             key_doc.append(i)
 
-        # s family: role-structure signature × length bucket (+half shift)
+        # s family: role-structure signature × length bucket (+half shift),
+        # short docs only (see __init__)
         role_sig = batch["role_sig"].to_pylist()
         W = self.len_band_width
-        for i in range(n):
+        for i in np.nonzero(lens < self.sig_max_len)[0]:
             rs = hashlib.blake2b((role_sig[i] or "").encode(), digest_size=6).hexdigest()
             lb = int(lens[i]) // W
             lb2 = (int(lens[i]) + W // 2) // W

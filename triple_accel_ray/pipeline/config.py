@@ -20,7 +20,7 @@ class PipelineConfig:
 
     # --- blocking ---------------------------------------------------------
     minhash_perms: int = 32
-    minhash_bands: int = 8  # rows per band = perms // bands
+    minhash_bands: int = 16  # rows per band = perms // bands
     shingle_size: int = 5
     blocking_seed: int = 7
     len_band_width: int = 32  # signature-key length bucket width (bytes)

@@ -114,11 +114,39 @@ def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
     return out.to_arrow().select(schema.names).cast(schema)
 
 
+def _pair_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    df = pl.from_arrow(batch)
+    df = df.with_columns(
+        ((pl.col("a_id").hash(seed=6) ^ pl.col("b_id").hash(seed=7))
+         % np.uint64(num_buckets)).cast(pl.Int32).alias("bucket")
+    )
+    return df.to_arrow()
+
+
+def _dedup_pairs(batch: pa.Table) -> pa.Table:
+    out = (
+        pl.from_arrow(batch)
+        .unique(subset=["a_id", "b_id"], keep="first", maintain_order=True)
+        .drop("bucket")
+    )
+    schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()),
+         ("a_text", pa.string()), ("b_text", pa.string()),
+         ("block_key", pa.string())]
+    )
+    return out.to_arrow().select(schema.names).cast(schema)
+
+
 def gen_pairs(blocks, num_buckets: int = 64, hot_block_cap: int = 64,
               hot_block_window: int = 8):
-    """block rows Dataset → candidate pair Dataset (a_id < b_id, deduped
-    within bucket; cross-bucket duplicates — the same pair surfaced by two
-    different block keys — are deduped at the edge stage after scoring)."""
+    """block rows Dataset → candidate pair Dataset (a_id < b_id, globally
+    unique).
+
+    Two shuffles: (1) block_key buckets for pair generation, (2) pair-hash
+    buckets for global dedup. The second shuffle exists because a true
+    near-dup pair collides in MANY LSH bands (up to n_bands copies landing
+    in different block buckets) — deduping before the expensive scoring
+    stage is ~an order of magnitude cheaper than scoring every copy."""
     return (
         blocks.map_batches(
             _add_bucket,
@@ -131,4 +159,11 @@ def gen_pairs(blocks, num_buckets: int = 64, hot_block_cap: int = 64,
             batch_format="pyarrow",
             fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
         )
+        .map_batches(
+            _pair_bucket,
+            batch_format="pyarrow",
+            fn_kwargs={"num_buckets": num_buckets},
+        )
+        .groupby("bucket")
+        .map_groups(_dedup_pairs, batch_format="pyarrow")
     )
