@@ -1,0 +1,185 @@
+"""Ops-layer tests: dedup families, kNN, text analysis, windows, multimodal
+plumbing — run on small Ray datasets against straightforward local oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_exact_dup_groups(docs_ds):
+    from triple_accel_ray.ops.dedup import exact_dup_groups
+
+    out = exact_dup_groups(docs_ds, num_buckets=4).to_pandas()
+    docs = docs_ds.to_pandas()
+    # local oracle
+    want = docs.assign(
+        dup_group=docs.groupby("text")["doc_id"].transform("min"),
+        group_size=docs.groupby("text")["doc_id"].transform("size"),
+    )[["doc_id", "dup_group", "group_size"]]
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_dup_pairs_finds_planted_dup(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import minhash_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("quick", "quickk").replace("lazy", "lazzy")
+    other = "completely different content about databases and queries " * 8
+    t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    out = minhash_dup_pairs(rd.from_arrow(t), threshold=0.6, num_buckets=4).to_pandas()
+    assert set(zip(out["a_id"], out["b_id"])) == {("1", "2")}
+
+
+def test_simhash_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import simhash_dup_pairs
+
+    base = "word vectors and hashing for near duplicate detection " * 6
+    near = base[:-3]  # tiny tail edit -> simhash hamming stays small
+    other = "unrelated text talking about astronomy and telescopes " * 6
+    t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    out = simhash_dup_pairs(rd.from_arrow(t), max_hamming=3, num_buckets=4).to_pandas()
+    assert ("1", "2") in set(zip(out["a_id"], out["b_id"]))
+    assert ("1", "3") not in set(zip(out["a_id"], out["b_id"]))
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from triple_accel_ray.ops.similarity import knn_bruteforce
+
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    corpus = rd.from_arrow(emb_t)
+    queries = emb_t.slice(0, 5)
+    out = knn_bruteforce(corpus, queries, k=3).to_pandas()
+
+    M = np.stack(emb_t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1)[:, None]
+    ids = emb_t["vec_id"].to_numpy()
+    for qi in range(5):
+        sims = M[qi] @ M.T
+        order = np.lexsort((ids, -sims))
+        order = [i for i in order if ids[i] != ids[qi]][:3]
+        want = [int(ids[i]) for i in order]
+        got = out[out["query_id"] == ids[qi]].sort_values("rank")["neighbor_id"].tolist()
+        assert got == want
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF is approximate; top-1 neighbor should still match brute force
+    for most queries on a clustered corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from triple_accel_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    corpus = rd.from_arrow(emb_t)
+    queries = emb_t.slice(0, 10)
+    bf = knn_bruteforce(corpus, queries, k=1).to_pandas()
+    ivf = knn_ivf(corpus, queries, k=1, n_centroids=8, nprobe=6).to_pandas()
+    merged = bf.merge(ivf, on="query_id", suffixes=("_bf", "_ivf"))
+    agree = (merged["neighbor_id_bf"] == merged["neighbor_id_ivf"]).mean()
+    assert agree >= 0.7
+
+
+def test_token_count_and_quality():
+    from triple_accel_ray.ops.text import quality_score_batch, token_count_batch
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["the cat  sat", "", "  a1b! "]})
+    tc = token_count_batch(t)["token_count"].to_pylist()
+    assert tc == [3, 0, 1]
+    q = quality_score_batch(t)
+    assert q["alpha_count"].to_pylist() == [9, 0, 2]
+    assert q["digit_count"].to_pylist() == [0, 0, 1]
+    assert q["punct_count"].to_pylist() == [0, 0, 1]
+    assert q["stop_count"].to_pylist() == [1, 0, 0]  # "the"
+
+
+def test_lang_id():
+    from triple_accel_ray.ops.text import LangId
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog sat on a mat in the sun",
+                "el perro y la casa de los vecinos en un lugar",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = LangId()(t)["lang_pred"].to_pylist()
+    assert out == ["en", "es", "und"]
+
+
+def test_fingerprint_stability():
+    from triple_accel_ray.ops.text import fingerprint_batch
+
+    base = "abcdefgh" * 50
+    t1 = pa.table({"doc_id": [1], "text": [base]})
+    # an edit far from the minimum-hash gram usually keeps min_gram_hash
+    f1 = fingerprint_batch(t1)
+    f2 = fingerprint_batch(t1)
+    assert f1["min_gram_hash"].to_pylist() == f2["min_gram_hash"].to_pylist()
+    assert f1["content_hash"].to_pylist() == f2["content_hash"].to_pylist()
+
+
+def test_tumbling_and_sessions(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import sessionize, tumbling_window_agg
+
+    ts = pa.array(
+        [1_700_000_000_000_000 + i * 600_000_000 for i in range(6)]
+        + [1_700_000_000_000_000 + 10_000_000_000],
+        pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 1, 1, 1], pa.int64()),
+            "ts": ts,
+            "value": pa.array([1.0] * 7, pa.float64()),
+            "event_id": pa.array(list(range(7)), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    tw = tumbling_window_agg(ds, window_sec=3600).to_pandas()
+    assert tw["n_events"].sum() == 7
+    sess = sessionize(ds, gap_sec=1800, num_buckets=2).to_pandas()
+    # events every 10 min -> one session of 6, then a gap of ~2.2h -> new one
+    assert sorted(sess["n_events"].tolist()) == [1, 6]
+
+
+def test_media_pipeline(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.multimodal import (
+        MediaDecoder,
+        media_features,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32, seed=1)
+    out = media_features(rd.from_arrow(t), concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert (out["mean_pixel"] >= 0).all() and (out["mean_pixel"] <= 255).all()
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(accept_formats=("jpeg",))

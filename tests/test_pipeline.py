@@ -101,7 +101,7 @@ def test_hot_block_cap_bounds_pairs():
 def test_scorer_matches_scalar_kernel(corpus):
     transcripts, _ = corpus
     docs = build_docs_local(transcripts)
-    blocks = BlockKeyer()(docs)
+    blocks = BlockKeyer(carry_text=True)(docs)
     pairs = _bucket_to_pairs(_add_bucket(blocks, 1), cap=64, window=8)
     scored = PairScorer()(pairs)
     # spot-check every 13th row against the scalar oracle

@@ -99,7 +99,7 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     """
     from ..pipeline.pairs import _bucket_to_pairs
 
-    keyer = BlockKeyer(num_perm=num_perm, n_bands=n_bands)
+    keyer = BlockKeyer(num_perm=num_perm, n_bands=n_bands, carry_text=True)
 
     def _keys(t: pa.Table) -> pa.Table:
         src = pa.table(
@@ -186,7 +186,8 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
     Candidate generation: 4 × 16-bit bands of the simhash (any pair within
     hamming 3 shares at least one exact band — pigeonhole), then exact
-    popcount verification inside the bucket.
+    popcount verification inside the bucket. Recall is guaranteed only for
+    ``max_hamming <= 3``; larger radii are best-effort with these bands.
     """
 
     def _sim(t: pa.Table) -> pa.Table:

@@ -51,6 +51,7 @@ class BlockKeyer:
         seed: int = 7,
         len_band_width: int = 32,
         sig_max_len: int = 64,
+        carry_text: bool = False,
     ):
         assert num_perm % n_bands == 0
         self.num_perm = num_perm
@@ -62,6 +63,11 @@ class BlockKeyer:
         # MinHash (few shingles); longer docs are recalled by the mh family,
         # and emitting s-keys for them floods scoring with false candidates
         self.sig_max_len = sig_max_len
+        # block rows carry only (conv_id, doc_len) by default — texts are
+        # re-attached to the (far smaller) deduped pair set by a hash join;
+        # carrying text through the block shuffle multiplies the corpus by
+        # ~n_bands. Ops that verify inside the block bucket set carry_text.
+        self.carry_text = carry_text
         rng = np.random.default_rng(seed)
         self.pa_mult = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) | np.uint64(1)
         self.pb_add = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
@@ -151,7 +157,10 @@ class BlockKeyer:
                 key_doc.append(i)
 
         idx = pa.array(np.asarray(key_doc, dtype=np.int64))
-        sel = batch.select(["conv_id", "doc_text", "doc_len"]).take(idx)
+        cols = ["conv_id", "doc_text", "doc_len"] if self.carry_text else [
+            "conv_id", "doc_len"
+        ]
+        sel = batch.select(cols).take(idx)
         return sel.append_column("block_key", pa.array(keys, pa.string()))
 
 

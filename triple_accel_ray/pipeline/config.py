@@ -16,7 +16,7 @@ from ..kernels.types import EditCosts, LEVENSHTEIN_COSTS
 class PipelineConfig:
     # --- doc building -----------------------------------------------------
     # hash buckets for the conv_id groupby; scale ~ cluster cores × 4.
-    doc_buckets: int = 64
+    doc_buckets: int = 32
 
     # --- blocking ---------------------------------------------------------
     minhash_perms: int = 32
@@ -26,7 +26,7 @@ class PipelineConfig:
     len_band_width: int = 32  # signature-key length bucket width (bytes)
 
     # --- pair generation --------------------------------------------------
-    pair_buckets: int = 64
+    pair_buckets: int = 32
     # blocks larger than this switch from all-pairs to sorted-neighborhood
     # (explicit skew control; a hot block of n docs emits O(n*window) pairs
     # instead of O(n^2))
@@ -38,7 +38,7 @@ class PipelineConfig:
     abs_min_k: int = 4
     abs_max_k: int = 128
     costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
-    score_batch_size: int = 1024
+    score_batch_size: int = 512
     score_concurrency: int | tuple | None = None  # None → stateless tasks
     # match decision: dist within k AND normalized similarity above this
     min_similarity: float = 0.85

@@ -35,6 +35,7 @@ def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
 
 
 def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
+    has_text = "doc_text" in batch.column_names
     df = (
         pl.from_arrow(batch)
         .sort(["block_key", "doc_len", "conv_id"])
@@ -67,49 +68,43 @@ def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
         bi.append(b)
         blk.append(np.full(len(a), s, dtype=np.int64))
 
+    text_fields = [("a_text", pa.string()), ("b_text", pa.string())] if has_text else []
+    schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string())]
+        + text_fields
+        + [("block_key", pa.string())]
+    )
     if not ai:
         return pa.table(
-            {
-                "a_id": pa.array([], pa.string()),
-                "b_id": pa.array([], pa.string()),
-                "a_text": pa.array([], pa.string()),
-                "b_text": pa.array([], pa.string()),
-                "block_key": pa.array([], pa.string()),
-            }
+            {f.name: pa.array([], f.type) for f in schema}
         )
 
     a_idx = np.concatenate(ai)
     b_idx = np.concatenate(bi)
     conv = df["conv_id"]
-    text = df["doc_text"]
-    out = pl.DataFrame(
-        {
-            "a_id": conv.gather(a_idx),
-            "b_id": conv.gather(b_idx),
-            "a_text": text.gather(a_idx),
-            "b_text": text.gather(b_idx),
-            "block_key": df["block_key"].gather(np.concatenate(blk)),
-        }
-    )
+    cols = {
+        "a_id": conv.gather(a_idx),
+        "b_id": conv.gather(b_idx),
+        "block_key": df["block_key"].gather(np.concatenate(blk)),
+    }
+    if has_text:
+        text = df["doc_text"]
+        cols["a_text"] = text.gather(a_idx)
+        cols["b_text"] = text.gather(b_idx)
+    out = pl.DataFrame(cols)
     # canonicalize a_id < b_id, then dedup within the bucket
     swapped = out["a_id"] > out["b_id"]
-    out = (
-        out.with_columns(
-            pl.when(swapped).then(pl.col("b_id")).otherwise(pl.col("a_id")).alias("a_id"),
-            pl.when(swapped).then(pl.col("a_id")).otherwise(pl.col("b_id")).alias("b_id"),
+    swap_exprs = [
+        pl.when(swapped).then(pl.col("b_id")).otherwise(pl.col("a_id")).alias("a_id"),
+        pl.when(swapped).then(pl.col("a_id")).otherwise(pl.col("b_id")).alias("b_id"),
+    ]
+    if has_text:
+        swap_exprs += [
             pl.when(swapped).then(pl.col("b_text")).otherwise(pl.col("a_text")).alias("a_text"),
             pl.when(swapped).then(pl.col("a_text")).otherwise(pl.col("b_text")).alias("b_text"),
-        )
-        .unique(subset=["a_id", "b_id"], keep="first", maintain_order=True)
-    )
-    schema = pa.schema(
-        [
-            ("a_id", pa.string()),
-            ("b_id", pa.string()),
-            ("a_text", pa.string()),
-            ("b_text", pa.string()),
-            ("block_key", pa.string()),
         ]
+    out = out.with_columns(*swap_exprs).unique(
+        subset=["a_id", "b_id"], keep="first", maintain_order=True
     )
     return out.to_arrow().select(schema.names).cast(schema)
 
@@ -129,11 +124,11 @@ def _dedup_pairs(batch: pa.Table) -> pa.Table:
         .unique(subset=["a_id", "b_id"], keep="first", maintain_order=True)
         .drop("bucket")
     )
-    schema = pa.schema(
-        [("a_id", pa.string()), ("b_id", pa.string()),
-         ("a_text", pa.string()), ("b_text", pa.string()),
-         ("block_key", pa.string())]
-    )
+    fields = [("a_id", pa.string()), ("b_id", pa.string())]
+    if "a_text" in batch.column_names:
+        fields += [("a_text", pa.string()), ("b_text", pa.string())]
+    fields += [("block_key", pa.string())]
+    schema = pa.schema(fields)
     return out.to_arrow().select(schema.names).cast(schema)
 
 
@@ -166,4 +161,42 @@ def gen_pairs(blocks, num_buckets: int = 64, hot_block_cap: int = 64,
         )
         .groupby("bucket")
         .map_groups(_dedup_pairs, batch_format="pyarrow")
+    )
+
+
+def attach_pair_texts(pairs, docs, num_partitions: int = 32):
+    """Hash-join both documents' texts onto id-only pairs.
+
+    Two bucketed hash joins against the docs table — the pair set after
+    global dedup is far smaller than the exploded block rows, so joining
+    texts here moves O(pairs + docs) bytes instead of shuffling every doc
+    text ~n_bands times through the blocking stages."""
+    from .shuffle import bucket_join
+
+    def _a_side(t: pa.Table) -> pa.Table:
+        return pa.table({"a_key": t["conv_id"], "a_text": t["doc_text"]})
+
+    def _b_side(t: pa.Table) -> pa.Table:
+        return pa.table({"b_key": t["conv_id"], "b_text": t["doc_text"]})
+
+    pairs_schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()),
+         ("block_key", pa.string())]
+    )
+    a_schema = pa.schema([("a_key", pa.string()), ("a_text", pa.string())])
+    b_schema = pa.schema([("b_key", pa.string()), ("b_text", pa.string())])
+    j1 = bucket_join(
+        pairs,
+        docs.map_batches(_a_side, batch_format="pyarrow"),
+        left_key="a_id", right_key="a_key",
+        left_schema=pairs_schema, right_schema=a_schema,
+        num_buckets=num_partitions,
+    )
+    j1_schema = pa.schema(list(pairs_schema) + [pa.field("a_text", pa.string())])
+    return bucket_join(
+        j1,
+        docs.map_batches(_b_side, batch_format="pyarrow"),
+        left_key="b_id", right_key="b_key",
+        left_schema=j1_schema, right_schema=b_schema,
+        num_buckets=num_partitions,
     )

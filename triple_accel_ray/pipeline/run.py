@@ -113,8 +113,15 @@ def run_er_pipeline(
     )
 
     def _w_edges(tmp):
-        scored = score_pairs(
+        from .pairs import attach_pair_texts
+
+        with_texts = attach_pair_texts(
             _read_dir(pairs_dir),
+            _read_dir(docs_dir).select_columns(["conv_id", "doc_text"]),
+            num_partitions=cfg.pair_buckets,
+        )
+        scored = score_pairs(
+            with_texts,
             batch_size=cfg.score_batch_size,
             concurrency=cfg.score_concurrency,
             rel_k=cfg.rel_k,
@@ -123,7 +130,18 @@ def run_er_pipeline(
             costs=cfg.costs,
             min_similarity=cfg.min_similarity,
         )
-        dedup_edges(scored, num_buckets=cfg.pair_buckets).write_parquet(tmp)
+        # pairs are globally unique after the pair-dedup shuffle, so edge
+        # extraction is a stateless filter — no extra shuffle needed here
+        # (dedup_edges exists for callers whose pair streams still carry
+        # cross-block duplicates).
+        import pyarrow.compute as _pc
+
+        scored.map_batches(
+            lambda t: t.filter(_pc.equal(t["is_match"], True)).select(
+                ["a_id", "b_id", "dist", "sim"]
+            ),
+            batch_format="pyarrow",
+        ).write_parquet(tmp)
 
     edges_dir = run_stage(run_dir, "edges", fp_edges, _w_edges, resume)
 

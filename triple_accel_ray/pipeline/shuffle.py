@@ -1,0 +1,95 @@
+"""Generic partitioned hash join built from Ray Data primitives.
+
+``bucket_join(left, right, ...)`` tags each side, unions them, hash-buckets
+by key, and performs a vectorized polars join inside each bucket — one
+groupby shuffle total, no specialized join operators. This is the portable
+join pattern from the Ray guide (explicit partitioned hash join), used
+where the built-in ``Dataset.join``'s per-partition aggregator actors are
+too heavy for the cluster shape (it spawned 100+ workers on an 8-CPU local
+node for a 38k-row join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+
+def bucket_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Join two Datasets on a string key. Right columns (minus the key) are
+    appended to left rows. Column names must not collide (besides keys).
+
+    Schemas are passed explicitly: calling ``Dataset.schema()`` on a lazy
+    dataset executes its upstream pipeline, which would silently double the
+    work for chained joins."""
+    left_cols = list(left_schema.names)
+    right_cols = [c for c in right_schema.names if c != right_key]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"column collision: {overlap}")
+
+    l_types = dict(zip(left_schema.names, left_schema.types))
+    r_types = dict(zip(right_schema.names, right_schema.types))
+    out_fields = [(c, l_types[c]) for c in left_cols] + [
+        (c, r_types[c]) for c in right_cols
+    ]
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[left_key].cast(pa.string()),
+                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = t[c]
+        for c in right_cols:
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, r_types[c])
+        return pa.table(cols)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[right_key].cast(pa.string()),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, l_types[c])
+        for c in right_cols:
+            cols[f"r_{c}"] = t[c]
+        return pa.table(cols)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return df.with_columns(
+            (pl.col("__key").hash(seed=9) % np.uint64(num_buckets))
+            .cast(pl.Int32).alias("__bucket")
+        ).to_arrow()
+
+    def _join(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        lhs = df.filter(pl.col("__side") == 0).select(
+            ["__key"] + [f"l_{c}" for c in left_cols]
+        )
+        rhs = df.filter(pl.col("__side") == 1).select(
+            ["__key"] + [f"r_{c}" for c in right_cols]
+        )
+        joined = lhs.join(rhs, on="__key", how=how).drop("__key")
+        joined = joined.rename(
+            {f"l_{c}": c for c in left_cols} | {f"r_{c}": c for c in right_cols}
+        )
+        schema = pa.schema(out_fields)
+        out = joined.to_arrow()
+        return out.select(schema.names).cast(schema)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+    return (
+        tagged.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_join, batch_format="pyarrow")
+    )
