@@ -1,0 +1,108 @@
+"""Kernel microbenchmarks mirroring the reference's criterion workloads
+(/root/reference/benches/rand_benchmarks.rs): seeded random pairs at string
+lengths {10, 100, 1000} with k = len/10, and search over haystacks
+{100, 1000} with needle = len/10, k = len/100, planted matches = len/20.
+
+The reference publishes no absolute numbers (BASELINE.md) — this records
+ours, per batch-kernel call and per pair, single process. Run:
+    python scripts/bench_kernels.py
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from triple_accel_ray.kernels import (  # noqa: E402
+    SEARCH_ALL,
+    hamming_search_naive_with_opts,
+    levenshtein_search_naive_with_opts,
+)
+from triple_accel_ray.kernels.batch import (  # noqa: E402
+    hamming_batch,
+    levenshtein_k_batch,
+)
+
+
+def rand_str(rng, n):
+    return bytes(rng.randrange(33, 127) for _ in range(n))
+
+
+def mutate(rng, s, k):
+    b = bytearray(s)
+    edits = rng.randrange(max(1, k // 2), k + 1) if k else 0
+    for _ in range(edits):
+        op = rng.randrange(3)
+        if op == 0 and b:
+            b[rng.randrange(len(b))] = rng.randrange(33, 127)
+        elif op == 1:
+            b.insert(rng.randrange(len(b) + 1), rng.randrange(33, 127))
+        elif b:
+            del b[rng.randrange(len(b))]
+    return bytes(b)
+
+
+def main():
+    rng = random.Random(1234)
+    out = {}
+
+    # pairwise distance workloads
+    for length in (10, 100, 1000):
+        k = max(1, length // 10)
+        n = 4000 if length <= 100 else 1000
+        a = [rand_str(rng, length) for _ in range(n)]
+        b = [mutate(rng, s, k) for s in a]
+        t0 = time.perf_counter()
+        levenshtein_k_batch(a, b, k)
+        dt = time.perf_counter() - t0
+        out[f"lev_k_len{length}"] = {
+            "pairs_per_sec": round(n / dt), "k": k, "n": n}
+
+        a_h = [rand_str(rng, length) for _ in range(n)]
+        b_h = []
+        for s in a_h:
+            bb = bytearray(s)
+            for _ in range(k):
+                if bb:
+                    bb[rng.randrange(len(bb))] = rng.randrange(33, 127)
+            b_h.append(bytes(bb))
+        t0 = time.perf_counter()
+        hamming_batch(a_h, b_h)
+        dt = time.perf_counter() - t0
+        out[f"hamming_len{length}"] = {"pairs_per_sec": round(n / dt), "n": n}
+
+    # search workloads (scalar kernels; one haystack per call)
+    for hlen in (100, 1000):
+        nlen = max(1, hlen // 10)
+        k = max(1, hlen // 100)
+        n = 200
+        cases = []
+        for _ in range(n):
+            needle = rand_str(rng, nlen)
+            hay = bytearray(rand_str(rng, hlen))
+            # plant mutated copies
+            for _ in range(max(1, hlen // 20) // max(1, nlen)):
+                pos = rng.randrange(0, hlen - nlen)
+                hay[pos : pos + nlen] = mutate(rng, needle, k)[:nlen]
+            cases.append((needle, bytes(hay)))
+        t0 = time.perf_counter()
+        for needle, hay in cases:
+            list(levenshtein_search_naive_with_opts(needle, hay, k, SEARCH_ALL))
+        dt = time.perf_counter() - t0
+        out[f"lev_search_h{hlen}"] = {"haystacks_per_sec": round(n / dt)}
+
+        t0 = time.perf_counter()
+        for needle, hay in cases:
+            list(hamming_search_naive_with_opts(needle, hay, k, SEARCH_ALL))
+        dt = time.perf_counter() - t0
+        out[f"ham_search_h{hlen}"] = {"haystacks_per_sec": round(n / dt)}
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

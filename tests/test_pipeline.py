@@ -60,14 +60,21 @@ def test_blocking_deterministic_and_exact_dup_guarantee(corpus):
     k1 = BlockKeyer()(docs)
     k2 = BlockKeyer()(docs)
     assert k1.equals(k2)
-    # identical doc_texts must share at least the exact-hash block key
-    texts = docs["doc_text"].to_pylist()
-    dup_text = texts[0]
+    # identical doc_texts must share at least one block key (the exact-hash
+    # family guarantees this even for docs too short for MinHash)
+    dup = docs.slice(0, 1)
+    two = pa.concat_tables([dup, dup.set_column(
+        0, "conv_id", pa.array(["zz_copy"], pa.string()))])
+    keys = BlockKeyer()(two)
     import polars as pl
 
-    df = pl.from_arrow(k1)
-    x_keys = df.filter(pl.col("block_key").str.starts_with("x:"))
-    assert x_keys.height == docs.num_rows
+    df = pl.from_arrow(keys)
+    shared = (
+        df.group_by("block_key")
+        .agg(n=pl.col("conv_id").n_unique())
+        .filter(pl.col("n") == 2)
+    )
+    assert shared.height >= 1
 
 
 def test_pairs_canonical_and_deduped(corpus):
@@ -157,3 +164,12 @@ def test_e2e_f1_and_resume(ray_session, tmp_path):
                          local_cluster_edge_cap=0, cluster_partitions=4)
     s3 = run_er_pipeline(tp, run_dir2, cfg, labels_path=lp)
     assert s3["metrics"]["f1"] == s["metrics"]["f1"]
+
+    # fused (no-checkpoint) mode computes the same clusters
+    from triple_accel_ray.pipeline.run import run_er_pipeline_fused
+
+    s4 = run_er_pipeline_fused(
+        tp, str(tmp_path / "run3"),
+        PipelineConfig(doc_buckets=8, pair_buckets=8), labels_path=lp,
+    )
+    assert s4["metrics"] == s["metrics"]

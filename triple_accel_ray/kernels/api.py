@@ -265,9 +265,33 @@ def levenshtein_search_naive(needle, haystack) -> List[Match]:
 
 
 # The SIMD search in the reference produces identical Match streams to the
-# naive search (levenshtein.rs:1866-2484); one implementation serves both.
-levenshtein_search_simd_with_opts = levenshtein_search_naive_with_opts
-levenshtein_search_simd = levenshtein_search_naive
+# naive search (levenshtein.rs:1866-2484); our fast path (Myers bit-parallel
+# scan + windowed tie-break recovery) dispatches for unit costs, mirroring
+# that identical-output guarantee.
+def levenshtein_search_simd_with_opts(
+    needle,
+    haystack,
+    k: int,
+    search_type: str = SEARCH_ALL,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+    anchored: bool = False,
+) -> List[Match]:
+    if costs.is_unit() and not anchored and len(needle) > 0:
+        from .search_fast import levenshtein_search_myers
+
+        return levenshtein_search_myers(needle, haystack, k, search_type)
+    return scalar.levenshtein_search_with_opts(
+        needle, haystack, k, search_type, costs, anchored
+    )
+
+
+def levenshtein_search_simd(needle, haystack) -> List[Match]:
+    return levenshtein_search_simd_with_opts(
+        needle, haystack, _default_search_k(len(needle)), SEARCH_BEST,
+        LEVENSHTEIN_COSTS, False,
+    )
+
+
 levenshtein_search = levenshtein_search_simd  # lib.rs:127 re-export
 
 

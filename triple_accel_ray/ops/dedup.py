@@ -99,7 +99,9 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     """
     from ..pipeline.pairs import _bucket_to_pairs
 
-    keyer = BlockKeyer(num_perm=num_perm, n_bands=n_bands, carry_text=True)
+    keyer = BlockKeyer(
+        num_perm=num_perm, n_bands=n_bands, carry_text=True, families=("mh",)
+    )
 
     def _keys(t: pa.Table) -> pa.Table:
         src = pa.table(
@@ -110,10 +112,9 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                 "role_sig": pa.array([""] * t.num_rows, pa.string()),
             }
         )
+        # keyer emits only the mh family (families=("mh",)) — no structure
+        # keys for generic dedup
         keyed = keyer(src)
-        # only the mh-family keys (no structure keys for generic dedup)
-        mask = pa.compute.starts_with(keyed["block_key"], "mh")
-        keyed = keyed.filter(mask)
         df = pl.from_arrow(keyed)
         df = df.with_columns(
             (pl.col("block_key").hash(seed=1) % np.uint64(num_buckets))

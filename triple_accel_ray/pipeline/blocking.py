@@ -52,6 +52,7 @@ class BlockKeyer:
         len_band_width: int = 32,
         sig_max_len: int = 64,
         carry_text: bool = False,
+        families: tuple = ("mh", "x", "s"),
     ):
         assert num_perm % n_bands == 0
         self.num_perm = num_perm
@@ -68,6 +69,7 @@ class BlockKeyer:
         # carrying text through the block shuffle multiplies the corpus by
         # ~n_bands. Ops that verify inside the block bucket set carry_text.
         self.carry_text = carry_text
+        self.families = set(families)
         rng = np.random.default_rng(seed)
         self.pa_mult = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) | np.uint64(1)
         self.pb_add = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
@@ -125,43 +127,79 @@ class BlockKeyer:
         bands = self.band_keys(sig)
         has_shingles = lens >= self.shingle
 
-        keys: list = []
-        key_doc: list = []
+        # block keys are uint64 (hashes), not strings: an order of magnitude
+        # cheaper to build, hash, shuffle and compare than formatted keys.
+        # Family disambiguation lives in the mixing constants/offsets.
+        key_chunks: list = []
+        doc_chunks: list = []
 
-        # mh family
-        for b in range(self.n_bands):
-            col = bands[:, b]
-            for i in np.nonzero(has_shingles)[0]:
-                keys.append(f"mh{b}:{col[i]:016x}")
-                key_doc.append(i)
+        # mh family (band index is already mixed into each band hash)
+        if "mh" in self.families:
+            hs = np.nonzero(has_shingles)[0]
+            for b in range(self.n_bands):
+                key_chunks.append(bands[hs, b])
+                doc_chunks.append(hs)
 
-        # x family: exact content hash (always emitted)
+        # x family: exact content hash
         text_py = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
-        for i, t in enumerate(text_py):
-            d = hashlib.blake2b((t or "").encode(), digest_size=12).hexdigest()
-            keys.append(f"x:{d}")
-            key_doc.append(i)
+        if "x" in self.families:
+            xh = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    for t in text_py
+                ),
+                dtype=np.uint64,
+                count=n,
+            )
+            key_chunks.append(_mix64(xh ^ np.uint64(0xA5A5A5A5A5A5A5A5)))
+            doc_chunks.append(np.arange(n))
 
         # s family: role-structure signature × length bucket (+half shift),
         # short docs only (see __init__)
-        role_sig = batch["role_sig"].to_pylist()
         W = self.len_band_width
-        for i in np.nonzero(lens < self.sig_max_len)[0]:
-            rs = hashlib.blake2b((role_sig[i] or "").encode(), digest_size=6).hexdigest()
-            lb = int(lens[i]) // W
-            lb2 = (int(lens[i]) + W // 2) // W
-            keys.append(f"s:{rs}:{lb}")
-            key_doc.append(i)
-            if lb2 != lb:
-                keys.append(f"s:{rs}:{lb2}")
-                key_doc.append(i)
+        short = (
+            np.nonzero(lens < self.sig_max_len)[0]
+            if ("s" in self.families and "role_sig" in batch.column_names)
+            else np.empty(0, dtype=np.int64)
+        )
+        if short.size:
+            role_sig = batch["role_sig"].to_pylist()
+            rs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            (role_sig[i] or "").encode(), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    for i in short
+                ),
+                dtype=np.uint64,
+                count=short.size,
+            )
+            lb = (lens[short] // W).astype(np.uint64)
+            lb2 = ((lens[short] + W // 2) // W).astype(np.uint64)
+            k1 = _mix64(rs ^ _mix64(lb ^ np.uint64(0x5151515151515151)))
+            k2 = _mix64(rs ^ _mix64(lb2 ^ np.uint64(0x5151515151515151)))
+            key_chunks.append(k1)
+            doc_chunks.append(short)
+            diff = lb2 != lb
+            key_chunks.append(k2[diff])
+            doc_chunks.append(short[diff])
 
-        idx = pa.array(np.asarray(key_doc, dtype=np.int64))
+        keys = np.concatenate(key_chunks)
+        key_doc = np.concatenate(doc_chunks)
+        idx = pa.array(key_doc.astype(np.int64))
         cols = ["conv_id", "doc_text", "doc_len"] if self.carry_text else [
             "conv_id", "doc_len"
         ]
         sel = batch.select(cols).take(idx)
-        return sel.append_column("block_key", pa.array(keys, pa.string()))
+        return sel.append_column(
+            "block_key", pa.array(keys.astype(np.uint64), pa.uint64())
+        )
 
 
 def build_blocks(docs, keyer_kwargs: dict | None = None, concurrency=None):

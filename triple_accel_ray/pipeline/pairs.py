@@ -69,10 +69,11 @@ def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
         blk.append(np.full(len(a), s, dtype=np.int64))
 
     text_fields = [("a_text", pa.string()), ("b_text", pa.string())] if has_text else []
+    bk_type = batch.schema.field("block_key").type
     schema = pa.schema(
         [("a_id", pa.string()), ("b_id", pa.string())]
         + text_fields
-        + [("block_key", pa.string())]
+        + [("block_key", bk_type)]
     )
     if not ai:
         return pa.table(
@@ -127,7 +128,7 @@ def _dedup_pairs(batch: pa.Table) -> pa.Table:
     fields = [("a_id", pa.string()), ("b_id", pa.string())]
     if "a_text" in batch.column_names:
         fields += [("a_text", pa.string()), ("b_text", pa.string())]
-    fields += [("block_key", pa.string())]
+    fields += [("block_key", batch.schema.field("block_key").type)]
     schema = pa.schema(fields)
     return out.to_arrow().select(schema.names).cast(schema)
 
@@ -181,7 +182,7 @@ def attach_pair_texts(pairs, docs, num_partitions: int = 32):
 
     pairs_schema = pa.schema(
         [("a_id", pa.string()), ("b_id", pa.string()),
-         ("block_key", pa.string())]
+         ("block_key", pa.uint64())]
     )
     a_schema = pa.schema([("a_key", pa.string()), ("a_text", pa.string())])
     b_schema = pa.schema([("b_key", pa.string()), ("b_text", pa.string())])

@@ -48,6 +48,96 @@ def _read_dir(stage_dir: str):
     return rd.read_parquet(stage_dir)
 
 
+def run_er_pipeline_fused(
+    transcripts_path: str,
+    run_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    labels_path: Optional[str] = None,
+) -> dict:
+    """One fused streaming execution with no intermediate checkpoints:
+    docs are pinned in the object store (they feed both blocking and the
+    text joins); everything else streams end-to-end. This is the
+    max-throughput mode — the checkpointed `run_er_pipeline` is the
+    durable/resumable mode and shares every stage implementation."""
+    import pyarrow.compute as _pc
+
+    from .pairs import attach_pair_texts
+
+    cfg = cfg or PipelineConfig()
+    os.makedirs(run_dir, exist_ok=True)
+
+    docs = build_docs(
+        rd.read_parquet(
+            transcripts_path, override_num_blocks=cfg.doc_buckets * 2
+        ),
+        cfg.doc_buckets,
+    ).materialize()
+    blocks = build_blocks(
+        docs,
+        keyer_kwargs=dict(
+            num_perm=cfg.minhash_perms,
+            n_bands=cfg.minhash_bands,
+            shingle=cfg.shingle_size,
+            seed=cfg.blocking_seed,
+            len_band_width=cfg.len_band_width,
+        ),
+    )
+    pairs = gen_pairs(
+        blocks,
+        num_buckets=cfg.pair_buckets,
+        hot_block_cap=cfg.hot_block_cap,
+        hot_block_window=cfg.hot_block_window,
+    )
+    with_texts = attach_pair_texts(
+        pairs, docs.select_columns(["conv_id", "doc_text"]),
+        num_partitions=cfg.pair_buckets,
+    )
+    scored = score_pairs(
+        with_texts,
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.score_concurrency,
+        rel_k=cfg.rel_k,
+        abs_min_k=cfg.abs_min_k,
+        abs_max_k=cfg.abs_max_k,
+        costs=cfg.costs,
+        min_similarity=cfg.min_similarity,
+    )
+    edges = scored.map_batches(
+        lambda t: t.filter(_pc.equal(t["is_match"], True)).select(
+            ["a_id", "b_id", "dist", "sim"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    n_edges = edges.count()
+    clusters_dir = os.path.join(run_dir, "clusters")
+    os.makedirs(clusters_dir, exist_ok=True)
+    if n_edges <= cfg.local_cluster_edge_cap:
+        et = pa.Table.from_pandas(
+            edges.select_columns(["a_id", "b_id"]).to_pandas()
+        )
+        nt = pa.Table.from_pandas(docs.select_columns(["conv_id"]).to_pandas())
+        out = connected_components_local(et, nt)
+        pq.write_table(out, os.path.join(clusters_dir, "clusters_0.parquet"))
+    else:
+        connected_components(
+            edges, docs.select_columns(["conv_id"]),
+            num_partitions=cfg.cluster_partitions,
+            max_iters=cfg.cluster_max_iters,
+        ).write_parquet(clusters_dir)
+
+    summary = {
+        "clusters_dir": clusters_dir,
+        "rows": {"edges": int(n_edges)},
+        "mode": "fused",
+    }
+    if labels_path:
+        summary["metrics"] = pairwise_f1(
+            pq.read_table(clusters_dir), pq.read_table(labels_path)
+        )
+    return summary
+
+
 def run_er_pipeline(
     transcripts_path: str,
     run_dir: str,
@@ -65,7 +155,9 @@ def run_er_pipeline(
     fp_docs = _fingerprint(base_fp, cfg.doc_buckets, "docs_v1")
 
     def _w_docs(tmp):
-        ds = rd.read_parquet(transcripts_path)
+        ds = rd.read_parquet(
+            transcripts_path, override_num_blocks=cfg.doc_buckets * 2
+        )
         build_docs(ds, cfg.doc_buckets).write_parquet(tmp)
 
     docs_dir = run_stage(run_dir, "docs", fp_docs, _w_docs, resume)
@@ -191,3 +283,47 @@ def run_er_pipeline(
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=str)
     return summary
+
+
+def main(argv=None) -> int:
+    """CLI entry point (works under ``ray job submit -- python -m
+    triple_accel_ray.pipeline.run ...``). Owns the Ray session (guarded)."""
+    import argparse
+
+    import ray
+
+    p = argparse.ArgumentParser(description="Run the ER pipeline")
+    p.add_argument("--transcripts", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="run/checkpoint directory")
+    p.add_argument("--labels", default=None, help="labeled pairs parquet")
+    p.add_argument("--fused", action="store_true",
+                   help="single streaming execution, no stage checkpoints")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        if args.fused:
+            s = run_er_pipeline_fused(
+                args.transcripts, args.out, labels_path=args.labels
+            )
+        else:
+            s = run_er_pipeline(
+                args.transcripts, args.out, labels_path=args.labels,
+                resume=not args.no_resume,
+            )
+        print(json.dumps(s, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -173,17 +173,27 @@ def parse_sf(sf_dir: str) -> float:
 def ensure_fixture(sf_dir: str, seed: int = 42) -> Tuple[str, str]:
     """Deterministically materialize the transcript fixture for a testdata
     scale dir; returns (transcripts_path, labels_path). Cached under
-    /tmp/ta_ray_fixtures/sf{sf} keyed by (sf, seed)."""
+    /tmp/ta_ray_fixtures/sf{sf} keyed by (sf, seed).
+
+    Written with small row groups so `read_parquet` parallelizes the scan
+    (a single-row-group file reads on one task and serializes the whole
+    pipeline start)."""
     sf = parse_sf(sf_dir)
     out_dir = os.path.join(FIXTURE_ROOT, f"sf{sf}_s{seed}")
     tp = os.path.join(out_dir, "transcripts.parquet")
     lp = os.path.join(out_dir, "labels.parquet")
     if os.path.exists(tp) and os.path.exists(lp):
+        if pq.read_metadata(tp).num_row_groups > 1 or sf < 0.02:
+            return tp, lp
+        # upgrade single-row-group fixtures in place (content unchanged)
+        t = pq.read_table(tp)
+        pq.write_table(t, tp + ".tmp", row_group_size=16384)
+        os.replace(tp + ".tmp", tp)
         return tp, lp
     os.makedirs(out_dir, exist_ok=True)
     transcripts, labels = generate_transcripts(sf_to_entities(sf), seed)
     tmp_t, tmp_l = tp + ".tmp", lp + ".tmp"
-    pq.write_table(transcripts, tmp_t)
+    pq.write_table(transcripts, tmp_t, row_group_size=16384)
     pq.write_table(labels, tmp_l)
     os.replace(tmp_t, tp)
     os.replace(tmp_l, lp)
