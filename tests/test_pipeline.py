@@ -173,3 +173,12 @@ def test_e2e_f1_and_resume(ray_session, tmp_path):
         PipelineConfig(doc_buckets=8, pair_buckets=8), labels_path=lp,
     )
     assert s4["metrics"] == s["metrics"]
+
+    # forced join path (broadcast disabled) computes the same clusters
+    s5 = run_er_pipeline_fused(
+        tp, str(tmp_path / "run4"),
+        PipelineConfig(doc_buckets=8, pair_buckets=8,
+                       broadcast_text_max_bytes=0),
+        labels_path=lp,
+    )
+    assert s5["metrics"] == s["metrics"]

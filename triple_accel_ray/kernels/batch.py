@@ -217,8 +217,12 @@ def levenshtein_k_batch(
     if todo.size == 0:
         return out
 
-    # order by row length so chunks have homogeneous DP shapes
-    order = todo[np.argsort(lens_a[todo] + lens_b[todo], kind="stable")]
+    # order by (band width, row length) so chunks have homogeneous DP
+    # shapes — a chunk's band is its max unit_k, so mixing narrow- and
+    # wide-band pairs makes the narrow ones pay the wide price
+    order = todo[
+        np.lexsort((lens_a[todo] + lens_b[todo], unit_k[todo]))
+    ]
     for c0 in range(0, order.size, chunk_pairs):
         rows = order[c0 : c0 + chunk_pairs]
         _chunk_banded_dp(
@@ -254,86 +258,108 @@ def _chunk_banded_dp(
     Bw = int(lens_b.max(initial=0))
     B = _pad_matrix(db, ob, rows, Bw) if Bw else np.zeros((n, 0), np.uint8)
 
-    mis = np.int64(costs.mismatch_cost)
-    gap = np.int64(costs.gap_cost)
-    sg = np.int64(costs.start_gap_cost)
-    tc = np.int64(costs.transpose_cost or 0)
+    # int32 state (half the memory traffic of int64); fall back to int64
+    # only for pathological bounds
+    use32 = int(max_k.max(initial=0)) < (1 << 29)
+    dt = np.int32 if use32 else np.int64
+    INF = dt(1 << 30) if use32 else _INF
+
+    mis = dt(costs.mismatch_cost)
+    gap = dt(costs.gap_cost)
+    sg = dt(costs.start_gap_cost)
+    tc = dt(costs.transpose_cost or 0)
     allow_t = costs.allow_transpose
 
     width = 2 * W + 1
-    t_idx = np.arange(width, dtype=np.int64)[None, :]
+    t_idx = np.arange(width, dtype=dt)[None, :]
     t_gap = t_idx * gap
 
     # D row 0: cell (0, j) = j*gap + sg for j>0; j = t - W at i=0
-    j0 = t_idx - W
-    D_prev = np.where(j0 < 0, _INF, np.where(j0 == 0, 0, j0 * gap + sg))
-    D_prev = np.broadcast_to(D_prev, (n, width)).copy()
-    D_prev[j0[0][None, :].repeat(n, 0) > lens_b[:, None]] = _INF
-    D_prev2 = np.full((n, width), _INF, dtype=np.int64)
-    b_gap_prev = np.full((n, width), _INF, dtype=np.int64)
+    j0 = t_idx.astype(np.int64) - W
+    D_prev = np.where(j0 < 0, INF, np.where(j0 == 0, 0, j0 * int(gap) + int(sg)))
+    D_prev = np.broadcast_to(D_prev.astype(dt), (n, width)).copy()
+    D_prev[np.broadcast_to(j0, (n, width)) > lens_b[:, None]] = INF
+    D_prev2 = np.full((n, width), INF, dtype=dt)
+    b_gap_prev = np.full((n, width), INF, dtype=dt)
 
-    active = np.arange(n)
     # extraction for pairs with len_a == 0
     zero_rows = lens_a == 0
     if zero_rows.any():
         tz = lens_b[zero_rows] + W  # j - i + W at i=0
-        vals = D_prev[np.nonzero(zero_rows)[0], tz]
+        vals = D_prev[np.nonzero(zero_rows)[0], tz].astype(np.int64)
         ok = vals <= max_k[zero_rows]
         tgt = rows[zero_rows]
         out[tgt[ok]] = vals[ok]
 
-    buf_sub = np.empty((n, width), dtype=np.int64)
-    for i in range(1, max_rows + 1):
-        if active.size == 0:
+    # compact working state: rows with remaining == -1 are done
+    rows_c = rows.copy()
+    la_c = lens_a.copy()
+    lb_c = lens_b.copy()
+    mk_c = max_k.copy()
+    sel = np.arange(n)  # index into A/B
+    la_c[zero_rows] = -1
+
+    i = 1
+    while i <= max_rows:
+        live = la_c >= 0
+        n_live = int(live.sum())
+        if n_live == 0:
             break
-        na = active.size
+        # compact when enough rows are finished (copy cost ~ one row of ops)
+        if n_live < 0.7 * len(rows_c):
+            D_prev = D_prev[live]
+            D_prev2 = D_prev2[live]
+            b_gap_prev = b_gap_prev[live]
+            rows_c = rows_c[live]
+            la_c = la_c[live]
+            lb_c = lb_c[live]
+            mk_c = mk_c[live]
+            sel = sel[live]
+            max_rows = int(la_c.max(initial=0))
+            if i > max_rows:
+                break
+        na = len(rows_c)
         # j for band coord t at row i: j = i - W + t
         jlo = i - W
-        a_ch = A[active, i - 1][:, None]  # current a char per pair
+        a_ch = A[sel, i - 1][:, None]  # current a char per pair
 
         # substitution: D_prev at same t, compare a[i-1] vs b[j-1], j = jlo+t
-        jm1 = jlo - 1 + t_idx  # j-1 for each t
-        valid_j = (jm1 >= 0) & (jm1 < lens_b[active][:, None])
+        jm1 = jlo - 1 + t_idx.astype(np.int64)  # j-1 for each t
+        valid_j = (jm1 >= 0) & (jm1 < lb_c[:, None])
         bj = np.zeros((na, width), dtype=np.uint8)
         np.copyto(
             bj,
-            B[active[:, None], np.clip(jm1, 0, max(0, B.shape[1] - 1))],
+            B[sel[:, None], np.clip(jm1, 0, max(0, B.shape[1] - 1))],
             where=valid_j,
         )
-        sub = buf_sub[:na]
-        np.add(
-            D_prev[active],
-            np.where(valid_j & (bj == a_ch), 0, mis),
-            out=sub,
-        )
-        sub[~valid_j] = _INF
-        sub[jm1 >= lens_b[active][:, None]] = _INF
+        sub = D_prev + np.where(valid_j & (bj == a_ch), dt(0), mis)
+        sub[~valid_j] = INF
 
         # vertical (consume a): from D_prev / b_gap_prev at t+1
         up_D = np.concatenate(
-            [D_prev[active, 1:], np.full((na, 1), _INF)], axis=1
+            [D_prev[:, 1:], np.full((na, 1), INF, dtype=dt)], axis=1
         )
         up_bgap = np.concatenate(
-            [b_gap_prev[active, 1:], np.full((na, 1), _INF)], axis=1
+            [b_gap_prev[:, 1:], np.full((na, 1), INF, dtype=dt)], axis=1
         )
-        b_gap_cur = np.minimum(up_D + sg + gap, up_bgap + gap)
-        np.clip(b_gap_cur, None, _INF, out=b_gap_cur)
+        b_gap_cur = np.minimum(up_D + (sg + gap), up_bgap + gap)
+        np.clip(b_gap_cur, None, INF, out=b_gap_cur)
 
         E = np.minimum(sub, b_gap_cur)
 
         if allow_t and i > 1:
             # transpose: D_prev2 at same t, a[i-1]==b[j-2] and a[i-2]==b[j-1]
-            jm2 = jlo - 2 + t_idx
-            valid2 = (jm2 >= 0) & (jm1 < lens_b[active][:, None])
+            jm2 = jlo - 2 + t_idx.astype(np.int64)
+            valid2 = (jm2 >= 0) & (jm1 < lb_c[:, None])
             bj2 = np.zeros((na, width), dtype=np.uint8)
             np.copyto(
                 bj2,
-                B[active[:, None], np.clip(jm2, 0, max(0, B.shape[1] - 1))],
+                B[sel[:, None], np.clip(jm2, 0, max(0, B.shape[1] - 1))],
                 where=valid2,
             )
-            a_prev_ch = A[active, i - 2][:, None]
+            a_prev_ch = A[sel, i - 2][:, None]
             tmask = valid2 & (a_ch == bj2) & (a_prev_ch == bj)
-            trans = np.where(tmask, D_prev2[active] + tc, _INF)
+            trans = np.where(tmask, D_prev2 + tc, INF)
             np.minimum(E, trans, out=E)
 
         # horizontal closure (consume b, affine):
@@ -344,46 +370,46 @@ def _chunk_banded_dp(
         if jlo <= 0:
             t0 = W - i  # band coord of j == 0 at row i
             if 0 <= t0 < width:
-                col0 = i * gap + sg
-                shifted[:, t0] = np.minimum(shifted[:, t0], col0 - t0 * gap)
+                col0 = dt(i * int(gap) + int(sg))
+                shifted[:, t0] = np.minimum(shifted[:, t0], col0 - t_gap[0, t0])
         run = np.minimum.accumulate(shifted, axis=1)
         a_gap_cur = np.concatenate(
-            [np.full((na, 1), _INF), run[:, :-1] + sg + t_gap[:, 1:]], axis=1
+            [np.full((na, 1), INF, dtype=dt), run[:, :-1] + sg + t_gap[:, 1:]],
+            axis=1,
         )
-        np.clip(a_gap_cur, None, _INF, out=a_gap_cur)
+        np.clip(a_gap_cur, None, INF, out=a_gap_cur)
 
         D_cur = np.minimum(E, a_gap_cur)
         # boundary cell j==0 of this row
         if jlo <= 0:
             t0 = W - i
             if 0 <= t0 < width:
-                D_cur[:, t0] = i * gap + sg
-                b_gap_cur[:, t0] = i * gap + sg
+                D_cur[:, t0] = dt(i * int(gap) + int(sg))
+                b_gap_cur[:, t0] = dt(i * int(gap) + int(sg))
             # cells left of j=0 are invalid
             if t0 + 1 > 0:
-                D_cur[:, : max(0, t0)] = _INF
-                b_gap_cur[:, : max(0, t0)] = _INF
+                D_cur[:, : max(0, t0)] = INF
+                b_gap_cur[:, : max(0, t0)] = INF
 
-        # write back to full-size state arrays
-        D_prev2[active] = D_prev[active]
-        D_prev[active] = D_cur
-        b_gap_prev[active] = b_gap_cur
+        D_prev2 = D_prev
+        D_prev = D_cur
+        b_gap_prev = b_gap_cur
 
         # extract finished pairs (len_a == i)
-        fin = lens_a[active] == i
+        fin = la_c == i
         if fin.any():
-            t_res = lens_b[active[fin]] - i + W
-            vals = D_cur[np.nonzero(fin)[0], t_res]
-            ok = vals <= max_k[active[fin]]
-            tgt = rows[active[fin]]
+            t_res = lb_c[fin] - i + W
+            vals = D_cur[np.nonzero(fin)[0], t_res].astype(np.int64)
+            ok = vals <= mk_c[fin]
+            tgt = rows_c[fin]
             out[tgt[ok]] = vals[ok]
+            la_c[fin] = -1
 
         # early exit: band min can never decrease below current row min
-        alive = ~fin
         if (i & 7) == 0:
-            row_min = D_cur.min(axis=1)
-            alive &= row_min <= max_k[active]
-        active = active[alive]
+            row_min = D_cur.min(axis=1).astype(np.int64)
+            la_c[row_min > mk_c] = -1
+        i += 1
 
 
 def levenshtein_batch(col_a, col_b, costs: EditCosts = LEVENSHTEIN_COSTS) -> np.ndarray:

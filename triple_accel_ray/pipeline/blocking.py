@@ -77,13 +77,20 @@ class BlockKeyer:
 
     # ------------------------------------------------------------------
     def minhash_matrix(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-        """(n_docs, num_perm) uint64 minhash signatures; rows with no
-        shingles (doc shorter than the shingle size) are all-max."""
+        """(n_docs, num_perm) uint64 signatures via one-permutation hashing
+        (Li, Owen & Zhang 2012): each shingle is hashed ONCE, the hash space
+        is split into ``num_perm`` bins and the per-(doc, bin) minimum forms
+        the signature — one data pass instead of ``num_perm`` (the classic
+        per-permutation scheme is memory-bandwidth-bound and anti-scales
+        under task concurrency). Empty bins are filled by rotation
+        densification so band hashing sees no sentinel collisions. Rows with
+        no shingles stay all-max."""
         n = len(offsets) - 1
         lens = np.diff(offsets)
         counts = np.maximum(0, lens - self.shingle + 1).astype(np.int64)
         total = int(counts.sum())
-        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        MAXU = np.iinfo(np.uint64).max
+        sig = np.full((n, self.num_perm), MAXU, dtype=np.uint64)
         if total == 0:
             return sig
         doc_of = np.repeat(np.arange(n), counts)
@@ -96,11 +103,32 @@ class BlockKeyer:
             h += data[pos + kk].astype(np.uint64) * self.shingle_coef[kk]
         h = _mix64(h)
 
-        has = counts > 0
-        seg_starts = cum[has]
-        for p in range(self.num_perm):
-            v = h * self.pa_mult[p] + self.pb_add[p]
-            sig[has, p] = np.minimum.reduceat(v, seg_starts)
+        # bin by the top bits, min within (doc, bin) via sorted reduceat
+        nbits = int(np.log2(self.num_perm))
+        assert (1 << nbits) == self.num_perm, "num_perm must be a power of 2"
+        bins = (h >> np.uint64(64 - nbits)).astype(np.int64)
+        slot = doc_of * self.num_perm + bins
+        order = np.argsort(slot, kind="stable")
+        slot_s = slot[order]
+        h_s = h[order]
+        starts = np.concatenate([[0], np.nonzero(slot_s[1:] != slot_s[:-1])[0] + 1])
+        mins = np.minimum.reduceat(h_s, starts)
+        sig.ravel()[slot_s[starts]] = mins
+
+        # rotation densification: an empty bin borrows the next non-empty
+        # bin's value (wrapping), mixed with its distance so borrowed values
+        # differ across positions
+        empty = sig == MAXU
+        has_any = counts > 0
+        if empty[has_any].any():
+            for shift in range(1, self.num_perm):
+                if not empty[has_any].any():
+                    break
+                donor = np.roll(sig, -shift, axis=1)
+                fill = empty & (donor != MAXU)
+                if fill.any():
+                    sig[fill] = _mix64(donor[fill] + np.uint64(shift))
+                empty = sig == MAXU
         return sig
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:

@@ -33,6 +33,12 @@ class PipelineConfig:
     hot_block_cap: int = 64
     hot_block_window: int = 8
 
+    # --- text attachment --------------------------------------------------
+    # when the docs table fits under this many bytes it is broadcast once
+    # (ray.put) and the scorer resolves texts by lookup — no join shuffles;
+    # larger corpora use the two bucketed hash joins (the 100TB path)
+    broadcast_text_max_bytes: int = 2 << 30
+
     # --- scoring ----------------------------------------------------------
     rel_k: float = 0.15  # per-pair bound: k = clip(rel_k * max_len, ...)
     abs_min_k: int = 4

@@ -88,20 +88,44 @@ def run_er_pipeline_fused(
         hot_block_cap=cfg.hot_block_cap,
         hot_block_window=cfg.hot_block_window,
     )
-    with_texts = attach_pair_texts(
-        pairs, docs.select_columns(["conv_id", "doc_text"]),
-        num_partitions=cfg.pair_buckets,
-    )
-    scored = score_pairs(
-        with_texts,
-        batch_size=cfg.score_batch_size,
-        concurrency=cfg.score_concurrency,
+    scorer_kw = dict(
         rel_k=cfg.rel_k,
         abs_min_k=cfg.abs_min_k,
         abs_max_k=cfg.abs_max_k,
         costs=cfg.costs,
         min_similarity=cfg.min_similarity,
     )
+    text_bytes = docs.size_bytes() or (1 << 62)
+    if text_bytes <= cfg.broadcast_text_max_bytes:
+        # small-side broadcast: no join shuffles (see config threshold)
+        import ray
+
+        from .score import BroadcastTextScorer, build_text_index
+
+        doc_parts = [
+            t for t in ray.get(
+                docs.select_columns(["conv_id", "doc_text"]).to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        docs_table = pa.concat_tables(doc_parts)
+        index_ref = ray.put(build_text_index(docs_table))
+        scored = pairs.map_batches(
+            BroadcastTextScorer(index_ref, **scorer_kw),
+            batch_format="pyarrow",
+            batch_size=cfg.score_batch_size,
+        )
+    else:
+        with_texts = attach_pair_texts(
+            pairs, docs.select_columns(["conv_id", "doc_text"]),
+            num_partitions=cfg.pair_buckets,
+        )
+        scored = score_pairs(
+            with_texts,
+            batch_size=cfg.score_batch_size,
+            concurrency=cfg.score_concurrency,
+            **scorer_kw,
+        )
     edges = scored.map_batches(
         lambda t: t.filter(_pc.equal(t["is_match"], True)).select(
             ["a_id", "b_id", "dist", "sim"]
@@ -207,21 +231,44 @@ def run_er_pipeline(
     def _w_edges(tmp):
         from .pairs import attach_pair_texts
 
-        with_texts = attach_pair_texts(
-            _read_dir(pairs_dir),
-            _read_dir(docs_dir).select_columns(["conv_id", "doc_text"]),
-            num_partitions=cfg.pair_buckets,
-        )
-        scored = score_pairs(
-            with_texts,
-            batch_size=cfg.score_batch_size,
-            concurrency=cfg.score_concurrency,
+        scorer_kw = dict(
             rel_k=cfg.rel_k,
             abs_min_k=cfg.abs_min_k,
             abs_max_k=cfg.abs_max_k,
             costs=cfg.costs,
             min_similarity=cfg.min_similarity,
         )
+        docs_bytes = sum(
+            os.path.getsize(os.path.join(docs_dir, f))
+            for f in os.listdir(docs_dir)
+            if f.endswith(".parquet")
+        )
+        if docs_bytes <= cfg.broadcast_text_max_bytes:
+            import ray
+
+            from .score import BroadcastTextScorer, build_text_index
+
+            docs_table = pq.read_table(
+                docs_dir, columns=["conv_id", "doc_text"]
+            )
+            index_ref = ray.put(build_text_index(docs_table))
+            scored = _read_dir(pairs_dir).map_batches(
+                BroadcastTextScorer(index_ref, **scorer_kw),
+                batch_format="pyarrow",
+                batch_size=cfg.score_batch_size,
+            )
+        else:
+            with_texts = attach_pair_texts(
+                _read_dir(pairs_dir),
+                _read_dir(docs_dir).select_columns(["conv_id", "doc_text"]),
+                num_partitions=cfg.pair_buckets,
+            )
+            scored = score_pairs(
+                with_texts,
+                batch_size=cfg.score_batch_size,
+                concurrency=cfg.score_concurrency,
+                **scorer_kw,
+            )
         # pairs are globally unique after the pair-dedup shuffle, so edge
         # extraction is a stateless filter — no extra shuffle needed here
         # (dedup_edges exists for callers whose pair streams still carry

@@ -67,25 +67,34 @@ class PairScorer:
             self.costs.mismatch_cost, self.costs.gap_cost
         )
         todo = np.nonzero(~equal & (bag <= kvec))[0]
-        # exponential search on k (the reference's levenshtein_exp schedule,
-        # levenshtein.rs:1445-1454, vectorized): most candidate pairs are
-        # near-dups that resolve at a narrow band; only unresolved pairs pay
-        # for wider bands — and a pair sits out rounds its lower bound
-        # already rules out.
-        k_round = 8
-        while todo.size:
-            ready = bag[todo] <= np.minimum(k_round, kvec[todo])
-            run = todo[ready]
-            if run.size:
-                k_sub = np.minimum(k_round, kvec[run])
+        # per-pair exponential search on k (the reference's levenshtein_exp
+        # schedule, levenshtein.rs:1445-1454, vectorized): each pair starts
+        # at a power-of-two informed by its bag lower bound (so the first,
+        # narrow-band DP usually resolves it) and doubles only on failure.
+        # Identical results to a single full-k run — a k-bounded DP's
+        # Some/None boundary is exact at every k.
+        if todo.size:
+            # start rung: first power of two covering ~the bag estimate, so
+            # most pairs resolve in ONE uniform-k call (a call mixes one k
+            # only — the chunk band is the call's max k, so heterogeneous k
+            # in one call makes narrow pairs pay the widest band)
+            start = np.maximum(8, np.ceil(1.25 * bag[todo]).astype(np.int64) + 4)
+            rung = (1 << np.ceil(np.log2(start)).astype(np.int64))
+            rung = np.minimum(rung, kvec[todo])
+            while todo.size:
+                kb = int(rung.min())
+                grp = rung == kb
+                run = todo[grp]
+                k_sub = np.minimum(kb, kvec[run])
                 sub = batch.take(pa.array(run))
                 d = levenshtein_k_batch(
                     sub["a_text"], sub["b_text"], k_sub, self.costs
                 )
                 dist[run] = d
                 done = (d >= 0) | (k_sub >= kvec[run])
-                todo = np.concatenate([run[~done], todo[~ready]])
-            k_round *= 2
+                next_rung = np.minimum(kb * 2, kvec[run][~done])
+                todo = np.concatenate([run[~done], todo[~grp]])
+                rung = np.concatenate([next_rung, rung[~grp]])
 
         sim = np.where(
             dist >= 0,
@@ -105,6 +114,53 @@ class PairScorer:
                 "is_match": pa.array(is_match, pa.bool_()),
             }
         )
+
+
+def build_text_index(docs_table: pa.Table):
+    """(sorted conv_id numpy array, aligned doc_text arrow array) for
+    broadcast lookup: `ray.put` once, `np.searchsorted` + `Array.take` per
+    batch — vectorized, no per-row Python, no dict rebuild per task."""
+    ids = np.asarray(docs_table["conv_id"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids, kind="stable")
+    texts = docs_table["doc_text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return ids[order], texts.take(pa.array(order))
+
+
+class BroadcastTextScorer(PairScorer):
+    """PairScorer over id-only pairs; texts resolved from a broadcast
+    (ray.put) index. The small-side-broadcast alternative to the two text
+    joins — valid while the docs table fits comfortably in the object store
+    (config threshold); the join path is the 100TB-scale default."""
+
+    def __init__(self, index_ref, **kw):
+        super().__init__(**kw)
+        self.index_ref = index_ref
+        self._index = None
+
+    def _lookup(self, id_col) -> pa.Array:
+        if self._index is None:
+            import ray
+
+            self._index = ray.get(self.index_ref)
+        ids_sorted, texts = self._index
+        want = np.asarray(id_col.to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(ids_sorted, want)
+        if not np.array_equal(ids_sorted[pos], want):
+            raise KeyError("pair references unknown conv_id")
+        return texts.take(pa.array(pos))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = pa.table(
+            {
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                "a_text": self._lookup(batch["a_id"]),
+                "b_text": self._lookup(batch["b_id"]),
+            }
+        )
+        return super().__call__(batch)
 
 
 def score_pairs(
