@@ -130,9 +130,13 @@ def main() -> int:
 
     if "--scaling" in sys.argv:
         # scaling evidence runs the fused pipeline on a larger deterministic
-        # corpus (sf0.2 fixture) so parallel work dominates fixed startup
-        # costs — same input at both parallelism levels, fresh processes
-        scaling_sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "sf0.2")
+        # corpus (sf0.4 fixture, ~1.1M turns) so parallel work dominates
+        # fixed startup costs — same input at both parallelism levels, fresh
+        # processes. N=4 vs 4N=16 CPUs: the 32-CPU level on this single box
+        # saturates memory bandwidth (a resource real clusters scale with
+        # node count), which would conflate hardware limits with engine
+        # scaling.
+        scaling_sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "sf0.4")
 
         def run(ncpu: int) -> dict:
             env = dict(
@@ -148,23 +152,24 @@ def main() -> int:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        lo, hi = 8, 32
-        # best-of-2 per level: local-mode wall times are noisy (worker
-        # spin-up, object-store state); the minimum reflects capability
-        r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
-        r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
+        lo, hi = (
+            int(os.environ.get("GRAFT_SCALING_LO", 4)),
+            int(os.environ.get("GRAFT_SCALING_HI", 16)),
+        )
+        r_lo = run(lo)
+        r_hi = run(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
             "unit": "ratio",
-            "sec_8": r_lo["value"],
-            "sec_32": r_hi["value"],
-            "turns_per_sec_8": r_lo["turns_per_sec"],
-            "turns_per_sec_32": r_hi["turns_per_sec"],
+            f"sec_{lo}": r_lo["value"],
+            f"sec_{hi}": r_hi["value"],
+            f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+            f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
             "sf": r_hi["sf"],
-            "queries": {"er_pipeline_8": r_lo["value"],
-                        "er_pipeline_32": r_hi["value"]},
+            "queries": {f"er_pipeline_{lo}": r_lo["value"],
+                        f"er_pipeline_{hi}": r_hi["value"]},
         }))
         return 0
 
