@@ -124,6 +124,33 @@ def test_scorer_matches_scalar_kernel(corpus):
             assert dist[i] == want[0]
 
 
+def test_explain_edges_traces(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline.score import explain_edges
+
+    t = pa.table(
+        {
+            "a_id": ["x", "y"],
+            "b_id": ["x2", "y2"],
+            "a_text": ["abcde", "hello world"],
+            "b_text": ["abcce", "helo world"],
+            "dist": pa.array([1, 1], pa.int64()),
+        }
+    )
+    out = explain_edges(rd.from_arrow(t)).to_pandas().sort_values("a_id")
+    tr0 = out.iloc[0]["trace"]
+    # abcde -> abcce: Match 3, Mismatch 1, Match 1 (reference vector)
+    assert [(e["edit"], e["count"]) for e in tr0] == [
+        ("match", 3), ("mismatch", 1), ("match", 1)
+    ]
+    tr1 = out.iloc[1]["trace"]
+    consumed_a = sum(e["count"] * (2 if e["edit"] == "transpose" else 1)
+                     for e in tr1 if e["edit"] in
+                     ("match", "mismatch", "b_gap", "transpose"))
+    assert consumed_a == len("hello world")
+
+
 def test_cluster_local_transitivity():
     edges = pa.table({"a_id": ["a", "b", "x"], "b_id": ["b", "c", "y"]})
     nodes = pa.table({"conv_id": ["a", "b", "c", "x", "y", "z"]})

@@ -327,11 +327,12 @@ def _chunk_banded_dp(
         jm1 = jlo - 1 + t_idx.astype(np.int64)  # j-1 for each t
         valid_j = (jm1 >= 0) & (jm1 < lb_c[:, None])
         bj = np.zeros((na, width), dtype=np.uint8)
-        np.copyto(
-            bj,
-            B[sel[:, None], np.clip(jm1, 0, max(0, B.shape[1] - 1))],
-            where=valid_j,
-        )
+        if B.shape[1]:
+            np.copyto(
+                bj,
+                B[sel[:, None], np.clip(jm1, 0, B.shape[1] - 1)],
+                where=valid_j,
+            )
         sub = D_prev + np.where(valid_j & (bj == a_ch), dt(0), mis)
         sub[~valid_j] = INF
 
@@ -352,11 +353,12 @@ def _chunk_banded_dp(
             jm2 = jlo - 2 + t_idx.astype(np.int64)
             valid2 = (jm2 >= 0) & (jm1 < lb_c[:, None])
             bj2 = np.zeros((na, width), dtype=np.uint8)
-            np.copyto(
-                bj2,
-                B[sel[:, None], np.clip(jm2, 0, max(0, B.shape[1] - 1))],
-                where=valid2,
-            )
+            if B.shape[1]:
+                np.copyto(
+                    bj2,
+                    B[sel[:, None], np.clip(jm2, 0, B.shape[1] - 1)],
+                    where=valid2,
+                )
             a_prev_ch = A[sel, i - 2][:, None]
             tmask = valid2 & (a_ch == bj2) & (a_prev_ch == bj)
             trans = np.where(tmask, D_prev2 + tc, INF)

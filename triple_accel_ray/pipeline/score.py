@@ -187,6 +187,48 @@ def score_pairs(
     )
 
 
+def explain_edges(edges_with_texts, costs: EditCosts = LEVENSHTEIN_COSTS,
+                  k_col: str = "k"):
+    """Attach the RLE edit traceback (reference Edit semantics,
+    levenshtein.rs:376-607 trace path) to match edges as a
+    ``list<struct<edit, count>>`` column.
+
+    Runs the exact scalar banded kernel per row — edges are the tiny
+    post-match set, so per-row scalar cost is irrelevant; the stage is a
+    stateless ``map_batches``."""
+    from ..kernels.scalar import levenshtein_k_with_opts
+
+    trace_type = pa.list_(
+        pa.struct([("edit", pa.string()), ("count", pa.int64())])
+    )
+
+    def _explain(t: pa.Table) -> pa.Table:
+        a_texts = t["a_text"].to_pylist()
+        b_texts = t["b_text"].to_pylist()
+        # the known distance is the tightest valid bound — tracing at
+        # k=dist uses the narrowest band (identical trace semantics)
+        if "dist" in t.column_names:
+            ks = t["dist"].to_pylist()
+        elif k_col in t.column_names:
+            ks = t[k_col].to_pylist()
+        else:
+            ks = [1 << 30] * t.num_rows
+        traces = []
+        for a, b, k in zip(a_texts, b_texts, ks):
+            res = levenshtein_k_with_opts(
+                a.encode(), b.encode(), max(0, int(k)), True, costs
+            )
+            if res is None:
+                traces.append(None)
+            else:
+                traces.append(
+                    [{"edit": e.edit, "count": e.count} for e in res[1]]
+                )
+        return t.append_column("trace", pa.array(traces, trace_type))
+
+    return edges_with_texts.map_batches(_explain, batch_format="pyarrow")
+
+
 def dedup_edges(scored, num_buckets: int = 32):
     """Scored pairs → unique match edges (a_id, b_id), deduping the
     cross-block duplicates. One hash-bucket shuffle keyed by the pair,

@@ -189,6 +189,57 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_clusters"] = er_clusters
 
+    def er_edge_traceback(sf_dir):
+        """Match edges + RLE edit traceback (reference Edit semantics; not
+        SQL-expressible → rows-only check)."""
+        from .pipeline.score import PairScorer, explain_edges
+
+        pairs = _sig_pairs(_er_docs_ds(sf_dir))
+        scored = pairs.map_batches(
+            PairScorer(rel_k=0.15, abs_min_k=4, abs_max_k=128,
+                       min_similarity=0.85),
+            batch_format="pyarrow", batch_size=2048,
+        )
+        import polars as _pl
+
+        # deterministic ~10% subset (ids ending in '0') keeps the scalar
+        # trace stage fast at the driver's gate scale
+        matches = scored.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["is_match"], True),
+                    pc.ends_with(t["a_id"], "0"),
+                )
+            ).select(["a_id", "b_id", "dist", "k"]),
+            batch_format="pyarrow",
+        )
+        # join the texts back from the pair stream (bucketless: small set)
+        mt = pa.Table.from_pandas(matches.to_pandas())
+        pt = pa.Table.from_pandas(
+            pairs.to_pandas()[["a_id", "b_id", "a_text", "b_text"]]
+        )
+        joined = (
+            _pl.from_arrow(mt)
+            .join(_pl.from_arrow(pt), on=["a_id", "b_id"], how="inner")
+            .to_arrow()
+        )
+        import ray.data as _rd
+
+        out = explain_edges(_rd.from_arrow(joined))
+        return out.map_batches(
+            lambda t: pa.table(
+                {
+                    "a_id": t["a_id"],
+                    "b_id": t["b_id"],
+                    "dist": t["dist"],
+                    "n_edit_runs": pc.list_value_length(t["trace"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    q["er_edge_traceback"] = er_edge_traceback
+
     def er_clusters_full(sf_dir):
         """Full production pipeline (MinHash blocking; no SQL oracle)."""
         from .pipeline import PipelineConfig, run_er_pipeline
