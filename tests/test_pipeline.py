@@ -124,6 +124,50 @@ def test_scorer_matches_scalar_kernel(corpus):
             assert dist[i] == want[0]
 
 
+def test_skewed_corpus_end_to_end(ray_session, tmp_path):
+    """Pathological skew: one giant exact-duplicate block plus normal
+    entities. Pair counts must stay bounded (sorted-neighborhood window)
+    and the giant block must still resolve to ONE cluster (the window
+    chains every member transitively)."""
+    import pyarrow.parquet as pq
+
+    from triple_accel_ray.pipeline import PipelineConfig, run_er_pipeline
+    import polars as pl
+
+    n_hot = 400
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+            "tool": [], "ts": []}
+    base_ts = 1_700_000_000_000_000
+    for i in range(n_hot):
+        for t in range(3):
+            rows["conv_id"].append(f"h{i:05d}")
+            rows["turn_idx"].append(t)
+            rows["role"].append("user" if t % 2 == 0 else "assistant")
+            rows["text"].append(f"identical turn text number {t} repeated")
+            rows["tool"].append("")
+            rows["ts"].append(base_ts + i * 1000 + t)
+    t = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": pa.array(rows["role"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "tool": pa.array(rows["tool"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        }
+    )
+    tp = str(tmp_path / "hot.parquet")
+    pq.write_table(t, tp)
+    s = run_er_pipeline(
+        tp, str(tmp_path / "run"),
+        PipelineConfig(doc_buckets=4, pair_buckets=4),
+    )
+    # bounded pair generation: far fewer than the 79,800 all-pairs
+    assert s["rows"]["pairs"] <= n_hot * 8 * 2
+    clusters = pl.from_arrow(pq.read_table(s["clusters_dir"]))
+    assert clusters["cluster_id"].n_unique() == 1
+
+
 def test_explain_edges_traces(ray_session):
     import ray.data as rd
 

@@ -15,7 +15,7 @@ from ..kernels import (
     SEARCH_ALL,
     SEARCH_BEST,
     hamming_search_naive_with_opts,
-    levenshtein_search_naive_with_opts,
+    levenshtein_search_simd_with_opts,
 )
 from ..kernels.batch import to_byte_rows
 from ..kernels.types import EditCosts, LEVENSHTEIN_COSTS
@@ -83,7 +83,8 @@ def levenshtein_search_column(batch: pa.Table, needle: bytes, k: int,
     texts = batch[text_col].to_pylist()
     out_id, out_s, out_e, out_k = [], [], [], []
     for i, t in enumerate(texts):
-        for m in levenshtein_search_naive_with_opts(
+        # dispatches to the Myers bit-parallel fast path for unit costs
+        for m in levenshtein_search_simd_with_opts(
             needle, t.encode(), k, search_type, costs, anchored
         ):
             out_id.append(ids[i])
