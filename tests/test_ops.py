@@ -167,6 +167,57 @@ def test_tumbling_and_sessions(ray_session):
     assert sorted(sess["n_events"].tolist()) == [1, 6]
 
 
+def test_events_last_order_asof(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import events_last_order
+
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array([100_000_000, 200_000_000, 100_000_000],
+                           pa.timestamp("us")),
+        }
+    )
+    od = pa.table(
+        {
+            "o_custkey": pa.array([7, 7], pa.int64()),
+            "o_orderdate": pa.array([150_000_000, 50_000_000],
+                                    pa.timestamp("us")),
+        }
+    )
+    out = events_last_order(rd.from_arrow(ev), rd.from_arrow(od), 2).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    # event1: last order at 50s; event2: at 150s; event3 (user 8): none
+    assert out.loc[0, "last_order_date"].value // 1000 == 50_000_000 // 1000 * 1000 or \
+        out.loc[0, "last_order_date"].timestamp() * 1e6 == 50_000_000
+    assert out.loc[1, "last_order_date"].timestamp() * 1e6 == 150_000_000
+    assert out.loc[2, "last_order_date"] is None or str(out.loc[2, "last_order_date"]) == "NaT"
+
+
+def test_pricing_summary(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import pricing_summary
+
+    li = pa.table(
+        {
+            "l_returnflag": ["A", "A", "B"],
+            "l_linestatus": ["F", "F", "O"],
+            "l_quantity": [2.0, 3.0, 1.0],
+            "l_extendedprice": [10.5, 20.25, 5.0],
+            "l_discount": [0.05, 0.1, 0.0],
+        }
+    )
+    out = pricing_summary(rd.from_arrow(li)).to_pandas()
+    a = out[out["l_returnflag"] == "A"].iloc[0]
+    assert a["sum_qty"] == 5
+    assert a["sum_base_cents"] == 1050 + 2025
+    assert a["sum_disc_cents"] == 500 + 1000
+    assert a["count_order"] == 2
+
+
 def test_media_pipeline(ray_session):
     import ray.data as rd
 

@@ -520,6 +520,30 @@ def build_queries() -> Dict[str, Callable]:
 
     q["events_sessions"] = events_sessions
 
+    # ---- relational breadth --------------------------------------------
+    def events_asof_orders(sf_dir):
+        from .ops.relational import events_last_order
+
+        ev = rd.read_parquet(_t(sf_dir, "events"),
+                             columns=["event_id", "user_id", "ts"])
+        od = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+        return events_last_order(ev, od, num_buckets=16)
+
+    q["events_asof_orders"] = events_asof_orders
+
+    def pricing_summary_q(sf_dir):
+        from .ops.relational import pricing_summary
+
+        li = rd.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        return pricing_summary(li)
+
+    q["pricing_summary"] = pricing_summary_q
+
     # ---- multimodal plumbing (no SQL oracle: stub decoder) -------------
     def media_feature_rows(sf_dir):
         media = rd.from_arrow(synthesize_media_table(200, seed=42))
@@ -747,6 +771,20 @@ SELECT user_id,
        count(*)::BIGINT AS n_events,
        sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2"""
+
+    o["events_asof_orders"] = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
+
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+       sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT))::BIGINT AS sum_disc_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY 1, 2"""
 
     o["events_sessions"] = """
 WITH ordered AS (
