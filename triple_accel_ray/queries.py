@@ -520,6 +520,56 @@ def build_queries() -> Dict[str, Callable]:
 
     q["events_sessions"] = events_sessions
 
+    def ngram_jaccard_adjacent(sf_dir):
+        """Exact distinct-3-gram Jaccard on adjacent doc pairs (set
+        semantics; SQL oracle via generate_series exploding)."""
+        pairs = _adjacent_docs(sf_dir)
+
+        def _j(t: pa.Table) -> pa.Table:
+            from .ops.dedup import _shingle_set_jaccard
+
+            j = _shingle_set_jaccard(
+                t["a_text"].to_pylist(), t["b_text"].to_pylist(), shingle=3
+            )
+            return pa.table(
+                {"a_id": t["a_id"], "b_id": t["b_id"],
+                 "jac3": pa.array(j, pa.float64())}
+            )
+
+        return pairs.map_batches(_j, batch_format="pyarrow")
+
+    q["ngram_jaccard_adjacent"] = ngram_jaccard_adjacent
+
+    def top20_alpha_docs(sf_dir):
+        """Global sort + limit: top 20 docs by alpha_count (doc_id asc
+        tie-break)."""
+        from .ops.text import quality_score_batch
+
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        scored = docs.map_batches(
+            lambda t: quality_score_batch(t).select(["doc_id", "alpha_count"]),
+            batch_format="pyarrow",
+        )
+        out = scored.sort(["alpha_count", "doc_id"], descending=[True, False]).limit(20)
+        return out
+
+    q["top20_alpha_docs"] = top20_alpha_docs
+
+    def source_stats(sf_dir):
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        docs = rd.read_parquet(
+            _t(sf_dir, "documents"), columns=["source", "n_chars"]
+        )
+        return docs.groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+
+    q["source_stats"] = source_stats
+
     # ---- relational breadth --------------------------------------------
     def events_asof_orders(sf_dir):
         from .ops.relational import events_last_order
@@ -771,6 +821,43 @@ SELECT user_id,
        count(*)::BIGINT AS n_events,
        sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2"""
+
+    o["ngram_jaccard_adjacent"] = """
+WITH grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, s + 1, 3) AS g
+  FROM documents d JOIN generate_series(0, 100000) t(s)
+    ON s <= strlen(d.text) - 3
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.a_id, p.b_id, count(*)::BIGINT AS i
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.a_id
+  JOIN grams gb ON gb.doc_id = p.b_id AND gb.g = ga.g
+  GROUP BY p.a_id, p.b_id
+)
+SELECT p.a_id, p.b_id,
+       CAST(coalesce(i.i, 0) AS DOUBLE)
+         / (ca.n + cb.n - coalesce(i.i, 0)) AS jac3
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.a_id
+JOIN cnt cb ON cb.doc_id = p.b_id
+LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id"""
+
+    o["top20_alpha_docs"] = """
+SELECT doc_id,
+       (strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS alpha_count
+FROM documents
+ORDER BY alpha_count DESC, doc_id ASC LIMIT 20"""
+
+    o["source_stats"] = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY source"""
 
     o["events_asof_orders"] = """
 SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
