@@ -71,6 +71,13 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
         summary_ck = run_er_pipeline(tp, run_dir2, PipelineConfig(), labels_path=lp)
         timings["er_pipeline_checkpointed"] = round(time.perf_counter() - t0, 3)
         summary["rows"] = summary_ck["rows"]
+        # per-stage wall times from the stage manifests (observability)
+        from triple_accel_ray.pipeline.checkpoint import read_manifest
+
+        timings["stages"] = {
+            s: read_manifest(os.path.join(run_dir2, s))["wall_sec"]
+            for s in ("docs", "blocks", "pairs", "edges", "clusters")
+        }
 
     # representative operator benches over the shared testdata tables
     def timed(name, fn):
