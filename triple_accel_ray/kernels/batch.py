@@ -419,3 +419,226 @@ def levenshtein_batch(col_a, col_b, costs: EditCosts = LEVENSHTEIN_COSTS) -> np.
     res = levenshtein_k_batch(col_a, col_b, 1 << 31, costs)
     assert (res >= 0).all()
     return res
+
+
+def levenshtein_k_batch_trace(col_a, col_b, k, costs: EditCosts = LEVENSHTEIN_COSTS):
+    """Distance AND RLE traceback per row, batch-vectorized.
+
+    Same banded DP as :func:`levenshtein_k_batch` but with per-cell argmin
+    codes stored (reference tie-break order: substitution, then strictly
+    better a-gap, strictly better b-gap, transpose on ties —
+    levenshtein.rs:493-532) and a per-row backward walk over the code band.
+    Inputs are swapped per row so the DP frame matches the scalar kernel's
+    (shorter string on the row axis); edit labels are un-swapped in the
+    output, so traces equal ``scalar.levenshtein_k_with_opts`` exactly.
+
+    Returns (dist int64 array with -1 for >k, list of Edit lists or None).
+    """
+    from .types import Edit
+
+    da, oa = to_byte_rows(col_a)
+    db, ob = to_byte_rows(col_b)
+    lens_a = np.diff(oa)
+    lens_b = np.diff(ob)
+    n = len(lens_a)
+    out = np.full(n, -1, dtype=np.int64)
+    traces: list = [None] * n
+    if n == 0:
+        return out, traces
+
+    swap = lens_a > lens_b
+    short_len = np.minimum(lens_a, lens_b)
+    long_len = np.maximum(lens_a, lens_b)
+    k_arr = np.asarray(k, dtype=np.int64)
+    max_k, unit_k = _max_k_unit_k(short_len, long_len, k_arr, costs)
+    feasible = (long_len - short_len) <= unit_k
+    todo = np.nonzero(feasible)[0]
+    if todo.size == 0:
+        return out, traces
+
+    order = todo[np.lexsort((short_len[todo] + long_len[todo], unit_k[todo]))]
+    for c0 in range(0, order.size, 256):
+        rows = order[c0 : c0 + 256]
+        _chunk_trace_dp(
+            da, oa, db, ob, rows, swap, max_k, unit_k, costs, out, traces
+        )
+    return out, traces
+
+
+def _chunk_trace_dp(da, oa, db, ob, rows, swap, max_k_all, unit_k_all,
+                    costs: EditCosts, out, traces):
+    from .types import A_GAP, B_GAP, MATCH, MISMATCH, TRANSPOSE, Edit
+
+    n = len(rows)
+    # per-row swapped views: A = shorter (DP rows), B = longer
+    A_rows, B_rows = [], []
+    for r in rows:
+        a = da[oa[r] : oa[r + 1]]
+        b = db[ob[r] : ob[r + 1]]
+        if swap[r]:
+            a, b = b, a
+        A_rows.append(a)
+        B_rows.append(b)
+    lens_a = np.array([len(x) for x in A_rows], dtype=np.int64)
+    lens_b = np.array([len(x) for x in B_rows], dtype=np.int64)
+    max_rows = int(lens_a.max(initial=0))
+    Bw = int(lens_b.max(initial=0))
+    A = np.zeros((n, max_rows), dtype=np.uint8)
+    B = np.zeros((n, Bw), dtype=np.uint8)
+    for i, (a, b) in enumerate(zip(A_rows, B_rows)):
+        A[i, : len(a)] = np.frombuffer(a, dtype=np.uint8)
+        B[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+
+    max_k = max_k_all[rows]
+    W = int(unit_k_all[rows].max(initial=0))
+    width = 2 * W + 1
+    dt = np.int64
+    INF = _INF
+    mis = dt(costs.mismatch_cost)
+    gap = dt(costs.gap_cost)
+    sg = dt(costs.start_gap_cost)
+    tc = dt(costs.transpose_cost or 0)
+    allow_t = costs.allow_transpose
+
+    t_idx = np.arange(width, dtype=dt)[None, :]
+    t_gap = t_idx * gap
+    j0 = t_idx - W
+    D_prev = np.where(j0 < 0, INF, np.where(j0 == 0, 0, j0 * gap + sg))
+    D_prev = np.broadcast_to(D_prev, (n, width)).copy()
+    D_prev[np.broadcast_to(j0, (n, width)) > lens_b[:, None]] = INF
+    D_prev2 = np.full((n, width), INF, dtype=dt)
+    b_gap_prev = np.full((n, width), INF, dtype=dt)
+
+    codes = np.zeros((max_rows + 1, n, width), dtype=np.int8)
+    codes[0, :, :] = 1  # row 0: consume-b gaps
+
+    for i in range(1, max_rows + 1):
+        jlo = i - W
+        a_ch = A[:, i - 1][:, None]
+        jm1 = jlo - 1 + t_idx.astype(np.int64)
+        valid_j = (jm1 >= 0) & (jm1 < lens_b[:, None])
+        bj = np.zeros((n, width), dtype=np.uint8)
+        if B.shape[1]:
+            np.copyto(bj, B[np.arange(n)[:, None],
+                            np.clip(jm1, 0, B.shape[1] - 1)], where=valid_j)
+        sub = D_prev + np.where(valid_j & (bj == a_ch), dt(0), mis)
+        sub[~valid_j] = INF
+
+        up_D = np.concatenate([D_prev[:, 1:], np.full((n, 1), INF, dtype=dt)], axis=1)
+        up_bgap = np.concatenate([b_gap_prev[:, 1:], np.full((n, 1), INF, dtype=dt)], axis=1)
+        b_gap_cur = np.minimum(up_D + (sg + gap), up_bgap + gap)
+        np.clip(b_gap_cur, None, INF, out=b_gap_cur)
+
+        trans = None
+        if allow_t and i > 1:
+            jm2 = jlo - 2 + t_idx.astype(np.int64)
+            valid2 = (jm2 >= 0) & (jm1 < lens_b[:, None])
+            bj2 = np.zeros((n, width), dtype=np.uint8)
+            if B.shape[1]:
+                np.copyto(bj2, B[np.arange(n)[:, None],
+                                 np.clip(jm2, 0, B.shape[1] - 1)], where=valid2)
+            a_prev_ch = A[:, i - 2][:, None]
+            tmask = valid2 & (a_ch == bj2) & (a_prev_ch == bj)
+            trans = np.where(tmask, D_prev2 + tc, INF)
+
+        # affine a-gap closure over E = min(sub, b_gap, trans) — same value
+        # semantics as the fast kernel
+        E = np.minimum(sub, b_gap_cur)
+        if trans is not None:
+            np.minimum(E, trans, out=E)
+        shifted = E - t_gap
+        if jlo <= 0:
+            t0 = W - i
+            if 0 <= t0 < width:
+                col0 = dt(i * int(gap) + int(sg))
+                shifted[:, t0] = np.minimum(shifted[:, t0], col0 - t_gap[0, t0])
+        run = np.minimum.accumulate(shifted, axis=1)
+        a_gap_cur = np.concatenate(
+            [np.full((n, 1), INF, dtype=dt), run[:, :-1] + sg + t_gap[:, 1:]],
+            axis=1,
+        )
+        np.clip(a_gap_cur, None, INF, out=a_gap_cur)
+
+        # reference tie-break order (banded): sub(0) default, a_gap strict(1),
+        # b_gap strict(2), transpose <= (3)
+        best = sub.copy()
+        code = np.zeros((n, width), dtype=np.int8)
+        m = a_gap_cur < best
+        best[m] = a_gap_cur[m]
+        code[m] = 1
+        m = b_gap_cur < best
+        best[m] = b_gap_cur[m]
+        code[m] = 2
+        if trans is not None:
+            m = trans <= best
+            best[m] = trans[m]
+            code[m] = 3
+        D_cur = best
+
+        if jlo <= 0:
+            t0 = W - i
+            if 0 <= t0 < width:
+                D_cur[:, t0] = dt(i * int(gap) + int(sg))
+                b_gap_cur[:, t0] = D_cur[:, t0]
+                code[:, t0] = 2
+            if t0 > 0:
+                D_cur[:, :t0] = INF
+                b_gap_cur[:, :t0] = INF
+
+        codes[i] = code
+        D_prev2 = D_prev
+        D_prev = D_cur
+        b_gap_prev = b_gap_cur
+
+        fin = lens_a == i
+        if fin.any():
+            t_res = lens_b[fin] - i + W
+            vals = D_cur[np.nonzero(fin)[0], t_res]
+            ok = vals <= max_k[fin]
+            tgt = np.nonzero(fin)[0]
+            for local, v, good in zip(tgt, vals, ok):
+                if good:
+                    out[rows[local]] = int(v)
+
+    # zero-row pairs
+    zr = lens_a == 0
+    for local in np.nonzero(zr)[0]:
+        v = int(lens_b[local]) * int(gap) + (int(sg) if lens_b[local] else 0)
+        if v <= max_k[local]:
+            out[rows[local]] = v
+
+    # backward walks
+    for local, r in enumerate(rows):
+        if out[r] < 0:
+            continue
+        la, lb = int(lens_a[local]), int(lens_b[local])
+        a, b = A_rows[local], B_rows[local]
+        i, j = la, lb
+        rle: list = []
+
+        def push(e):
+            if rle and rle[-1].edit == e:
+                rle[-1] = Edit(e, rle[-1].count + 1)
+            else:
+                rle.append(Edit(e, 1))
+
+        sw = bool(swap[r])
+        while i > 0 or j > 0:
+            t = j - i + W
+            c = int(codes[i, local, t])
+            if c == 0:
+                i -= 1
+                j -= 1
+                push(MATCH if a[i] == b[j] else MISMATCH)
+            elif c == 1:
+                j -= 1
+                push(B_GAP if sw else A_GAP)
+            elif c == 2:
+                i -= 1
+                push(A_GAP if sw else B_GAP)
+            else:
+                i -= 2
+                j -= 2
+                push(TRANSPOSE)
+        rle.reverse()
+        traces[r] = rle

@@ -193,37 +193,35 @@ def explain_edges(edges_with_texts, costs: EditCosts = LEVENSHTEIN_COSTS,
     levenshtein.rs:376-607 trace path) to match edges as a
     ``list<struct<edit, count>>`` column.
 
-    Runs the exact scalar banded kernel per row — edges are the tiny
-    post-match set, so per-row scalar cost is irrelevant; the stage is a
-    stateless ``map_batches``."""
-    from ..kernels.scalar import levenshtein_k_with_opts
+    Uses the batch-vectorized trace DP (``levenshtein_k_batch_trace``,
+    trace-parity-tested against the scalar kernel) traced at k = dist, the
+    tightest valid band."""
+    import numpy as np
+
+    from ..kernels.batch import levenshtein_k_batch_trace
 
     trace_type = pa.list_(
         pa.struct([("edit", pa.string()), ("count", pa.int64())])
     )
 
     def _explain(t: pa.Table) -> pa.Table:
-        a_texts = t["a_text"].to_pylist()
-        b_texts = t["b_text"].to_pylist()
         # the known distance is the tightest valid bound — tracing at
         # k=dist uses the narrowest band (identical trace semantics)
         if "dist" in t.column_names:
-            ks = t["dist"].to_pylist()
+            ks = np.maximum(0, t["dist"].to_numpy(zero_copy_only=False))
         elif k_col in t.column_names:
-            ks = t[k_col].to_pylist()
+            ks = np.maximum(0, t[k_col].to_numpy(zero_copy_only=False))
         else:
-            ks = [1 << 30] * t.num_rows
-        traces = []
-        for a, b, k in zip(a_texts, b_texts, ks):
-            res = levenshtein_k_with_opts(
-                a.encode(), b.encode(), max(0, int(k)), True, costs
-            )
-            if res is None:
-                traces.append(None)
-            else:
-                traces.append(
-                    [{"edit": e.edit, "count": e.count} for e in res[1]]
-                )
+            ks = np.full(t.num_rows, 1 << 30, dtype=np.int64)
+        _, raw = levenshtein_k_batch_trace(
+            t["a_text"], t["b_text"], np.asarray(ks, dtype=np.int64), costs
+        )
+        traces = [
+            None if tr is None else [
+                {"edit": e.edit, "count": e.count} for e in tr
+            ]
+            for tr in raw
+        ]
         return t.append_column("trace", pa.array(traces, trace_type))
 
     return edges_with_texts.map_batches(_explain, batch_format="pyarrow")

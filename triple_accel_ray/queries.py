@@ -202,15 +202,10 @@ def build_queries() -> Dict[str, Callable]:
         )
         import polars as _pl
 
-        # deterministic ~10% subset (ids ending in '0') keeps the scalar
-        # trace stage fast at the driver's gate scale
         matches = scored.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.equal(t["is_match"], True),
-                    pc.ends_with(t["a_id"], "0"),
-                )
-            ).select(["a_id", "b_id", "dist", "k"]),
+            lambda t: t.filter(pc.equal(t["is_match"], True)).select(
+                ["a_id", "b_id", "dist", "k"]
+            ),
             batch_format="pyarrow",
         )
         # join the texts back from the pair stream (bucketless: small set)
