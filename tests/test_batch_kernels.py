@@ -132,3 +132,37 @@ def test_batch_with_arrow_slice_offset():
     b = pa.array(["sitting", "lawn"])
     got = levenshtein_k_batch(a, b, 10)
     assert got.tolist() == [3, 2]
+
+
+def test_hamming_batch_empty_rows():
+    # trailing empty row must not truncate the preceding row's segment
+    assert hamming_batch(["ab", ""], ["aX", ""]).tolist() == [1, 0]
+    # interior + leading empties, multiple consecutive
+    a = ["", "abc", "", "", "xy", ""]
+    b = ["", "abd", "", "", "xz", ""]
+    assert hamming_batch(a, b).tolist() == [0, 1, 0, 0, 1, 0]
+    # all-empty
+    assert hamming_batch(["", ""], ["", ""]).tolist() == [0, 0]
+
+
+def test_hamming_batch_sliced_arrays():
+    parent = pa.array(["ab", "cd", "ef", "gh"], pa.string())
+    a = parent.slice(0, 2)  # ["ab", "cd"]
+    b = parent.slice(1, 2)  # ["cd", "ef"]
+    assert hamming_batch(a, b).tolist() == [2, 2]
+    # sliced vs unsliced mix
+    c = pa.array(["ab", "cd"], pa.string())
+    assert hamming_batch(parent.slice(0, 2), c).tolist() == [0, 0]
+    # sliced with empties inside
+    p2 = pa.array(["xx", "ab", "", "aY"], pa.string())
+    got = hamming_batch(p2.slice(1, 3), pa.array(["ab", "", "aZ"]))
+    assert got.tolist() == [0, 0, 1]
+
+
+def test_levenshtein_batch_sliced_arrays():
+    parent = pa.array(["kitten", "sitting", "flaw", "lawn"], pa.string())
+    got = levenshtein_batch(parent.slice(0, 2), parent.slice(2, 2))
+    assert got.tolist() == [
+        levenshtein_with_opts(b"kitten", b"flaw")[0],
+        levenshtein_with_opts(b"sitting", b"lawn")[0],
+    ]

@@ -1,12 +1,15 @@
 """Public kernel API with the reference library's entry-point names.
 
-Every function here computes the same result as its same-named counterpart in
-the reference (/root/reference/src/{hamming.rs,levenshtein.rs,lib.rs}); the
-``*_simd_*`` names are kept for API parity and dispatch to our fast paths
-(Myers bit-parallel for unit costs without traceback, banded DP otherwise) —
-the dispatch mirrors the reference's own runtime ladder
-(levenshtein.rs:766-827), which likewise guarantees identical outputs on
-every path.
+Every function here targets the reference's NAIVE/DOCUMENTED semantics
+(/root/reference/src/{hamming.rs,levenshtein.rs,lib.rs}). The reference's own
+SIMD paths diverge from its naive paths on a handful of known edge cases
+(restricted-transpose band boundaries, anchored/position-0 search matches);
+``scripts/diff_reference.py`` reproduces and arbitrates those, and this port
+resolves them in favor of the naive semantics — so ``*_simd_*`` outputs are
+NOT bit-identical to the reference's SIMD functions on exactly those inputs.
+The ``*_simd_*`` names are kept for API parity and dispatch to our fast paths
+(Myers bit-parallel for unit costs without traceback, banded DP otherwise),
+mirroring the reference's runtime ladder (levenshtein.rs:766-827).
 
 Search routines return eager lists of :class:`Match` (the reference returns
 lazy iterators; the values and order are identical).

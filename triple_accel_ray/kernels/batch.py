@@ -70,7 +70,15 @@ def to_byte_rows(col) -> Tuple[np.ndarray, np.ndarray]:
                     if buffers[2] is not None
                     else np.empty(0, np.uint8)
                 )
-                return data, offsets.astype(np.int64)
+                # rebase sliced arrays (offset != 0) so offsets[0] == 0 and
+                # data covers exactly the rows: equal row lengths then imply
+                # aligned flat buffers (data slice is a zero-copy view)
+                offsets = offsets.astype(np.int64)
+                if len(offsets):
+                    data = data[offsets[0] : offsets[-1]]
+                    if offsets[0] != 0:
+                        offsets = offsets - offsets[0]
+                return data, offsets
     except ImportError:  # pragma: no cover
         pass
 
@@ -120,15 +128,19 @@ def hamming_batch(col_a, col_b) -> np.ndarray:
         )
     if da.size != db.size:
         raise ValueError("inconsistent flat byte lengths")
+    n = len(lens_a)
+    sums = np.zeros(n, dtype=np.uint32)
     if da.size == 0:
-        return np.zeros(len(lens_a), dtype=np.uint32)
+        return sums
     neq = (da != db).astype(np.uint32)
-    # reduceat segments; empty rows (start==next start) need fixing after.
-    starts = oa[:-1].copy()
-    np.clip(starts, 0, max(0, da.size - 1), out=starts)
-    sums = np.add.reduceat(neq, starts)
-    sums[lens_a == 0] = 0
-    return sums.astype(np.uint32)
+    # reduceat only over starts of NON-EMPTY rows: those are strictly
+    # increasing and all < da.size, and the segment from one non-empty
+    # row's start to the next covers exactly that row's bytes (empty rows
+    # contribute none). Clipping all starts instead would truncate the row
+    # preceding a trailing empty row.
+    nz = lens_a > 0
+    sums[nz] = np.add.reduceat(neq, oa[:-1][nz])
+    return sums
 
 
 def bag_distance_batch(col_a, col_b) -> np.ndarray:

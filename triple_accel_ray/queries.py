@@ -694,10 +694,11 @@ WHERE strlen(a.text) >= 64 AND strlen(b.text) >= 64"""
 
     L = len(SEARCH_NEEDLE)
     o["search_exact_hits"] = f"""
-SELECT d.doc_id, s AS start, s + {L} AS "end"
-FROM documents d JOIN generate_series(0, 100000) t(s)
-  ON s <= strlen(d.text) - {L}
-WHERE substr(d.text, s + 1, {L}) = '{SEARCH_NEEDLE}'"""
+SELECT doc_id, s AS start, s + {L} AS "end"
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(0, strlen(text) - {L} + 1))) AS s
+      FROM documents)
+WHERE substr(text, s + 1, {L}) = '{SEARCH_NEEDLE}'"""
 
     o["dedup_exact"] = """
 SELECT doc_id,
@@ -819,9 +820,10 @@ FROM events GROUP BY 1, 2"""
 
     o["ngram_jaccard_adjacent"] = """
 WITH grams AS (
-  SELECT DISTINCT d.doc_id, substr(d.text, s + 1, 3) AS g
-  FROM documents d JOIN generate_series(0, 100000) t(s)
-    ON s <= strlen(d.text) - 3
+  SELECT DISTINCT doc_id, substr(text, s + 1, 3) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(0, greatest(0, strlen(text) - 2))) AS s
+        FROM documents)
 ),
 cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
 pairs AS (
@@ -836,11 +838,13 @@ inter AS (
   GROUP BY p.a_id, p.b_id
 )
 SELECT p.a_id, p.b_id,
-       CAST(coalesce(i.i, 0) AS DOUBLE)
-         / (ca.n + cb.n - coalesce(i.i, 0)) AS jac3
+       CASE WHEN coalesce(ca.n, 0) + coalesce(cb.n, 0) = 0 THEN 1.0
+            ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.i, 0))
+       END AS jac3
 FROM pairs p
-JOIN cnt ca ON ca.doc_id = p.a_id
-JOIN cnt cb ON cb.doc_id = p.b_id
+LEFT JOIN cnt ca ON ca.doc_id = p.a_id
+LEFT JOIN cnt cb ON cb.doc_id = p.b_id
 LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id"""
 
     o["top20_alpha_docs"] = """
