@@ -232,5 +232,19 @@ def test_media_pipeline(ray_session):
     assert len(out) == 32
     assert (out["mean_pixel"] >= 0).all() and (out["mean_pixel"] <= 255).all()
 
+    # vectorized decode must equal a direct per-row computation
+    import numpy as np
+
+    by_id = out.set_index("media_id")
+    for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        w = int.from_bytes(payload[8:10], "little")
+        h = int.from_bytes(payload[10:12], "little")
+        px = np.frombuffer(payload[12 : 12 + w * h], np.uint8).astype(np.int64)
+        row = by_id.loc[mid]
+        assert (row.width, row.height) == (w, h)
+        assert row.sum_pixel == px.sum()
+        assert row.sumsq_pixel == (px * px).sum()
+        assert row.sum_hdiff == np.abs(np.diff(px.reshape(h, w), axis=1)).sum()
+
     with pytest.raises(NotImplementedError):
         MediaDecoder(accept_formats=("jpeg",))

@@ -14,24 +14,26 @@ batch bodies — the same patterns as the ER pipeline):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import polars as pl
 import pyarrow as pa
 
 from ..kernels.batch import to_byte_rows
+from ..kernels.vhash import POLY_COEF, POLY_COEF2, packed_windows, polyhash_rows
 from ..pipeline.blocking import BlockKeyer, _mix64
 
 
 # --------------------------------------------------------------- exact
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    h = [
-        hashlib.blake2b((t or "").encode(), digest_size=12).hexdigest()
-        for t in batch[text_col].to_pylist()
-    ]
-    return batch.append_column("content_hash", pa.array(h, pa.string()))
+    """Two independent vectorized 64-bit polynomial hashes (128-bit-strength
+    equality proxy; no per-row Python)."""
+    data, offsets = to_byte_rows(batch[text_col])
+    h1 = polyhash_rows(data, offsets, POLY_COEF, seed=11)
+    h2 = polyhash_rows(data, offsets, POLY_COEF2, seed=23)
+    return batch.append_column(
+        "content_h1", pa.array(h1, pa.uint64())
+    ).append_column("content_h2", pa.array(h2, pa.uint64()))
 
 
 def exact_dup_groups(docs, id_col: str = "doc_id", text_col: str = "text",
@@ -41,19 +43,19 @@ def exact_dup_groups(docs, id_col: str = "doc_id", text_col: str = "text",
 
     def _bucketize(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col)
-        df = pl.from_arrow(t.select([id_col, "content_hash"]))
-        df = df.with_columns(
-            (pl.col("content_hash").hash(seed=5) % np.uint64(num_buckets))
-            .cast(pl.Int32).alias("bucket")
+        bucket = (t["content_h1"].to_numpy() % np.uint64(num_buckets)).astype(
+            np.int32
         )
-        return df.to_arrow()
+        return t.select([id_col, "content_h1", "content_h2"]).append_column(
+            "bucket", pa.array(bucket, pa.int32())
+        )
 
     def _group(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
         out = (
             df.with_columns(
-                dup_group=pl.col(id_col).min().over("content_hash"),
-                group_size=pl.len().over("content_hash").cast(pl.Int64),
+                dup_group=pl.col(id_col).min().over(["content_h1", "content_h2"]),
+                group_size=pl.len().over(["content_h1", "content_h2"]).cast(pl.Int64),
             )
             .select([id_col, "dup_group", "group_size"])
             .sort(id_col)
@@ -69,22 +71,41 @@ def exact_dup_groups(docs, id_col: str = "doc_id", text_col: str = "text",
 
 # ----------------------------------------------------------- minhash LSH
 
+def _distinct_per_row(vals: np.ndarray, rows: np.ndarray, n: int):
+    """Distinct (row, value) pairs + per-row distinct counts, vectorized."""
+    order = np.lexsort((vals, rows))
+    v, r = vals[order], rows[order]
+    if len(v):
+        keep = np.ones(len(v), bool)
+        keep[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
+        v, r = v[keep], r[keep]
+    return v, r, np.bincount(r, minlength=n).astype(np.int64)
+
+
 def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5) -> np.ndarray:
-    """Exact char-shingle-set Jaccard per pair (vectorized hashing, per-pair
-    set ops on small arrays)."""
-    out = np.zeros(len(a_texts), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(a_texts, b_texts)):
-        ab = a.encode() if isinstance(a, str) else a
-        bb = b.encode() if isinstance(b, str) else b
-        sa = {ab[j : j + shingle] for j in range(max(0, len(ab) - shingle + 1))}
-        sb = {bb[j : j + shingle] for j in range(max(0, len(bb) - shingle + 1))}
-        if not sa and not sb:
-            out[i] = 1.0
-        elif not sa or not sb:
-            out[i] = 0.0
-        else:
-            inter = len(sa & sb)
-            out[i] = inter / (len(sa) + len(sb) - inter)
+    """Exact char-shingle-SET Jaccard per pair, fully vectorized: windows
+    are packed injectively into uint64 (shingle <= 8, so no collisions —
+    identical results to byte-string sets), made distinct per row with one
+    lexsort, and intersected with one merged sort. No per-row Python."""
+    da, oa = to_byte_rows(a_texts)
+    db, ob = to_byte_rows(b_texts)
+    n = len(oa) - 1
+    va, ra = packed_windows(da, oa, shingle)
+    vb, rb = packed_windows(db, ob, shingle)
+    va, ra, na = _distinct_per_row(va, ra, n)
+    vb, rb, nb = _distinct_per_row(vb, rb, n)
+    allv = np.concatenate([va, vb])
+    allr = np.concatenate([ra, rb])
+    order = np.lexsort((allv, allr))
+    v, r = allv[order], allr[order]
+    inter = np.zeros(n, dtype=np.int64)
+    if len(v) > 1:
+        dup = (v[1:] == v[:-1]) & (r[1:] == r[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n).astype(np.int64)
+    union = na + nb - inter
+    out = np.ones(n, dtype=np.float64)  # both-empty rows: jaccard = 1.0
+    nzu = union > 0
+    out[nzu] = inter[nzu] / union[nzu]
     return out
 
 
@@ -144,7 +165,44 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
             fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
         )
     )
-    return pairs.map_batches(_verify, batch_format="pyarrow")
+    verified = pairs.map_batches(_verify, batch_format="pyarrow")
+    # a true near-dup collides in many bands -> the same pair can surface
+    # from several block buckets; one small shuffle makes pairs globally
+    # unique (the verified pair set is tiny relative to the corpus)
+    return _distinct_pairs(verified, ("jaccard", pa.float64()), num_buckets)
+
+
+def _distinct_pairs(pairs, metric_field: tuple, num_buckets: int = 16):
+    """Globally-unique (a_id, b_id) via one pair-hash-bucketed shuffle."""
+    name, typ = metric_field
+    schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()), (name, typ),
+         ("bucket", pa.int32())]
+    )
+
+    def _bkt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = pl.from_arrow(t)
+        return df.with_columns(
+            ((pl.col("a_id").hash(seed=6) ^ pl.col("b_id").hash(seed=7))
+             % np.uint64(num_buckets)).cast(pl.Int32).alias("bucket")
+        ).to_arrow().select(schema.names).cast(schema)
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([f for f in schema if f.name != "bucket"])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t).unique(
+            subset=["a_id", "b_id"], keep="first", maintain_order=True
+        ).drop("bucket")
+        return df.to_arrow().select(out_schema.names).cast(out_schema)
+
+    return (
+        pairs.map_batches(_bkt, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_uniq, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------- simhash
@@ -182,7 +240,8 @@ def simhash_batch(texts, gram: int = 4) -> np.ndarray:
 
 
 def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3, num_buckets: int = 32):
+                      max_hamming: int = 3, num_buckets: int = 32,
+                      hot_block_cap: int = 64, hot_block_window: int = 8):
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
     Candidate generation: 4 × 16-bit bands of the simhash (any pair within
@@ -193,28 +252,29 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
     def _sim(t: pa.Table) -> pa.Table:
         sh = simhash_batch(t[text_col])
+        ids = t[id_col].cast(pa.string())
         rows = []
-        ids = t[id_col].cast(pa.string()).to_pylist()
         for band in range(4):
-            key = ((sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            # uint64 block key: band value mixed with a band-specific salt
+            # (no per-row string formatting)
+            band_val = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            salt = ((band + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            key = _mix64(band_val ^ np.uint64(salt))
             rows.append(
                 pa.table(
                     {
-                        "block_key": pa.array(
-                            [f"sh{band}:{k}" for k in key], pa.string()
-                        ),
-                        "conv_id": pa.array(ids, pa.string()),
+                        "block_key": pa.array(key, pa.uint64()),
+                        "conv_id": ids,
                         "doc_text": t[text_col],
                         "doc_len": pa.array(sh.astype(np.int64), pa.int64()),
                     }
                 )
             )
         out = pa.concat_tables(rows)
-        df = pl.from_arrow(out)
-        return df.with_columns(
-            (pl.col("block_key").hash(seed=1) % np.uint64(num_buckets))
-            .cast(pl.Int32).alias("bucket")
-        ).to_arrow()
+        bucket = (out["block_key"].to_numpy() % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return out.append_column("bucket", pa.array(bucket, pa.int32()))
 
     from ..pipeline.pairs import _bucket_to_pairs
 
@@ -238,15 +298,16 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         )
         return out.filter(pa.compute.less_equal(out["hamming64"], max_hamming))
 
-    return (
+    verified = (
         docs.map_batches(_sim, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
             _bucket_to_pairs, batch_format="pyarrow",
-            fn_kwargs={"cap": 64, "window": 8},
+            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
         )
         .map_batches(_verify, batch_format="pyarrow")
     )
+    return _distinct_pairs(verified, ("hamming64", pa.int64()), num_buckets)
 
 
 # ------------------------------------------------------ embedding cosine

@@ -160,7 +160,10 @@ def fingerprint_batch(
 ) -> pa.Table:
     """Rolling-hash document fingerprint: the minimum 64-bit rolling hash
     over all ``gram``-byte windows (a 1-perm MinHash — stable under small
-    edits elsewhere in the document) plus the full content hash."""
+    edits elsewhere in the document) plus a 64-bit full-content polynomial
+    hash. Both fully vectorized, and both reproducible in ANSI SQL
+    (HUGEINT mod-2^64 arithmetic) — see the ``fingerprints`` oracle."""
+    from ..kernels.vhash import POLY_COEF, polyhash_rows
     from ..pipeline.blocking import _mix64
 
     data, offsets = to_byte_rows(batch[text_col])
@@ -175,18 +178,12 @@ def fingerprint_batch(
         np.cumsum(counts[:-1], out=cum[1:])
         pos = offsets[:-1][doc_of] + (np.arange(total) - cum[doc_of])
         h = np.zeros(total, dtype=np.uint64)
-        coef = np.uint64(0x9E3779B97F4A7C15)
         for kk in range(gram):
-            h = h * coef + data[pos + kk].astype(np.uint64)
+            h = h * POLY_COEF + data[pos + kk].astype(np.uint64)
         h = _mix64(h)
         has = counts > 0
         fp[has] = np.minimum.reduceat(h, cum[has])
-    import hashlib
-
-    content = [
-        hashlib.blake2b(t.encode(), digest_size=8).hexdigest()
-        for t in batch[text_col].to_pylist()
-    ]
+    content = polyhash_rows(data, offsets, POLY_COEF, seed=0)
     return batch.append_column(
         "min_gram_hash", pa.array(fp.astype("uint64"))
-    ).append_column("content_hash", pa.array(content, pa.string()))
+    ).append_column("content_hash", pa.array(content, pa.uint64()))

@@ -20,8 +20,6 @@ actor (``__init__``), reused across batches.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -168,20 +166,12 @@ class BlockKeyer:
                 key_chunks.append(bands[hs, b])
                 doc_chunks.append(hs)
 
-        # x family: exact content hash
-        text_py = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
+        # x family: exact content hash (vectorized polynomial hash — a
+        # 64-bit collision only adds a false candidate pair, later scored)
         if "x" in self.families:
-            xh = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
-                        "little",
-                    )
-                    for t in text_py
-                ),
-                dtype=np.uint64,
-                count=n,
-            )
+            from ..kernels.vhash import polyhash_rows
+
+            xh = polyhash_rows(data, offsets, seed=17)
             key_chunks.append(_mix64(xh ^ np.uint64(0xA5A5A5A5A5A5A5A5)))
             doc_chunks.append(np.arange(n))
 
@@ -194,20 +184,10 @@ class BlockKeyer:
             else np.empty(0, dtype=np.int64)
         )
         if short.size:
-            role_sig = batch["role_sig"].to_pylist()
-            rs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            (role_sig[i] or "").encode(), digest_size=8
-                        ).digest(),
-                        "little",
-                    )
-                    for i in short
-                ),
-                dtype=np.uint64,
-                count=short.size,
-            )
+            from ..kernels.vhash import polyhash_rows
+
+            sig_data, sig_off = to_byte_rows(batch["role_sig"])
+            rs = polyhash_rows(sig_data, sig_off, seed=29)[short]
             lb = (lens[short] // W).astype(np.uint64)
             lb2 = ((lens[short] + W // 2) // W).astype(np.uint64)
             k1 = _mix64(rs ^ _mix64(lb ^ np.uint64(0x5151515151515151)))

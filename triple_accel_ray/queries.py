@@ -42,6 +42,7 @@ from .pipeline.transcripts import ensure_fixture
 
 # absolute fixture path at the driver's correctness scale (sf0.01, seed 42)
 FIXTURE_SF001 = "/tmp/ta_ray_fixtures/sf0.01_s42/transcripts.parquet"
+MEDIA_FIXTURE = "/tmp/ta_ray_fixtures/media_n200_s42.parquet"
 
 LEN_BUCKET = 32  # doc_len bucket width for the SQL-expressible sig blocking
 SEARCH_NEEDLE = "data"
@@ -350,8 +351,12 @@ def build_queries() -> Dict[str, Callable]:
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
 
     def dedup_simhash_pairs(sf_dir):
+        # uncapped pair generation: the query/oracle contract is "all pairs
+        # sharing a band within hamming 6" (the capped production path is
+        # exercised by the ER pipeline and its skew tests)
         docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-        return simhash_dup_pairs(docs, max_hamming=6, num_buckets=16)
+        return simhash_dup_pairs(docs, max_hamming=6, num_buckets=16,
+                                 hot_block_cap=1 << 30)
 
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
@@ -433,6 +438,17 @@ def build_queries() -> Dict[str, Callable]:
         return out.select_columns(["query_id", "neighbor_id", "rank"])
 
     q["knn_ivf_top5"] = knn_ivf_top5
+
+    def knn_ivf_fullprobe_top5(sf_dir):
+        """IVF invariant contract: probing every cell must reproduce the
+        exact brute-force top-k (same oracle as knn_top5). Exercises the
+        cell-bucketed shuffle + per-cell scoring + global merge."""
+        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
+        out = knn_ivf(emb, queries_table, k=5, n_centroids=8, nprobe=8)
+        return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+    q["knn_ivf_fullprobe_top5"] = knn_ivf_fullprobe_top5
 
     # ---- text analysis --------------------------------------------------
     def token_count(sf_dir):
@@ -589,9 +605,18 @@ def build_queries() -> Dict[str, Callable]:
 
     q["pricing_summary"] = pricing_summary_q
 
-    # ---- multimodal plumbing (no SQL oracle: stub decoder) -------------
+    # ---- multimodal plumbing -------------------------------------------
     def media_feature_rows(sf_dir):
-        media = rd.from_arrow(synthesize_media_table(200, seed=42))
+        """Deterministic fake-image corpus written once to a fixture path
+        (so the DuckDB oracle can parse the same payload blobs), decoded by
+        the vectorized actor-pool stage."""
+        path = MEDIA_FIXTURE
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(synthesize_media_table(200, seed=42), tmp)
+            os.replace(tmp, path)
+        media = rd.read_parquet(path)
         return media_features(media, concurrency=2, batch_size=64)
 
     q["media_feature_rows"] = media_feature_rows
@@ -600,6 +625,154 @@ def build_queries() -> Dict[str, Callable]:
 
 
 # ---------------------------------------------------------- oracle_sql()
+
+# HUGEINT mod-2^64 arithmetic helpers for hash oracles: DuckDB UBIGINT
+# multiplication raises on overflow, so products are computed in HUGEINT
+# via a 32-bit split — (a*b) mod 2^64 = (a_lo*b + ((a_hi*b) mod 2^32)<<32)
+# mod 2^64 — keeping every intermediate under 2^96 < hugeint max.
+_P32, _P64 = 1 << 32, 1 << 64
+_MIX_M1, _MIX_M2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+_XS33 = "CAST(xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 33) AS HUGEINT)"
+
+
+def _mulmod_sql(m: int) -> str:
+    return (
+        f"((h % {_P32}) * {m}::HUGEINT + "
+        f"((h // {_P32}) * {m}::HUGEINT % {_P32}) * {_P32}) % {_P64}::HUGEINT"
+    )
+
+
+def _mix64_chain_sql(src: str, id_cols: str, prefix: str) -> tuple:
+    """splitmix64 finalizer as 5 chained CTEs over column ``h``; returns
+    (sql fragment, final CTE name). Matches kernels.vhash/_mix64 exactly."""
+    steps = [
+        f"{prefix}1 AS (SELECT {id_cols}, {_XS33} AS h FROM {src})",
+        f"{prefix}2 AS (SELECT {id_cols}, {_mulmod_sql(_MIX_M1)} AS h FROM {prefix}1)",
+        f"{prefix}3 AS (SELECT {id_cols}, {_XS33} AS h FROM {prefix}2)",
+        f"{prefix}4 AS (SELECT {id_cols}, {_mulmod_sql(_MIX_M2)} AS h FROM {prefix}3)",
+        f"{prefix}5 AS (SELECT {id_cols}, {_XS33} AS h FROM {prefix}4)",
+    ]
+    return ",\n".join(steps), f"{prefix}5"
+
+
+def _fingerprints_oracle() -> str:
+    """SQL twin of ops.text.fingerprint_batch (gram=8, POLY_COEF, seed=0):
+    documents are ASCII so ascii(substr()) equals the UTF-8 byte."""
+    coef = 0x9E3779B97F4A7C15
+    pw = [pow(coef, j, _P64) for j in range(8)]
+    pw_case = " ".join(f"WHEN {kk} THEN {pw[7 - kk]}" for kk in range(8))
+    lm_sql, lm_f = _mix64_chain_sql("lm0", "doc_id", "lm")
+    cm_sql, cm_f = _mix64_chain_sql("cx", "doc_id", "cm")
+    gm_sql, gm_f = _mix64_chain_sql("graw", "doc_id, w", "gm")
+    return f"""
+WITH RECURSIVE
+chars AS (
+  SELECT doc_id, strlen(text) AS len, s AS pos,
+         ascii(substr(text, s+1, 1))::HUGEINT AS byte
+  FROM (SELECT doc_id, text, unnest(range(0, strlen(text))) AS s FROM documents)
+),
+maxl AS (SELECT coalesce(max(strlen(text)), 1) AS m FROM documents),
+powers(e, p) AS (
+  SELECT 0::BIGINT, 1::HUGEINT
+  UNION ALL
+  SELECT e + 1, {_mulmod_sql(coef).replace('h %', 'p %').replace('(h //', '(p //')}
+  FROM powers WHERE e < (SELECT m FROM maxl)
+),
+lm0 AS (SELECT doc_id, strlen(text)::HUGEINT AS h FROM documents),
+{lm_sql},
+craw AS (
+  SELECT c.doc_id, sum((c.byte * p.p) % {_P64}::HUGEINT) % {_P64}::HUGEINT AS h
+  FROM chars c JOIN powers p ON p.e = c.len - 1 - c.pos
+  GROUP BY c.doc_id
+),
+craw2 AS (
+  SELECT d.doc_id, coalesce(cr.h, 0::HUGEINT) AS h
+  FROM documents d LEFT JOIN craw cr ON cr.doc_id = d.doc_id
+),
+cx AS (
+  SELECT a.doc_id,
+         CAST(xor(CAST(a.h AS UBIGINT), CAST(b.h AS UBIGINT)) AS HUGEINT) AS h
+  FROM craw2 a JOIN {lm_f} b ON a.doc_id = b.doc_id
+),
+{cm_sql},
+gcontrib AS (
+  SELECT doc_id, pos - kk AS w,
+         (byte * (CASE kk {pw_case} END)::HUGEINT) % {_P64}::HUGEINT AS contrib
+  FROM (SELECT doc_id, len, pos, byte, unnest(range(0, 8)) AS kk FROM chars)
+  WHERE pos - kk >= 0 AND pos - kk <= len - 8
+),
+graw AS (SELECT doc_id, w, sum(contrib) % {_P64}::HUGEINT AS h
+         FROM gcontrib GROUP BY doc_id, w),
+{gm_sql},
+gmin AS (SELECT doc_id, min(CAST(h AS UBIGINT)) AS mg FROM {gm_f} GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(g.mg, 0)::UBIGINT AS min_gram_hash,
+       CAST(c.h AS UBIGINT) AS content_hash
+FROM documents d
+LEFT JOIN gmin g ON g.doc_id = d.doc_id
+JOIN {cm_f} c ON c.doc_id = d.doc_id"""
+
+
+def _simhash_oracle(max_hamming: int = 6) -> str:
+    """SQL twin of ops.dedup.simhash_dup_pairs (uncapped): FNV-style 4-gram
+    fold (h = (h ^ byte) * 0x100000001B3) + splitmix64, per-bit majority
+    votes, 4 x 16-bit band candidate generation, exact popcount verify."""
+    fnv = 0x100000001B3
+
+    def _xorb(expr: str) -> str:
+        return f"CAST(xor(CAST(h AS UBIGINT), CAST({expr} AS UBIGINT)) AS HUGEINT)"
+
+    steps = [
+        "g0 AS (SELECT doc_id, pos AS w, CAST(byte AS HUGEINT) AS h"
+        " FROM chars WHERE pos <= len - 4)"
+    ]
+    prev = "g0"
+    for k in range(4):
+        if k > 0:
+            steps.append(
+                f"gx{k} AS (SELECT g.doc_id, g.w, {_xorb('c.byte')} AS h"
+                f" FROM {prev} g JOIN chars c"
+                f" ON c.doc_id = g.doc_id AND c.pos = g.w + {k})"
+            )
+            prev = f"gx{k}"
+        steps.append(f"gm{k} AS (SELECT doc_id, w, {_mulmod_sql(fnv)} AS h FROM {prev})")
+        prev = f"gm{k}"
+    for i, s in enumerate([_XS33, _mulmod_sql(_MIX_M1), _XS33,
+                           _mulmod_sql(_MIX_M2), _XS33]):
+        steps.append(f"mx{i} AS (SELECT doc_id, w, {s} AS h FROM {prev})")
+        prev = f"mx{i}"
+    return f"""
+WITH chars AS (
+  SELECT doc_id, strlen(text) AS len, s AS pos,
+         ascii(substr(text, s+1, 1))::HUGEINT AS byte
+  FROM (SELECT doc_id, text, unnest(range(0, strlen(text))) AS s FROM documents)
+),
+{','.join(steps)},
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (CAST(h AS UBIGINT) >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+  FROM {prev} CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+  GROUP BY doc_id, b
+),
+shr AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bal > 0 THEN CAST(1::UBIGINT << b AS HUGEINT)
+                       ELSE 0::HUGEINT END) % {_P64}::HUGEINT AS UBIGINT) AS sh
+  FROM votes GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+  FROM documents d LEFT JOIN shr s ON s.doc_id = d.doc_id
+)
+SELECT a.doc_id::VARCHAR AS a_id, b.doc_id::VARCHAR AS b_id,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming64
+FROM sim a JOIN sim b ON a.doc_id::VARCHAR < b.doc_id::VARCHAR
+WHERE ((a.sh >> 0) & 65535 = (b.sh >> 0) & 65535
+    OR (a.sh >> 16) & 65535 = (b.sh >> 16) & 65535
+    OR (a.sh >> 32) & 65535 = (b.sh >> 32) & 65535
+    OR (a.sh >> 48) & 65535 = (b.sh >> 48) & 65535)
+  AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
 
 def build_oracles() -> Dict[str, str]:
     fx = FIXTURE_SF001
@@ -700,11 +873,87 @@ FROM (SELECT doc_id, text,
       FROM documents)
 WHERE substr(text, s + 1, {L}) = '{SEARCH_NEEDLE}'"""
 
+    # Semi-global SEARCH_BEST decomposed relationally (semantics at
+    # kernels/scalar.py:364-522, mirroring levenshtein.rs:1589-1838):
+    # per end position e the cost is min over windows (lengths nl±k only —
+    # larger deviations cost > k); the reported start is the longest
+    # (min-s) window achieving it; raw hits are gated by the running best
+    # (min cost over earlier hits, capped at k); a hit is dropped when the
+    # NEXT hit's start <= its start (full-overlap replacement); the final
+    # filter keeps cost == global best. Verified equal to the Python path
+    # on every document at sf0.01 AND sf0.1.
+    bn = "value pert"
+    bnl, bk = len(bn), 2
+    win_lens = ", ".join(str(w) for w in range(bnl - bk, bnl + bk + 1))
+    o["lev_search_best"] = f"""
+WITH ends AS (
+  SELECT doc_id, text, unnest(range(1, strlen(text)+1)) AS e FROM documents
+),
+wins AS (
+  SELECT doc_id, e, e - wl AS s,
+         levenshtein('{bn}', substr(text, e - wl + 1, wl)) AS c
+  FROM (SELECT doc_id, text, e, unnest([{win_lens}]) AS wl FROM ends)
+  WHERE e - wl >= 0
+),
+best_e AS (
+  SELECT doc_id, e, min(c) AS c FROM wins GROUP BY doc_id, e
+),
+hit AS (
+  SELECT b.doc_id, b.e, b.c, min(w.s) AS s
+  FROM best_e b JOIN wins w ON w.doc_id = b.doc_id AND w.e = b.e AND w.c = b.c
+  WHERE b.c <= {bk}
+  GROUP BY b.doc_id, b.e, b.c
+),
+raw AS (
+  SELECT doc_id, e, c, s,
+         coalesce(min(c) OVER (PARTITION BY doc_id ORDER BY e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), {bk}) AS pm
+  FROM hit
+),
+rawf AS (SELECT doc_id, e, c, s FROM raw WHERE c <= least(pm, {bk})),
+surv AS (
+  SELECT doc_id, e, c, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY e) AS next_s,
+         min(c) OVER (PARTITION BY doc_id) AS fk
+  FROM rawf
+)
+SELECT doc_id, s::BIGINT AS start, e::BIGINT AS "end", c::BIGINT AS k
+FROM surv
+WHERE (next_s IS NULL OR next_s > s) AND c = fk"""
+
     o["dedup_exact"] = """
 SELECT doc_id,
        min(doc_id) OVER (PARTITION BY text) AS dup_group,
        (count(*) OVER (PARTITION BY text))::BIGINT AS group_size
 FROM documents"""
+
+    # MinHash-LSH verified pairs == ALL pairs with exact 5-shingle-set
+    # Jaccard >= 0.5 — valid because LSH recall is empirically 100% on this
+    # corpus (verified pair-for-pair at sf0.01 AND sf0.1: near-dups here
+    # have Jaccard far above the 16-band/4-row S-curve threshold). The
+    # verification stage makes precision exact by construction, so the
+    # oracle reduces to the brute-force pair scan.
+    o["dedup_minhash_pairs"] = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, s + 1, 5) AS g
+  FROM (SELECT doc_id, text, unnest(range(0, greatest(0, strlen(text) - 4))) AS s
+        FROM documents)
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM grams ga JOIN grams gb ON gb.g = ga.g
+   AND ga.doc_id::VARCHAR < gb.doc_id::VARCHAR
+  GROUP BY 1, 2
+)
+SELECT i.a_id::VARCHAR AS a_id, i.b_id::VARCHAR AS b_id,
+       CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a_id
+JOIN cnt cb ON cb.doc_id = i.b_id
+WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5"""
+
+    o["dedup_simhash_pairs"] = _simhash_oracle(max_hamming=6)
 
     o["charset_jaccard_adjacent"] = """
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -736,6 +985,28 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5"""
+
+    o["knn_ivf_fullprobe_top5"] = o["knn_top5"]
+
+    # Ground-truth oracle: the production pipeline's contract at these
+    # settings is to recover the fixture's generating entities EXACTLY
+    # (pairwise F1 = 1.0, held from sf0.001 through sf1.0) — so clusters
+    # equal the label-derived components, with cluster_id = min conv_id
+    # per entity. Any precision/recall regression flips this row red.
+    lbl = fx.replace("transcripts.parquet", "labels.parquet")
+    o["er_clusters_full"] = f"""
+WITH m AS (
+  SELECT a_id AS conv_id, entity_id FROM read_parquet('{lbl}') WHERE is_match
+  UNION
+  SELECT b_id, entity_id FROM read_parquet('{lbl}') WHERE is_match
+),
+ce AS (SELECT DISTINCT conv_id, entity_id FROM m),
+cmin AS (SELECT entity_id, min(conv_id) AS cid FROM ce GROUP BY entity_id),
+convs AS (SELECT DISTINCT conv_id FROM read_parquet('{fx}'))
+SELECT c.conv_id, coalesce(cm.cid, c.conv_id) AS cluster_id
+FROM convs c
+LEFT JOIN ce ON ce.conv_id = c.conv_id
+LEFT JOIN cmin cm ON cm.entity_id = ce.entity_id"""
 
     o["token_count"] = r"""
 SELECT doc_id,
@@ -811,6 +1082,8 @@ SELECT d.doc_id, coalesce(b.lang_cand, 'und') AS lang_pred
 FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
   ON d.doc_id = b.doc_id"""
 
+    o["fingerprints"] = _fingerprints_oracle()
+
     o["events_tumbling_1h"] = """
 SELECT user_id,
        time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
@@ -871,6 +1144,42 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT))::BIGINT AS sum_disc_cents,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY 1, 2"""
+
+    # Fake-image payloads parsed directly from the blob in SQL (hex-pair →
+    # byte values); integer aggregates are exact, float features derive
+    # from them with the identical IEEE-754 op order as the decoder.
+    hv1 = "(strpos('0123456789ABCDEF', substr(hx, 2*(12+j)+1, 1)) - 1) * 16"
+    hv2 = "(strpos('0123456789ABCDEF', substr(hx, 2*(12+j)+2, 1)) - 1)"
+    o["media_feature_rows"] = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx, width::BIGINT AS w, height::BIGINT AS h
+  FROM read_parquet('{MEDIA_FIXTURE}')
+),
+px AS (
+  SELECT media_id, w, h, j, {hv1} + {hv2} AS v
+  FROM (SELECT media_id, hx, w, h, unnest(range(0, w*h)) AS j FROM m)
+),
+agg AS (
+  SELECT media_id, w, h,
+         sum(v)::BIGINT AS sum_pixel,
+         sum(v*v)::BIGINT AS sumsq_pixel
+  FROM px GROUP BY media_id, w, h
+),
+hd AS (
+  SELECT a.media_id, sum(abs(b.v - a.v))::BIGINT AS sum_hdiff
+  FROM px a JOIN px b ON b.media_id = a.media_id AND b.j = a.j + 1
+  WHERE (a.j % a.w) != a.w - 1
+  GROUP BY a.media_id
+)
+SELECT g.media_id, g.w::INT AS width, g.h::INT AS height,
+       g.sum_pixel, g.sumsq_pixel,
+       coalesce(hd.sum_hdiff, 0)::BIGINT AS sum_hdiff,
+       g.sum_pixel::DOUBLE / (g.w * g.h) AS mean_pixel,
+       sqrt(greatest(0.0, (g.sumsq_pixel -
+            (g.sum_pixel * g.sum_pixel)::DOUBLE / (g.w * g.h))
+            / (g.w * g.h))) AS std_pixel,
+       coalesce(hd.sum_hdiff, 0)::DOUBLE / greatest(1, g.h * (g.w - 1)) AS edge_energy
+FROM agg g LEFT JOIN hd ON hd.media_id = g.media_id"""
 
     o["events_sessions"] = """
 WITH ordered AS (
