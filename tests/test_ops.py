@@ -248,3 +248,44 @@ def test_media_pipeline(ray_session):
 
     with pytest.raises(NotImplementedError):
         MediaDecoder(accept_formats=("jpeg",))
+
+
+def test_embedding_dup_pairs_block_and_ivf(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_ivf,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(120, 16))
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    # 30 near-clones of the first 30 vectors (tiny perturbation)
+    clones = base[:30] + rng.normal(scale=0.01, size=(30, 16))
+    clones /= np.linalg.norm(clones, axis=1)[:, None]
+    M = np.concatenate([base, clones])
+    ids = np.arange(len(M))
+    t = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array(list(M.astype(np.float32)))}
+    )
+
+    exact = embedding_dup_pairs(
+        rd.from_arrow(t), threshold=0.95, target_chunk_rows=40
+    ).to_pandas()
+    se = set(zip(exact.a_id, exact.b_id))
+    # every clone pair qualifies, no duplicates emitted
+    assert len(exact) == len(se)
+    assert {(i, i + 120) for i in range(30)} <= se
+
+    ivf = embedding_dup_pairs_ivf(
+        rd.from_arrow(t), threshold=0.95, n_centroids=8, nprobe=3,
+        num_buckets=8,
+    ).to_pandas()
+    si = set(zip(ivf.a_id, ivf.b_id))
+    assert len(ivf) == len(si)  # globally distinct
+    assert si <= se  # exact verification => no false positives
+    assert len(si) >= 0.9 * len(se)  # multi-probe recall on near-clones

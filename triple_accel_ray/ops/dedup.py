@@ -312,38 +312,219 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
 # ------------------------------------------------------ embedding cosine
 
-def embedding_dup_pairs(embeddings, threshold: float = 0.95,
-                        id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Cosine near-dup pairs: every batch scores against a broadcast
-    normalized corpus matrix (ray.put once, read per task — no shuffle).
-    Exact at small corpus scale; the LSH-bucketed variant in similarity.py
-    is the scale path."""
+def _stack_vecs(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def blockwise_pair_scores(embeddings, score_chunk_pair,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          target_chunk_rows: int = 8192):
+    """Exact all-pairs scoring as a distributed block-pair fan-out.
+
+    The corpus is materialized to OBJECT-STORE blocks (never the driver),
+    re-chunked to ~``target_chunk_rows`` rows, and every chunk pair (i, j),
+    i <= j, becomes one task that fetches exactly two chunks and calls
+    ``score_chunk_pair(ids_a, va, ids_b, vb, same)`` -> pa.Table. Memory
+    per task is two chunks + one (rows_a, rows_b) score matrix; compute is
+    inherently O(n^2) — that is the SEMANTICS of "all pairs above a low
+    threshold", not an implementation artifact. For high-threshold
+    near-dup use :func:`embedding_dup_pairs_ivf` (sub-quadratic,
+    approximate) instead.
+    """
+    import math
+
     import ray
+    import ray.data as rd
 
-    mat_table = embeddings.select_columns([id_col, vec_col]).to_pandas()
-    ids = mat_table[id_col].to_numpy()
-    M = np.stack(mat_table[vec_col].to_numpy()).astype(np.float64)
-    M /= np.maximum(1e-12, np.linalg.norm(M, axis=1))[:, None]
-    ref = ray.put((ids, M))
+    n = embeddings.count()
+    n_chunks = max(1, math.ceil(n / target_chunk_rows))
+    mat = (
+        embeddings.select_columns([id_col, vec_col])
+        .repartition(n_chunks)
+        .materialize()
+    )
+    refs = [
+        blk
+        for bundle in mat.iter_internal_ref_bundles()
+        for blk in bundle.block_refs
+    ]
 
-    def _score(batch: pa.Table) -> pa.Table:
-        all_ids, mat = ray.get(ref)
-        q = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        q /= np.maximum(1e-12, np.linalg.norm(q, axis=1))[:, None]
-        qids = batch[id_col].to_numpy()
-        sims = q @ mat.T
-        a_out, b_out, s_out = [], [], []
-        for r in range(sims.shape[0]):
-            hit = np.nonzero(sims[r] >= threshold)[0]
-            for c in hit:
-                if qids[r] < all_ids[c]:
-                    a_out.append(int(qids[r]))
-                    b_out.append(int(all_ids[c]))
-                    s_out.append(float(sims[r, c]))
+    items = [
+        {"i": i, "j": j}
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+
+    def _score_task(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ta = ray.get(refs[i])
+            ids_a = ta[id_col].to_numpy()
+            va = _stack_vecs(ta[vec_col])
+            if i == j:
+                outs.append(score_chunk_pair(ids_a, va, ids_a, va, True))
+            else:
+                tb = ray.get(refs[j])
+                outs.append(
+                    score_chunk_pair(
+                        ids_a, va, tb[id_col].to_numpy(),
+                        _stack_vecs(tb[vec_col]), False,
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        _score_task, batch_format="pyarrow"
+    )
+
+
+def embedding_dup_pairs(embeddings, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        target_chunk_rows: int = 8192):
+    """EXACT cosine near-dup pairs via the block-pair fan-out: vectorized
+    hit extraction (one np.nonzero on the whole score matrix), canonical
+    a_id < b_id, no driver-side corpus materialization or broadcast."""
+
+    def _score(ids_a, va, ids_b, vb, same):
+        va = va / np.maximum(1e-12, np.linalg.norm(va, axis=1))[:, None]
+        vb = vb / np.maximum(1e-12, np.linalg.norm(vb, axis=1))[:, None]
+        sims = va @ vb.T
+        r, c = np.nonzero(sims >= threshold)
+        a, b, s = ids_a[r], ids_b[c], sims[r, c]
+        keep = a < b if same else a != b
+        a, b, s = a[keep], b[keep], s[keep]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
         return pa.table(
-            {"a_id": pa.array(a_out, pa.int64()),
-             "b_id": pa.array(b_out, pa.int64()),
-             "cosine": pa.array(s_out, pa.float64())}
+            {"a_id": pa.array(a2, pa.int64()),
+             "b_id": pa.array(b2, pa.int64()),
+             "cosine": pa.array(s, pa.float64())}
         )
 
-    return embeddings.map_batches(_score, batch_format="pyarrow")
+    return blockwise_pair_scores(
+        embeddings, _score, id_col, vec_col, target_chunk_rows
+    )
+
+
+def embedding_dup_pairs_ivf(embeddings, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_centroids: int = 64, nprobe: int = 4,
+                            sample_rows: int = 65536, seed: int = 13,
+                            num_buckets: int = 32):
+    """Sub-quadratic APPROXIMATE near-dup pairs — the 100 TB path for
+    high thresholds: every vector is assigned to its ``nprobe`` nearest
+    coarse centroids (multi-assignment), candidate pairs co-occur in some
+    cell (one shuffle), and cosines are verified exactly inside the cell.
+    Recall comes from multi-probe: two vectors with cosine >= threshold
+    (close to 1) have near-identical centroid orderings, so their top-
+    ``nprobe`` cell sets overlap with high probability. Output pairs are
+    globally distinct; every emitted cosine is exact."""
+    import ray
+
+    from .similarity import build_centroids
+
+    sample = _stack_vecs(
+        pa.Table.from_pandas(
+            embeddings.select_columns([vec_col]).limit(sample_rows).to_pandas()
+        )[vec_col]
+    )
+    C = build_centroids(sample, n_centroids, seed)
+    cref = ray.put(C)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        X = _stack_vecs(t[vec_col])
+        X = X / np.maximum(1e-12, np.linalg.norm(X, axis=1))[:, None]
+        npb = min(nprobe, C_.shape[0])
+        cells = np.argpartition(-(X @ C_.T), npb - 1, axis=1)[:, :npb]
+        n = t.num_rows
+        rows = np.repeat(np.arange(n), npb)
+        out = pa.table(
+            {
+                id_col: t[id_col].take(pa.array(rows)),
+                vec_col: t[vec_col].take(pa.array(rows)),
+                "cell": pa.array(cells.ravel().astype(np.int32), pa.int32()),
+            }
+        )
+        bucket = (cells.ravel() % num_buckets).astype(np.int32)
+        return out.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def _cell_pairs(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("cosine", pa.float64())]
+        )
+        if t.num_rows < 2:
+            return schema.empty_table()
+        outs = [schema.empty_table()]
+        df = pl.from_arrow(t).sort(["cell"])
+        cells = df["cell"].to_numpy()
+        change = np.nonzero(cells[1:] != cells[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(cells)]])
+        ids_all = df[id_col].to_numpy()
+        vec_t = df[vec_col].to_arrow()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            V = _stack_vecs(vec_t.slice(s, e - s))
+            V = V / np.maximum(1e-12, np.linalg.norm(V, axis=1))[:, None]
+            sims = V @ V.T
+            r, c = np.nonzero(sims >= threshold)
+            keep = ids[r] < ids[c]
+            outs.append(
+                pa.table(
+                    {"a_id": pa.array(ids[r][keep], pa.int64()),
+                     "b_id": pa.array(ids[c][keep], pa.int64()),
+                     "cosine": pa.array(sims[r, c][keep], pa.float64())}
+                )
+            )
+        return pa.concat_tables(outs)
+
+    pairs = (
+        embeddings.map_batches(_assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_cell_pairs, batch_format="pyarrow")
+    )
+
+    def _bkt(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("cosine", pa.float64()), ("bucket", pa.int32())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        h = _mix64(t["a_id"].to_numpy().astype(np.uint64)) ^ _mix64(
+            t["b_id"].to_numpy().astype(np.uint64) ^ np.uint64(0x5BD1E995)
+        )
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32())
+        ).cast(schema)
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("cosine", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique(subset=["a_id", "b_id"], keep="first", maintain_order=True)
+            .drop("bucket")
+            .to_arrow()
+            .select(schema.names)
+            .cast(schema)
+        )
+
+    return (
+        pairs.map_batches(_bkt, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_uniq, batch_format="pyarrow")
+    )

@@ -386,39 +386,32 @@ def build_queries() -> Dict[str, Callable]:
     q["charset_jaccard_adjacent"] = charset_jaccard_adjacent
 
     def embed_near_dups(sf_dir):
-        """Near-dup pairs by embedding inner product on integer-quantized
-        vectors (floor(x*1000)): exact integer arithmetic on both sides, so
-        the oracle comparison has no float-boundary risk."""
-        import ray
+        """All pairs with integer-quantized inner product >= 300000
+        (floor(x*1000) — exact integer arithmetic on both sides, so the
+        oracle comparison has no float-boundary risk). Distributed as the
+        block-pair fan-out: no driver-side corpus, no broadcast matrix,
+        vectorized hit extraction. The low threshold (~cos 0.3) makes this
+        inherently all-pairs — the sub-quadratic approximate path for real
+        near-dup thresholds is ops.dedup.embedding_dup_pairs_ivf."""
+        from .ops.dedup import blockwise_pair_scores
 
-        emb_table = pq.read_table(_t(sf_dir, "embeddings"))
-        ids = emb_table["vec_id"].to_numpy()
-        M = np.stack(emb_table["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        Q = np.floor(M * 1000.0).astype(np.int64)
-        ref = ray.put((ids, Q))
-
-        def _score(batch: pa.Table) -> pa.Table:
-            all_ids, mat = ray.get(ref)
-            bm = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
-            bq = np.floor(bm * 1000.0).astype(np.int64)
-            bids = batch["vec_id"].to_numpy()
-            ip = bq @ mat.T
-            a_out, b_out, ip_out = [], [], []
-            for r in range(ip.shape[0]):
-                hit = np.nonzero(ip[r] >= 300_000)[0]
-                for c in hit:
-                    if bids[r] < all_ids[c]:
-                        a_out.append(int(bids[r]))
-                        b_out.append(int(all_ids[c]))
-                        ip_out.append(int(ip[r, c]))
+        def _score(ids_a, va, ids_b, vb, same):
+            qa = np.floor(va * 1000.0).astype(np.int64)
+            qb = np.floor(vb * 1000.0).astype(np.int64)
+            ip = qa @ qb.T
+            r, c = np.nonzero(ip >= 300_000)
+            a, b, v = ids_a[r], ids_b[c], ip[r, c]
+            keep = a < b if same else a != b
+            a, b, v = a[keep], b[keep], v[keep]
+            swap = a > b
             return pa.table(
-                {"a_id": pa.array(a_out, pa.int64()),
-                 "b_id": pa.array(b_out, pa.int64()),
-                 "qip": pa.array(ip_out, pa.int64())}
+                {"a_id": pa.array(np.where(swap, b, a), pa.int64()),
+                 "b_id": pa.array(np.where(swap, a, b), pa.int64()),
+                 "qip": pa.array(v, pa.int64())}
             )
 
         emb = rd.read_parquet(_t(sf_dir, "embeddings"))
-        return emb.map_batches(_score, batch_format="pyarrow")
+        return blockwise_pair_scores(emb, _score, target_chunk_rows=256)
 
     q["embed_near_dups"] = embed_near_dups
 
