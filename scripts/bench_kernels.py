@@ -101,6 +101,39 @@ def main():
         dt = time.perf_counter() - t0
         out[f"ham_search_h{hlen}"] = {"haystacks_per_sec": round(n / dt)}
 
+    # column-vectorized search over a haystack COLUMN (one needle), sparse
+    # and dense planted-match corpora; per-row scalar as the comparison
+    import pyarrow as pa
+
+    from triple_accel_ray.ops.search import levenshtein_search_column
+    from triple_accel_ray.kernels import levenshtein_search_simd_with_opts
+
+    needle = b"needletext"
+    for density, every in (("sparse", 100), ("dense", 7)):
+        n, hlen, k = 2000, 1000, 2
+        texts = []
+        for i in range(n):
+            t = bytearray(rand_str(rng, hlen))
+            if i % every == 0:
+                pos = rng.randrange(0, hlen - len(needle))
+                t[pos : pos + len(needle)] = mutate(rng, needle, k)[: len(needle)]
+            texts.append(t.decode("latin-1"))
+        tbl = pa.table({"doc_id": list(range(n)), "text": texts})
+        levenshtein_search_column(tbl, needle, k)  # warm (page faults)
+        t0 = time.perf_counter()
+        levenshtein_search_column(tbl, needle, k)
+        dt_col = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for t in texts:
+            list(levenshtein_search_simd_with_opts(
+                needle, t.encode("latin-1"), k, SEARCH_ALL))
+        dt_row = time.perf_counter() - t0
+        out[f"lev_search_column_{density}"] = {
+            "docs_per_sec": round(n / dt_col),
+            "per_row_docs_per_sec": round(n / dt_row),
+            "speedup": round(dt_row / dt_col, 1),
+        }
+
     print(json.dumps(out, indent=1))
 
 

@@ -1,0 +1,172 @@
+"""Column-vectorized fuzzy search scans — the batch form of the
+reference's search family (its second pillar, levenshtein.rs:1866-2484 /
+hamming.rs:96-146), vectorized ACROSS the haystack column instead of SIMD
+lanes within one haystack.
+
+* ``myers_scan_column`` — Myers (1999) semi-global bit-parallel scan with
+  one uint64 register PER ROW: every update step is ~12 numpy ops spanning
+  all rows in the chunk, so the per-character Python overhead of the
+  scalar scan is amortized across the whole column. End positions / costs
+  are identical to ``search_fast._scan_end_positions`` (differentially
+  tested); start positions and tie-breaks are recovered per HIT by the
+  same exact windowed DP as the scalar fast path — hits are sparse, so
+  the recovery cost is proportional to matches, not corpus size.
+* ``hamming_scan_column`` — sliding mismatch counts for the whole column
+  in ``len(needle)`` vectorized passes over the flat byte buffer.
+
+Needles longer than 64 bytes (multi-word registers) or longer than a
+haystack fall back to the scalar path row-by-row — correctness first.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["myers_scan_column", "hamming_scan_column"]
+
+
+def _peq_table(needle: bytes) -> np.ndarray:
+    """(256,) uint64 bitmask table: bit i of peq[c] set iff needle[i] == c."""
+    peq = np.zeros(256, dtype=np.uint64)
+    for i, c in enumerate(needle):
+        peq[c] |= np.uint64(1 << i)
+    return peq
+
+
+def myers_scan_column(
+    needle: bytes, data: np.ndarray, offsets: np.ndarray, k: int,
+    chunk_rows: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Semi-global scan over every row: returns (row, end, cost) arrays for
+    every position where D[m][end] <= k. Requires 1 <= len(needle) <= 64.
+
+    Rows are processed in length-sorted chunks so each chunk iterates only
+    to its own max length; state updates are fully vectorized per step.
+    """
+    m = len(needle)
+    assert 1 <= m <= 64
+    lens = np.diff(offsets)
+    n = len(lens)
+    k_eff = min(k, m)  # D[m][j] <= m always
+
+    peq = _peq_table(needle)
+    full = np.uint64((1 << m) - 1) if m < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    highshift = np.uint64(m - 1)
+    one = np.uint64(1)
+
+    out_rows: list = []
+    out_ends: list = []
+    out_costs: list = []
+
+    order = np.argsort(lens, kind="stable")
+    for c0 in range(0, n, chunk_rows):
+        rows = order[c0 : c0 + chunk_rows]
+        clens = lens[rows]
+        maxlen = int(clens.max(initial=0))
+        if maxlen == 0:
+            continue
+        starts = offsets[:-1][rows]
+        nr = len(rows)
+        # transposed padded char matrix: padT[j] is the contiguous column
+        # of j-th characters (one gather per chunk, not per step)
+        flat_idx = starts[:, None] + np.arange(maxlen, dtype=np.int64)[None, :]
+        np.clip(flat_idx, 0, max(0, len(data) - 1), out=flat_idx)
+        padT = np.ascontiguousarray(
+            (data[flat_idx] if len(data) else np.zeros((nr, maxlen), np.uint8)).T
+        )
+        pv = np.full(nr, full, dtype=np.uint64)
+        mv = np.zeros(nr, dtype=np.uint64)
+        score = np.full(nr, m, dtype=np.uint64)  # never negative
+        k_u = np.uint64(k_eff)
+        # scratch buffers — the inner loop is allocation-free
+        eq = np.empty(nr, dtype=np.uint64)
+        t1 = np.empty(nr, dtype=np.uint64)
+        t2 = np.empty(nr, dtype=np.uint64)
+        t3 = np.empty(nr, dtype=np.uint64)
+        t4 = np.empty(nr, dtype=np.uint64)
+        # cut points where shorter rows finish (rows sorted by length:
+        # live rows form a suffix starting at searchsorted(clens, j+1))
+        for j in range(maxlen):
+            ls = int(np.searchsorted(clens, j + 1))
+            if ls >= nr:
+                break
+            np.take(peq, padT[j], out=eq)
+            # xh = (((eq & pv) + pv) ^ pv) | eq   -> t1
+            np.bitwise_and(eq, pv, out=t1)
+            np.add(t1, pv, out=t1)
+            np.bitwise_xor(t1, pv, out=t1)
+            np.bitwise_or(t1, eq, out=t1)
+            # xv = eq | mv                        -> t2
+            np.bitwise_or(eq, mv, out=t2)
+            # ph = mv | (~(xh | pv) & full)       -> t3
+            np.bitwise_or(t1, pv, out=t3)
+            np.invert(t3, out=t3)
+            np.bitwise_and(t3, full, out=t3)
+            np.bitwise_or(t3, mv, out=t3)
+            # mh = pv & xh                        -> t1 (xh dead)
+            np.bitwise_and(pv, t1, out=t1)
+            # score += ph.high - mh.high
+            np.right_shift(t3, highshift, out=t4)
+            np.bitwise_and(t4, one, out=t4)
+            np.add(score, t4, out=score)
+            np.right_shift(t1, highshift, out=t4)
+            np.bitwise_and(t4, one, out=t4)
+            np.subtract(score, t4, out=score)
+            # semi-global: row 0 stays 0 — bit 0 of ph NOT forced on
+            np.left_shift(t3, one, out=t3)
+            np.bitwise_and(t3, full, out=t3)
+            np.left_shift(t1, one, out=t1)
+            np.bitwise_and(t1, full, out=t1)
+            # pv = (mh | ~(xv | ph)) & full
+            np.bitwise_or(t2, t3, out=t4)
+            np.invert(t4, out=t4)
+            np.bitwise_or(t1, t4, out=t4)
+            np.bitwise_and(t4, full, out=pv)
+            # mv = ph & xv
+            np.bitwise_and(t3, t2, out=mv)
+            hr = np.nonzero(score <= k_u)[0]
+            if hr.size:
+                hr = hr[hr >= ls]
+            if hr.size:
+                out_rows.append(rows[hr])
+                out_ends.append(np.full(len(hr), j + 1, dtype=np.int64))
+                out_costs.append(score[hr].astype(np.int64))
+
+    if not out_rows:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    rows_a = np.concatenate(out_rows)
+    ends_a = np.concatenate(out_ends)
+    costs_a = np.concatenate(out_costs)
+    # order hits by (row, end) — the per-row emission order of the scalar scan
+    o = np.lexsort((ends_a, rows_a))
+    return rows_a[o], ends_a[o], costs_a[o]
+
+
+def hamming_scan_column(
+    needle: bytes, data: np.ndarray, offsets: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mismatch count of the needle at every window start of every row:
+    returns (row, start, cost) for ALL windows (cost filtering is the
+    caller's — ALL/BEST semantics differ). ``len(needle)`` vectorized
+    passes over the flat buffer."""
+    m = len(needle)
+    lens = np.diff(offsets)
+    n = len(lens)
+    counts = np.maximum(0, lens - m + 1).astype(np.int64)
+    total = int(counts.sum())
+    z = np.empty(0, np.int64)
+    if not total or m == 0:
+        return z, z, z
+    doc_of = np.repeat(np.arange(n), counts)
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    within = np.arange(total) - cum[doc_of]
+    pos = offsets[:-1][doc_of] + within
+    nb = np.frombuffer(needle, dtype=np.uint8)
+    cost = np.zeros(total, dtype=np.int64)
+    for j in range(m):
+        cost += data[pos + j] != nb[j]
+    return doc_of, within, cost

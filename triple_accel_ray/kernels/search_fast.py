@@ -29,7 +29,7 @@ from .types import (
 from . import scalar
 from .myers import build_peq
 
-__all__ = ["levenshtein_search_myers"]
+__all__ = ["levenshtein_search_myers", "hits_to_matches"]
 
 
 def _scan_end_positions(needle: bytes, haystack: bytes, k: int):
@@ -87,6 +87,24 @@ def levenshtein_search_myers(
 
     k_eff = min(k, m)  # D[m][j] <= m always (delete whole needle)
     hits = _scan_end_positions(needle, haystack, k_eff)
+    return hits_to_matches(needle, haystack, hits, k, k_eff, search_type)
+
+
+def hits_to_matches(
+    needle,
+    haystack,
+    hits,
+    k: int,
+    k_eff: int,
+    search_type: str = SEARCH_ALL,
+) -> List[Match]:
+    """Convert (end, cost) scan hits into full Match rows: start positions
+    and longest-match tie-breaks recovered by the exact windowed scalar DP
+    per hit, plus the scalar path's empty-match / BEST running-threshold /
+    overlap-replacement semantics. Shared by the scalar fast path and the
+    column-vectorized scan (kernels/search_batch.py)."""
+    m = len(needle)
+    n = len(haystack)
 
     # the first-row "empty match" the scalar emits when m <= k
     raw: List[Match] = []

@@ -2,11 +2,16 @@
 operators (hamming_search / levenshtein_search, hamming.rs:96-146 and
 levenshtein.rs:1589-1838) lifted to batch column form — one needle, a
 column of haystacks, exploded Match rows out.
+
+Hot paths are column-vectorized (kernels/search_batch.py): the Myers
+semi-global scan runs with one uint64 register per row across the whole
+batch, and hamming windows are counted in ``len(needle)`` flat passes.
+Per-row Python survives only where semantics demand it — non-unit costs,
+anchored search, needles over 64 bytes — and in the per-HIT start/tie-break
+recovery (proportional to matches, not corpus size).
 """
 
 from __future__ import annotations
-
-from typing import List
 
 import numpy as np
 import pyarrow as pa
@@ -18,59 +23,68 @@ from ..kernels import (
     levenshtein_search_simd_with_opts,
 )
 from ..kernels.batch import to_byte_rows
+from ..kernels.search_batch import hamming_scan_column, myers_scan_column
+from ..kernels.search_fast import hits_to_matches
 from ..kernels.types import EditCosts, LEVENSHTEIN_COSTS
+
+
+def _match_table(id_col: str, ids, out_row, out_s, out_e, out_k) -> pa.Table:
+    idx = pa.array(np.asarray(out_row, dtype=np.int64))
+    return pa.table(
+        {
+            id_col: ids.take(idx) if len(out_row) else ids.slice(0, 0),
+            "start": pa.array(np.asarray(out_s, np.int64), pa.int64()),
+            "end": pa.array(np.asarray(out_e, np.int64), pa.int64()),
+            "k": pa.array(np.asarray(out_k, np.int64), pa.int64()),
+        }
+    )
 
 
 def hamming_search_column(batch: pa.Table, needle: bytes, k: int,
                           search_type: str = SEARCH_ALL,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> pa.Table:
-    """Exploded matches (id, start, end, k). k=0 is vectorized exact
-    substring scan (numpy sliding comparison); k>0 runs the scalar kernel
-    per row (small-query path)."""
-    ids = batch[id_col].to_pylist()
-    out_id, out_s, out_e, out_k = [], [], [], []
-    if k == 0 and len(needle) > 0:
+    """Exploded matches (id, start, end, k), column-vectorized: mismatch
+    counts for every window in ``len(needle)`` flat passes, then per-row
+    ALL/BEST filtering on the (sparse) qualifying windows."""
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    m = len(needle)
+    out_row: list = []
+    out_s: list = []
+    out_e: list = []
+    out_k: list = []
+    if m > 0:
         data, offsets = to_byte_rows(batch[text_col])
-        L = len(needle)
-        nb = np.frombuffer(needle, dtype=np.uint8)
-        lens = np.diff(offsets)
-        counts = np.maximum(0, lens - L + 1).astype(np.int64)
-        total = int(counts.sum())
-        if total:
-            doc_of = np.repeat(np.arange(len(ids)), counts)
-            cum = np.zeros(len(ids), dtype=np.int64)
-            np.cumsum(counts[:-1], out=cum[1:])
-            within = np.arange(total) - cum[doc_of]
-            pos = offsets[:-1][doc_of] + within
-            hit = np.ones(total, dtype=bool)
-            for j in range(L):
-                hit &= data[pos + j] == nb[j]
-            for t in np.nonzero(hit)[0]:
-                i = doc_of[t]
-                s = int(within[t])
-                out_id.append(ids[i])
-                out_s.append(s)
-                out_e.append(s + L)
-                out_k.append(0)
-    else:
-        texts = batch[text_col].to_pylist()
-        for i, t in enumerate(texts):
-            for m in hamming_search_naive_with_opts(
-                needle, t.encode(), k, search_type
-            ):
-                out_id.append(ids[i])
-                out_s.append(m.start)
-                out_e.append(m.end)
-                out_k.append(m.k)
-    return pa.table(
-        {
-            id_col: pa.array(out_id),
-            "start": pa.array(out_s, pa.int64()),
-            "end": pa.array(out_e, pa.int64()),
-            "k": pa.array(out_k, pa.int64()),
-        }
-    )
+        doc_of, within, cost = hamming_scan_column(needle, data, offsets)
+        if search_type == SEARCH_BEST:
+            hit = np.nonzero(cost <= k)[0]
+            hit_docs = doc_of[hit]  # nondecreasing
+            uniq, grp_start = np.unique(hit_docs, return_index=True)
+            grp_end = np.concatenate([grp_start[1:], [len(hit)]])
+            for r, lo, hi in zip(uniq, grp_start, grp_end):
+                sel = hit[lo:hi]
+                costs_r = cost[sel]
+                # running-threshold raw set, then final best filter
+                prevmin = np.minimum.accumulate(
+                    np.concatenate([[k], costs_r[:-1]])
+                )
+                prevmin = np.minimum(prevmin, k)
+                rawm = costs_r <= prevmin
+                best = costs_r[rawm].min()
+                keep = sel[rawm & (costs_r == best)]
+                out_row.extend([r] * len(keep))
+                out_s.extend(within[keep])
+                out_e.extend(within[keep] + m)
+                out_k.extend(cost[keep])
+        else:
+            keep = np.nonzero(cost <= k)[0]
+            out_row = doc_of[keep]
+            out_s = within[keep]
+            out_e = within[keep] + m
+            out_k = cost[keep]
+    return _match_table(id_col, ids, out_row, out_s, out_e, out_k)
 
 
 def levenshtein_search_column(batch: pa.Table, needle: bytes, k: int,
@@ -79,26 +93,55 @@ def levenshtein_search_column(batch: pa.Table, needle: bytes, k: int,
                               anchored: bool = False,
                               id_col: str = "doc_id",
                               text_col: str = "text") -> pa.Table:
-    ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
-    out_id, out_s, out_e, out_k = [], [], [], []
-    for i, t in enumerate(texts):
-        # dispatches to the Myers bit-parallel fast path for unit costs
-        for m in levenshtein_search_simd_with_opts(
-            needle, t.encode(), k, search_type, costs, anchored
-        ):
-            out_id.append(ids[i])
-            out_s.append(m.start)
-            out_e.append(m.end)
-            out_k.append(m.k)
-    return pa.table(
-        {
-            id_col: pa.array(out_id),
-            "start": pa.array(out_s, pa.int64()),
-            "end": pa.array(out_e, pa.int64()),
-            "k": pa.array(out_k, pa.int64()),
-        }
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    m = len(needle)
+    unit = (
+        costs.mismatch_cost == 1 and costs.gap_cost == 1
+        and costs.start_gap_cost == 0 and not costs.allow_transpose
     )
+    out_row: list = []
+    out_s: list = []
+    out_e: list = []
+    out_k: list = []
+
+    if unit and not anchored and 1 <= m <= 64:
+        data, offsets = to_byte_rows(batch[text_col])
+        lens = np.diff(offsets)
+        rows_h, ends_h, costs_h = myers_scan_column(
+            needle, data, offsets, k
+        )
+        # rows whose haystack is shorter than the needle can still match
+        # (m - n <= k) — the scan covers them identically to Sellers; the
+        # m<=k empty match is added by hits_to_matches per row
+        k_eff = min(k, m)
+        bounds = np.searchsorted(rows_h, np.arange(len(lens) + 1))
+        need_empty = m <= k  # every row emits the position-0 empty match
+        for r in range(len(lens)):
+            lo, hi = bounds[r], bounds[r + 1]
+            if lo == hi and not need_empty:
+                continue
+            hay = data[offsets[r] : offsets[r + 1]].tobytes()
+            hits = list(zip(ends_h[lo:hi].tolist(), costs_h[lo:hi].tolist()))
+            for mm in hits_to_matches(needle, hay, hits, k, k_eff,
+                                      search_type):
+                out_row.append(r)
+                out_s.append(mm.start)
+                out_e.append(mm.end)
+                out_k.append(mm.k)
+    else:
+        texts = batch[text_col].to_pylist()
+        for i, t in enumerate(texts):
+            # dispatches to the Myers bit-parallel fast path for unit costs
+            for mm in levenshtein_search_simd_with_opts(
+                needle, t.encode(), k, search_type, costs, anchored
+            ):
+                out_row.append(i)
+                out_s.append(mm.start)
+                out_e.append(mm.end)
+                out_k.append(mm.k)
+    return _match_table(id_col, ids, out_row, out_s, out_e, out_k)
 
 
 def search_dataset(docs, needle: bytes, k: int, mode: str = "levenshtein",
