@@ -166,3 +166,43 @@ def test_levenshtein_batch_sliced_arrays():
         levenshtein_with_opts(b"kitten", b"flaw")[0],
         levenshtein_with_opts(b"sitting", b"lawn")[0],
     ]
+
+
+def test_myers_batch_matches_scalar_mixed():
+    from triple_accel_ray.kernels.myers_batch import myers_k_batch
+
+    rng = random.Random(21)
+    pairs = []
+    for _ in range(300):
+        a = rand_str(rng, rng.randrange(0, 300))
+        b = mutate(rng, a, 30) if rng.random() < 0.7 else rand_str(
+            rng, rng.randrange(0, 300))
+        pairs.append((a, b))
+    pairs += [(b"", b""), (b"", b"abc"), (b"x" * 200, b""), (b"x" * 65, b"x" * 65)]
+    a_col = [p[0] for p in pairs]
+    b_col = [p[1] for p in pairs]
+    for k in (0, 3, 40, 1 << 30):
+        got = myers_k_batch(a_col, b_col, k)
+        for i, (a, b) in enumerate(pairs):
+            r = levenshtein_k_with_opts(a, b, k)
+            want = r[0] if r is not None else -1
+            assert got[i] == want, (i, k, got[i], want)
+
+
+def test_levenshtein_k_batch_myers_tier_dispatch():
+    """Unit-cost long strings route through the Myers tier; results must be
+    identical to the banded DP (and the scalar oracle)."""
+    rng = random.Random(22)
+    a_col, b_col = [], []
+    for _ in range(60):
+        a = rand_str(rng, rng.randrange(400, 900))
+        b = mutate(rng, a, 80) if rng.random() < 0.7 else rand_str(
+            rng, rng.randrange(400, 900))
+        a_col.append(a)
+        b_col.append(b)
+    k = 120
+    got = levenshtein_k_batch(a_col, b_col, k)
+    for i, (a, b) in enumerate(zip(a_col, b_col)):
+        r = levenshtein_k_with_opts(a, b, k)
+        want = r[0] if r is not None else -1
+        assert got[i] == want, i

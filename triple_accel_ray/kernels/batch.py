@@ -39,6 +39,17 @@ __all__ = [
 
 _INF = np.int64(1) << 40
 
+# unit-cost pairs route to the batched multi-word Myers kernel when the
+# banded DP's band is wide relative to the Myers word count: banded work
+# per DP row scales with the band (2*unit_k+1 elements), Myers work per
+# text char scales with ceil(m/64) word updates. Measured crossover
+# (scripts/bench_kernels.py / NOTES_r2): Myers wins from band >= ~5 words.
+MYERS_BAND_WORD_RATIO = 5
+# ...but its per-chunk cost is numpy-dispatch-bound (~W * 19 ops per text
+# char REGARDLESS of pair count), so small batches can't amortize it —
+# below this many tier pairs the banded DP wins on fixed overhead alone
+MYERS_MIN_TIER_PAIRS = 256
+
 
 def to_byte_rows(col) -> Tuple[np.ndarray, np.ndarray]:
     """Normalize a string/binary column to (flat uint8 data, int64 offsets).
@@ -228,6 +239,25 @@ def levenshtein_k_batch(
     todo = np.nonzero(feasible)[0]
     if todo.size == 0:
         return out
+
+    # unit-cost Myers tier (see MYERS_BAND_WORD_RATIO above): at the ER
+    # workload's rel-k (~0.15 * len) this covers everything from ~100
+    # chars up, 6x the banded DP at len 1000 / k 100
+    unit = (
+        costs.mismatch_cost == 1 and costs.gap_cost == 1
+        and costs.start_gap_cost == 0 and not costs.allow_transpose
+    )
+    if unit:
+        w_words = (short_len[todo] + 63) >> 6
+        long_tier = (2 * unit_k[todo] + 1) >= MYERS_BAND_WORD_RATIO * w_words
+        if long_tier.sum() >= MYERS_MIN_TIER_PAIRS:
+            from .myers_batch import myers_k_batch_rows
+
+            mrows = todo[long_tier]
+            myers_k_batch_rows(da, oa, db, ob, mrows, max_k[mrows], out)
+            todo = todo[~long_tier]
+            if todo.size == 0:
+                return out
 
     # order by (band width, row length) so chunks have homogeneous DP
     # shapes — a chunk's band is its max unit_k, so mixing narrow- and
