@@ -30,6 +30,14 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's streaming executor logs a schema warning for every EMPTY
+    # partition bundle a shuffle emits (it generates those bundles itself,
+    # schema-less, without calling the UDF — every map/group body in this
+    # repo returns schema-complete empties). Cosmetic at small scale;
+    # silence so the bench tail stays readable.
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -61,6 +69,9 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
     summary = run_er_pipeline_fused(tp, run_dir, PipelineConfig(), labels_path=lp)
     t_er = time.perf_counter() - t0
     timings["er_pipeline_fused"] = round(t_er, 3)
+    if "operator_stats" in summary:
+        # per-operator wall times from Dataset.stats() (observability)
+        timings["fused_operator_stats"] = summary["operator_stats"]
 
     scaling_only = os.environ.get("GRAFT_BENCH_MODE") == "scaling"
     if not scaling_only:

@@ -69,17 +69,26 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
 
+    from .shuffle import bucket_join
+
+    sym_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    lab_schema = pa.schema([("lnode", pa.string()), ("label", pa.string())])
+
     prev_sum = _checksum(labels)
     for it in range(max_iters):
-        # neighbor labels: join sym.nbr == labels.node
-        msgs = sym.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("nbr",),
-            right_on=("node",),
-            left_suffix="_l",
-            right_suffix="_r",
+        # neighbor labels: bucket_join sym.nbr == labels.node — the same
+        # partitioned hash join as every other stage (the built-in
+        # Dataset.join spawns per-partition aggregator actors, a poor fit
+        # repeated once per fixpoint iteration; see shuffle.py)
+        lab_renamed = labels.map_batches(
+            lambda t: pa.table({"lnode": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        msgs = bucket_join(
+            sym, lab_renamed,
+            left_key="nbr", right_key="lnode",
+            left_schema=sym_schema, right_schema=lab_schema,
+            num_buckets=num_partitions,
         ).map_batches(
             lambda t: pa.table({"node": t["node"], "label": t["label"]}),
             batch_format="pyarrow",

@@ -155,11 +155,32 @@ def run_er_pipeline_fused(
         "rows": {"edges": int(n_edges)},
         "mode": "fused",
     }
+    # per-operator execution stats of the main fused stream (observability
+    # for the bench JSON): operator name -> wall time seconds
+    try:
+        summary["operator_stats"] = _operator_wall_times(edges.stats())
+    except Exception:  # pragma: no cover - stats formats drift across Ray
+        pass
     if labels_path:
         summary["metrics"] = pairwise_f1(
             pq.read_table(clusters_dir), pq.read_table(labels_path)
         )
     return summary
+
+
+def _operator_wall_times(stats_text: str) -> dict:
+    """Parse 'Operator N <name>: ... produced in X.XXs' lines from
+    Dataset.stats() into {operator: seconds}."""
+    import re
+
+    out = {}
+    for line in stats_text.splitlines():
+        m = re.match(
+            r"Operator (\d+) (.+?): .*in ([0-9.]+)s\s*$", line.strip()
+        )
+        if m:
+            out[f"{m.group(1)}:{m.group(2)[:70]}"] = float(m.group(3))
+    return out
 
 
 def run_er_pipeline(

@@ -103,7 +103,13 @@ def _er_edges_ds(sf_dir: str):
 
 def _adjacent_docs(sf_dir: str, min_len: int | None = None):
     """(a_id, b_id=a_id+1, a_text, b_text) via Ray hash join."""
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # strip parquet pandas metadata: the join operator hashes schemas for
+    # deduplication and a metadata dict makes them unhashable (log spam)
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
     left = docs.map_batches(
         lambda t: t.append_column("next_id", pc.add(t["doc_id"], 1)),
         batch_format="pyarrow",
