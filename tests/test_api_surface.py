@@ -75,3 +75,47 @@ def test_doc_examples():
     a = bytearray(5)
     K.fill_str(a, b"\x01\x02\x03\x04")
     assert bytes(a) == b"\x01\x02\x03\x04\x00"  # lib.rs:218-226
+
+def test_force_path_parity(monkeypatch):
+    """TA_FORCE_PATH pins a dispatch tier; every tier must produce the same
+    outputs (the analogue of the reference's per-feature CI matrix)."""
+    import random
+
+    import numpy as np
+
+    from triple_accel_ray.kernels import (
+        SEARCH_ALL,
+        SEARCH_BEST,
+        levenshtein_search_simd_with_opts,
+        levenshtein_simd_k,
+    )
+    from triple_accel_ray.kernels.batch import levenshtein_k_batch
+    from triple_accel_ray.kernels.types import LEVENSHTEIN_COSTS
+
+    rng = random.Random(31)
+
+    def rnd(n):
+        return bytes(rng.randrange(97, 123) for _ in range(n))
+
+    pairs = [(rnd(rng.randrange(0, 120)), rnd(rng.randrange(0, 120)))
+             for _ in range(80)]
+    hay = [rnd(rng.randrange(0, 200)) for _ in range(40)]
+    needle = b"pattern"
+
+    results = {}
+    for path in ("auto", "fast", "banded"):
+        monkeypatch.setenv("TA_FORCE_PATH", path)
+        results[path] = {
+            "k": [levenshtein_simd_k(a, b, 15) for a, b in pairs],
+            "batch": levenshtein_k_batch(
+                [p[0] for p in pairs], [p[1] for p in pairs], 15
+            ).tolist(),
+            "search": [
+                [(m.start, m.end, m.k) for m in
+                 levenshtein_search_simd_with_opts(
+                     needle, h, 2, st, LEVENSHTEIN_COSTS, False)]
+                for h in hay for st in (SEARCH_ALL, SEARCH_BEST)
+            ],
+        }
+    monkeypatch.delenv("TA_FORCE_PATH", raising=False)
+    assert results["auto"] == results["fast"] == results["banded"]

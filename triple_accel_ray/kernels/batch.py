@@ -48,7 +48,9 @@ MYERS_BAND_WORD_RATIO = 5
 # ...but its per-chunk cost is numpy-dispatch-bound (~W * 19 ops per text
 # char REGARDLESS of pair count), so small batches can't amortize it —
 # below this many tier pairs the banded DP wins on fixed overhead alone
-MYERS_MIN_TIER_PAIRS = 256
+import os as _os
+
+MYERS_MIN_TIER_PAIRS = int(_os.environ.get("TA_MYERS_MIN_TIER_PAIRS", 256))
 
 
 def to_byte_rows(col) -> Tuple[np.ndarray, np.ndarray]:
@@ -247,10 +249,18 @@ def levenshtein_k_batch(
         costs.mismatch_cost == 1 and costs.gap_cost == 1
         and costs.start_gap_cost == 0 and not costs.allow_transpose
     )
-    if unit:
-        w_words = (short_len[todo] + 63) >> 6
-        long_tier = (2 * unit_k[todo] + 1) >= MYERS_BAND_WORD_RATIO * w_words
-        if long_tier.sum() >= MYERS_MIN_TIER_PAIRS:
+    force = _os.environ.get("TA_FORCE_PATH", "auto")
+    if unit and force != "banded":
+        if force == "fast":
+            long_tier = np.ones(todo.size, dtype=bool)
+            gate = 1
+        else:
+            w_words = (short_len[todo] + 63) >> 6
+            long_tier = (
+                2 * unit_k[todo] + 1
+            ) >= MYERS_BAND_WORD_RATIO * w_words
+            gate = MYERS_MIN_TIER_PAIRS
+        if long_tier.sum() >= gate:
             from .myers_batch import myers_k_batch_rows
 
             mrows = todo[long_tier]
