@@ -523,6 +523,24 @@ def build_queries() -> Dict[str, Callable]:
 
     q["events_tumbling_1h"] = events_tumbling_1h
 
+    def events_watermark_1h(sf_dir):
+        """Tumbling windows under WATERMARK semantics: arrival order is a
+        deterministic permutation shuffling events within 2-hour frames
+        (bounded disorder), watermark = running max event time, lateness
+        60 s; late events are dropped and counted per window."""
+        from .ops.streaming import watermark_tumbling_windows
+
+        ev = rd.read_parquet(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        return watermark_tumbling_windows(
+            ev, window_sec=3600, lateness_sec=60, frame_sec=7200,
+            arrival_cls_mod=7,
+        )
+
+    q["events_watermark_1h"] = events_watermark_1h
+
     def events_sessions(sf_dir):
         ev = rd.read_parquet(_t(sf_dir, "events"),
                              columns=["user_id", "ts", "event_id"])
@@ -1179,6 +1197,35 @@ SELECT g.media_id, g.w::INT AS width, g.h::INT AS height,
             / (g.w * g.h))) AS std_pixel,
        coalesce(hd.sum_hdiff, 0)::DOUBLE / greatest(1, g.h * (g.w - 1)) AS edge_energy
 FROM agg g LEFT JOIN hd ON hd.media_id = g.media_id"""
+
+    o["events_watermark_1h"] = """
+WITH arr AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER (
+           ORDER BY epoch_us(ts) // 7200000000, event_id % 7, event_id
+         ) AS rn
+  FROM events
+),
+wm AS (
+  SELECT *, max(ts) OVER (ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS run_max
+  FROM arr
+),
+flags AS (
+  SELECT user_id,
+         time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         (run_max IS NULL OR
+          epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) + 3600000000 + 60000000
+            > epoch_us(run_max)) AS kept
+  FROM wm
+)
+SELECT user_id, window_start,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_events,
+       sum(CASE WHEN kept THEN cents ELSE 0 END)::BIGINT AS sum_cents,
+       sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_late
+FROM flags GROUP BY 1, 2"""
 
     o["events_sessions"] = """
 WITH ordered AS (
