@@ -207,27 +207,40 @@ def build_queries() -> Dict[str, Callable]:
                        min_similarity=0.85),
             batch_format="pyarrow", batch_size=2048,
         )
-        import polars as _pl
+        from .pipeline.shuffle import bucket_join
+
+        def _mkey(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(t["a_id"], t["b_id"], "|")
+            return t.append_column("pair_key", key)
 
         matches = scored.map_batches(
-            lambda t: t.filter(pc.equal(t["is_match"], True)).select(
-                ["a_id", "b_id", "dist", "k"]
+            lambda t: _mkey(
+                t.filter(pc.equal(t["is_match"], True)).select(
+                    ["a_id", "b_id", "dist", "k"]
+                )
             ),
             batch_format="pyarrow",
         )
-        # join the texts back from the pair stream (bucketless: small set)
-        mt = pa.Table.from_pandas(matches.to_pandas())
-        pt = pa.Table.from_pandas(
-            pairs.to_pandas()[["a_id", "b_id", "a_text", "b_text"]]
+        pair_texts = pairs.map_batches(
+            lambda t: _mkey(t.select(["a_id", "b_id", "a_text", "b_text"]))
+            .select(["pair_key", "a_text", "b_text"]),
+            batch_format="pyarrow",
         )
-        joined = (
-            _pl.from_arrow(mt)
-            .join(_pl.from_arrow(pt), on=["a_id", "b_id"], how="inner")
-            .to_arrow()
+        joined = bucket_join(
+            matches, pair_texts,
+            left_key="pair_key", right_key="pair_key",
+            left_schema=pa.schema(
+                [("a_id", pa.string()), ("b_id", pa.string()),
+                 ("dist", pa.int64()), ("k", pa.int64()),
+                 ("pair_key", pa.string())]
+            ),
+            right_schema=pa.schema(
+                [("pair_key", pa.string()), ("a_text", pa.string()),
+                 ("b_text", pa.string())]
+            ),
+            num_buckets=16,
         )
-        import ray.data as _rd
-
-        out = explain_edges(_rd.from_arrow(joined))
+        out = explain_edges(joined)
         return out.map_batches(
             lambda t: pa.table(
                 {
