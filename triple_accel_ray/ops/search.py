@@ -107,29 +107,55 @@ def levenshtein_search_column(batch: pa.Table, needle: bytes, k: int,
     out_k: list = []
 
     if unit and not anchored and 1 <= m <= 64:
+        from ..kernels.search_batch import recover_starts_batch
+
         data, offsets = to_byte_rows(batch[text_col])
         lens = np.diff(offsets)
         rows_h, ends_h, costs_h = myers_scan_column(
             needle, data, offsets, k
         )
         # rows whose haystack is shorter than the needle can still match
-        # (m - n <= k) — the scan covers them identically to Sellers; the
-        # m<=k empty match is added by hits_to_matches per row
+        # (m - n <= k) — the scan covers them identically to Sellers
         k_eff = min(k, m)
+        starts_h = recover_starts_batch(
+            needle, data, offsets, rows_h, ends_h, costs_h, k_eff
+        )
         bounds = np.searchsorted(rows_h, np.arange(len(lens) + 1))
         need_empty = m <= k  # every row emits the position-0 empty match
         for r in range(len(lens)):
             lo, hi = bounds[r], bounds[r + 1]
             if lo == hi and not need_empty:
                 continue
-            hay = data[offsets[r] : offsets[r + 1]].tobytes()
-            hits = list(zip(ends_h[lo:hi].tolist(), costs_h[lo:hi].tolist()))
-            for mm in hits_to_matches(needle, hay, hits, k, k_eff,
-                                      search_type):
+            # per-row ALL/BEST semantics (exact mirror of
+            # search_fast.hits_to_matches, starts precomputed)
+            raw: list = []
+            curr_k = k
+            if need_empty:
+                if search_type == SEARCH_BEST:
+                    curr_k = m
+                raw.append((0, 0, m))
+            for i in range(lo, hi):
+                cost = int(costs_h[i])
+                if search_type == SEARCH_BEST and cost > curr_k:
+                    continue
+                if search_type == SEARCH_BEST:
+                    curr_k = cost
+                raw.append((int(starts_h[i]), int(ends_h[i]), cost))
+            if search_type == SEARCH_BEST:
+                res: list = []
+                for mm in raw:
+                    if not res:
+                        res.append(mm)
+                    elif mm[0] <= res[-1][0]:
+                        res[-1] = mm  # full-overlap replacement
+                    else:
+                        res.append(mm)
+                raw = [mm for mm in res if mm[2] == curr_k]
+            for s, e, c in raw:
                 out_row.append(r)
-                out_s.append(mm.start)
-                out_e.append(mm.end)
-                out_k.append(mm.k)
+                out_s.append(s)
+                out_e.append(e)
+                out_k.append(c)
     else:
         texts = batch[text_col].to_pylist()
         for i, t in enumerate(texts):
