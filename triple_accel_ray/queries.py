@@ -356,6 +356,28 @@ def build_queries() -> Dict[str, Callable]:
 
     q["lev_search_best"] = lev_search_best
 
+    def ham_search_best(sf_dir):
+        """Hamming fuzzy search, BEST semantics, k=2 — exercises the
+        running-threshold + final-best filter over sliding mismatch
+        counts (hamming.rs:96-146 Best semantics)."""
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = search_dataset(
+            docs, b"custoner", 2, mode="hamming", search_type="best"
+        )
+        return out.select_columns(["doc_id", "start", "end", "k"])
+
+    q["ham_search_best"] = ham_search_best
+
+    def lev_search_all(sf_dir):
+        """Levenshtein search, ALL semantics, k=1 — every end position
+        within the bound is reported with its longest-match start."""
+        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return search_dataset(
+            docs, b"stream", 1, mode="levenshtein", search_type="all"
+        )
+
+    q["lev_search_all"] = lev_search_all
+
     # ---- dedup family ---------------------------------------------------
     def dedup_exact(sf_dir):
         docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -950,6 +972,56 @@ surv AS (
 SELECT doc_id, s::BIGINT AS start, e::BIGINT AS "end", c::BIGINT AS k
 FROM surv
 WHERE (next_s IS NULL OR next_s > s) AND c = fk"""
+
+    # Hamming BEST: running threshold over window positions in scan order,
+    # final filter to the best cost (no overlap replacement in the
+    # reference's hamming Best semantics — hamming.rs:135-143)
+    hn, hk = "custoner", 2
+    hl = len(hn)
+    o["ham_search_best"] = f"""
+WITH pos AS (
+  SELECT doc_id, s,
+         hamming(substr(text, s + 1, {hl}), '{hn}')::BIGINT AS c
+  FROM (SELECT doc_id, text,
+               unnest(range(0, greatest(0, strlen(text) - {hl - 1}))) AS s
+        FROM documents)
+),
+raw AS (
+  SELECT doc_id, s, c,
+         coalesce(min(c) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), {hk}) AS pm
+  FROM pos
+),
+kept AS (SELECT doc_id, s, c FROM raw WHERE c <= least(pm, {hk})),
+fin AS (SELECT doc_id, s, c, min(c) OVER (PARTITION BY doc_id) AS fk FROM kept)
+SELECT doc_id, s::BIGINT AS start, (s + {hl})::BIGINT AS "end", c::BIGINT AS k
+FROM fin WHERE c = fk"""
+
+    # Levenshtein ALL: every end position within the bound, longest-match
+    # start (same window decomposition as lev_search_best, no gating)
+    an, ak = "stream", 1
+    anl = len(an)
+    a_lens = ", ".join(str(w) for w in range(anl - ak, anl + ak + 1))
+    o["lev_search_all"] = f"""
+WITH ends AS (
+  SELECT doc_id, text, unnest(range(1, strlen(text)+1)) AS e FROM documents
+),
+wins AS (
+  SELECT doc_id, e, e - wl AS s,
+         levenshtein('{an}', substr(text, e - wl + 1, wl)) AS c
+  FROM (SELECT doc_id, text, e, unnest([{a_lens}]) AS wl FROM ends)
+  WHERE e - wl >= 0
+),
+best_e AS (
+  SELECT doc_id, e, min(c) AS c FROM wins GROUP BY doc_id, e
+),
+hit AS (
+  SELECT b.doc_id, b.e, b.c, min(w.s) AS s
+  FROM best_e b JOIN wins w ON w.doc_id = b.doc_id AND w.e = b.e AND w.c = b.c
+  WHERE b.c <= {ak}
+  GROUP BY b.doc_id, b.e, b.c
+)
+SELECT doc_id, s::BIGINT AS start, e::BIGINT AS "end", c::BIGINT AS k FROM hit"""
 
     o["dedup_exact"] = """
 SELECT doc_id,
