@@ -74,6 +74,22 @@ class BlockKeyer:
         self.shingle_coef = rng.integers(1, 1 << 62, size=shingle, dtype=np.uint64) | np.uint64(1)
 
     # ------------------------------------------------------------------
+    def _scratch(self, size: int):
+        """Per-actor reusable flat buffers (grown geometrically): fresh
+        large allocations page-fault on every batch otherwise — measured
+        as the dominant cost of this stage on the sandbox VM."""
+        cur = getattr(self, "_scr", None)
+        if cur is None or len(cur[0]) < size:
+            cap = max(size, 2 * len(cur[0]) if cur else size)
+            self._scr = (
+                np.empty(cap, dtype=np.uint64),  # hflat
+                np.empty(cap, dtype=np.uint64),  # general uint64 temp
+                np.empty(cap, dtype=np.uint64),  # bin index per window
+                np.empty(cap, dtype=bool),       # bin mask
+            )
+        h, tmp, hbins, mask = self._scr
+        return h[:size], tmp[:size], hbins[:size], mask[:size]
+
     def minhash_matrix(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """(n_docs, num_perm) uint64 signatures via one-permutation hashing
         (Li, Owen & Zhang 2012): each shingle is hashed ONCE, the hash space
@@ -82,42 +98,94 @@ class BlockKeyer:
         per-permutation scheme is memory-bandwidth-bound and anti-scales
         under task concurrency). Empty bins are filled by rotation
         densification so band hashing sees no sentinel collisions. Rows with
-        no shingles stay all-max."""
+        no shingles stay all-max.
+
+        Implementation is flat and allocation-free: shingle hashes are
+        computed over the whole byte buffer with CONTIGUOUS shifted views
+        (no per-shingle index gather), per-doc tail positions that would
+        straddle a document boundary are masked out, and the per-(doc,bin)
+        minimum is ``num_perm`` masked segment reductions into reusable
+        actor scratch — no sort, no fresh large arrays per batch."""
         n = len(offsets) - 1
         lens = np.diff(offsets)
-        counts = np.maximum(0, lens - self.shingle + 1).astype(np.int64)
-        total = int(counts.sum())
         MAXU = np.iinfo(np.uint64).max
         sig = np.full((n, self.num_perm), MAXU, dtype=np.uint64)
-        if total == 0:
+        B = int(offsets[-1] - offsets[0])
+        if B < self.shingle:
             return sig
-        doc_of = np.repeat(np.arange(n), counts)
-        cum = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=cum[1:])
-        pos = offsets[:-1][doc_of] + (np.arange(total) - cum[doc_of])
+        flat = data[offsets[0] : offsets[-1]]
+        off0 = offsets - offsets[0]
+        npos = B - self.shingle + 1  # flat window starts (incl. invalid)
+        h, tmp, hbins, mask = self._scratch(npos)
 
-        h = np.zeros(total, dtype=np.uint64)
-        for kk in range(self.shingle):
-            h += data[pos + kk].astype(np.uint64) * self.shingle_coef[kk]
-        h = _mix64(h)
+        # polynomial shingle hash over contiguous shifted views (uint8 ->
+        # uint64 promotion happens inside the ufunc via out=, no temps)
+        np.multiply(flat[:npos], self.shingle_coef[0], out=h,
+                    casting="unsafe")
+        for kk in range(1, self.shingle):
+            np.multiply(flat[kk : kk + npos], self.shingle_coef[kk],
+                        out=tmp, casting="unsafe")
+            h += tmp
+        # splitmix64 finalizer, in place (same values as _mix64)
+        t33 = np.uint64(33)
+        np.right_shift(h, t33, out=tmp)
+        h ^= tmp
+        h *= _M1
+        np.right_shift(h, t33, out=tmp)
+        h ^= tmp
+        h *= _M2
+        np.right_shift(h, t33, out=tmp)
+        h ^= tmp
 
-        # bin by the top bits, min within (doc, bin) via sorted reduceat
+        # windows straddling a doc boundary are not shingles: poison them
+        # (any position within shingle-1 bytes of a boundary is inside
+        # SOME doc's tail, so poisoning covers short docs too)
+        tail = (off0[1:, None] - np.arange(1, self.shingle)[None, :]).ravel()
+        tail = tail[(tail >= 0) & (tail < npos)]
+        h[tail] = MAXU
+
         nbits = int(np.log2(self.num_perm))
         assert (1 << nbits) == self.num_perm, "num_perm must be a power of 2"
-        bins = (h >> np.uint64(64 - nbits)).astype(np.int64)
-        slot = doc_of * self.num_perm + bins
-        order = np.argsort(slot, kind="stable")
-        slot_s = slot[order]
-        h_s = h[order]
-        starts = np.concatenate([[0], np.nonzero(slot_s[1:] != slot_s[:-1])[0] + 1])
-        mins = np.minimum.reduceat(h_s, starts)
-        sig.ravel()[slot_s[starts]] = mins
+        np.right_shift(h, np.uint64(64 - nbits), out=hbins)
+        # per-doc segment starts: only docs whose start < npos can own
+        # windows; reduceat needs strictly increasing segment starts
+        seg_docs = np.nonzero((lens > 0) & (off0[:-1] < npos))[0]
+        seg_starts = off0[:-1][seg_docs]
+        if seg_starts.size:
+            # tile positions so the (h, bins, masked) working set stays
+            # cache-resident across all num_perm bin passes; per-tile
+            # partial minima combine through sig for boundary-spanning docs
+            CH = 1 << 17
+            for c0 in range(0, npos, CH):
+                c1 = min(npos, c0 + CH)
+                hc = h[c0:c1]
+                binc = hbins[c0:c1]
+                tmpc = tmp[c0 : c0 + (c1 - c0)]
+                maskc = mask[c0 : c0 + (c1 - c0)]
+                lo = int(np.searchsorted(seg_starts, c0, "left"))
+                hi = int(np.searchsorted(seg_starts, c1, "left"))
+                ss = seg_starts[lo:hi] - c0
+                sd = seg_docs[lo:hi]
+                if lo > 0 and (ss.size == 0 or ss[0] != 0):
+                    ss = np.concatenate([[0], ss])
+                    sd = np.concatenate([[seg_docs[lo - 1]], sd])
+                if ss.size == 0:
+                    continue
+                for b in range(self.num_perm):
+                    np.equal(binc, np.uint64(b), out=maskc)
+                    tmpc.fill(MAXU)
+                    np.copyto(tmpc, hc, where=maskc)
+                    part = np.minimum.reduceat(tmpc, ss)
+                    sig[sd, b] = np.minimum(sig[sd, b], part)
+        # MAXU-poisoned windows (tails/short docs) can never win a min
+        # unless the bin is empty — in which case the sentinel stays and
+        # densification (below) refills it, exactly as before
 
         # rotation densification: an empty bin borrows the next non-empty
         # bin's value (wrapping), mixed with its distance so borrowed values
         # differ across positions
         empty = sig == MAXU
-        has_any = counts > 0
+        has_any = lens >= self.shingle
         if empty[has_any].any():
             for shift in range(1, self.num_perm):
                 if not empty[has_any].any():

@@ -24,6 +24,10 @@ class PipelineConfig:
     shingle_size: int = 5
     blocking_seed: int = 7
     len_band_width: int = 32  # signature-key length bucket width (bytes)
+    # autoscaling actor pool for the keyer: its reusable scratch buffers
+    # only pay off when the actor survives across batches (stateless tasks
+    # re-fault fresh pages per batch — measured dominant on this sandbox)
+    block_concurrency: tuple = (1, 64)
 
     # --- pair generation --------------------------------------------------
     pair_buckets: int = 32

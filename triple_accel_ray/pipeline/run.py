@@ -81,6 +81,7 @@ def run_er_pipeline_fused(
             seed=cfg.blocking_seed,
             len_band_width=cfg.len_band_width,
         ),
+        concurrency=cfg.block_concurrency,
     )
     pairs = gen_pairs(
         blocks,
@@ -223,6 +224,7 @@ def run_er_pipeline(
                 seed=cfg.blocking_seed,
                 len_band_width=cfg.len_band_width,
             ),
+            concurrency=cfg.block_concurrency,
         ).write_parquet(tmp)
 
     blocks_dir = run_stage(run_dir, "blocks", fp_blocks, _w_blocks, resume)
