@@ -39,15 +39,14 @@ __all__ = [
 
 _INF = np.int64(1) << 40
 
-# unit-cost pairs route to the batched multi-word Myers kernel when the
-# banded DP's band is wide relative to the Myers word count: banded work
-# per DP row scales with the band (2*unit_k+1 elements), Myers work per
-# text char scales with ceil(m/64) word updates. Measured crossover
-# (scripts/bench_kernels.py / NOTES_r2): Myers wins from band >= ~5 words.
-MYERS_BAND_WORD_RATIO = 5
-# ...but its per-chunk cost is numpy-dispatch-bound (~W * 19 ops per text
-# char REGARDLESS of pair count), so small batches can't amortize it —
-# below this many tier pairs the banded DP wins on fixed overhead alone
+# unit-cost pairs route to the batched BANDED multi-word Myers kernel
+# (myers_batch.py): it packs 64 pattern rows per word AND restricts the
+# word loop to the Ukkonen band, so it beats the banded int32 DP at every
+# measured (length, k) — 1.5x at len32/k5 up to 16.6x at len2000/k200
+# (scripts/bench_kernels.py / NOTES_r2). The only exception: its
+# per-chunk cost is numpy-dispatch-bound (band words x ~19 ops per text
+# char REGARDLESS of pair count), so calls with few pairs can't amortize
+# it — below this gate the banded DP wins on fixed overhead alone.
 import os as _os
 
 MYERS_MIN_TIER_PAIRS = int(_os.environ.get("TA_MYERS_MIN_TIER_PAIRS", 256))
@@ -242,32 +241,19 @@ def levenshtein_k_batch(
     if todo.size == 0:
         return out
 
-    # unit-cost Myers tier (see MYERS_BAND_WORD_RATIO above): at the ER
-    # workload's rel-k (~0.15 * len) this covers everything from ~100
-    # chars up, 6x the banded DP at len 1000 / k 100
+    # unit-cost banded-Myers tier (see MYERS_MIN_TIER_PAIRS above)
     unit = (
         costs.mismatch_cost == 1 and costs.gap_cost == 1
         and costs.start_gap_cost == 0 and not costs.allow_transpose
     )
     force = _os.environ.get("TA_FORCE_PATH", "auto")
     if unit and force != "banded":
-        if force == "fast":
-            long_tier = np.ones(todo.size, dtype=bool)
-            gate = 1
-        else:
-            w_words = (short_len[todo] + 63) >> 6
-            long_tier = (
-                2 * unit_k[todo] + 1
-            ) >= MYERS_BAND_WORD_RATIO * w_words
-            gate = MYERS_MIN_TIER_PAIRS
-        if long_tier.sum() >= gate:
+        gate = 1 if force == "fast" else MYERS_MIN_TIER_PAIRS
+        if todo.size >= gate:
             from .myers_batch import myers_k_batch_rows
 
-            mrows = todo[long_tier]
-            myers_k_batch_rows(da, oa, db, ob, mrows, max_k[mrows], out)
-            todo = todo[~long_tier]
-            if todo.size == 0:
-                return out
+            myers_k_batch_rows(da, oa, db, ob, todo, max_k[todo], out)
+            return out
 
     # order by (band width, row length) so chunks have homogeneous DP
     # shapes — a chunk's band is its max unit_k, so mixing narrow- and

@@ -129,11 +129,31 @@ def _chunk_myers(da, oa, db, ob, rows, m, n, lens_a, W, max_k, out) -> None:
     # compacted live state: rows with decided results are dropped wholesale
     PV = np.full((W, nr), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     MV = np.zeros((W, nr), dtype=np.uint64)
-    score = m.astype(np.uint64).copy()  # never negative
     hi = ((m - 1) & 63).astype(np.uint64)  # per-pair high bit in last word
-    last = W - 1
     one = np.uint64(1)
     top = np.uint64(63)
+
+    # --- Ukkonen band over WORDS: for unit costs |i - j| <= D[i][j], so
+    # cells with |i - j| > kb can never be <= kb and may hold safe
+    # OVERESTIMATES. Blocks activate at the bottom with a +1-per-row
+    # gradient (D[i][j] <= D[64b][j] + (i - 64b) always, i.e. an upper
+    # bound) BEFORE any of their cells can enter the band (early
+    # activation is safe; late would not be), and retire at the top one
+    # word late (stale blocks are never read again). The running score
+    # tracks D[bottom][j] at the band's bottom edge; bottom reaches each
+    # pair's m before that pair's text ends (n + kb >= m).
+    kb = int(max_k.max())
+
+    def _last_w(col: int) -> int:
+        return min(W - 1, (col + kb + 63) >> 6)
+
+    def _first_w(col: int) -> int:
+        return max(0, (col - kb - 64) >> 6)
+
+    m_u = m.astype(np.uint64).copy()
+    cur_last = _last_w(1)
+    bottom = np.minimum(m_u, np.uint64(64 * (cur_last + 1)))
+    score = bottom.copy()  # D[i][0] = i (first column)
 
     rows_c = rows.copy()
     n_c = n.copy()
@@ -152,11 +172,26 @@ def _chunk_myers(da, oa, db, ob, rows, m, n, lens_a, W, max_k, out) -> None:
     maxn_c = int(n_c.max())
     j = 0
     while j < maxn_c:
+        col = j + 1
+        new_last = _last_w(col)
+        if new_last > cur_last:
+            for b in range(cur_last + 1, new_last + 1):
+                PV[b][: len(sel)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                MV[b][: len(sel)] = 0
+            nb = np.minimum(m_u, np.uint64(64 * (new_last + 1)))
+            score += nb - bottom
+            bottom = nb
+            cur_last = new_last
+        first = _first_w(col)
         np.multiply(Tm[j, sel], sym_scale, out=eq_idx)
         np.add(eq_idx, peq_base, out=eq_idx)
+        if first:
+            np.add(eq_idx, np.int64(first), out=eq_idx)
         hin_pos[:] = one
         hin_neg[:] = 0
-        for w in range(W):
+        last = cur_last
+        last_shift = hi if last == W - 1 else top
+        for w in range(first, last + 1):
             pv = PV[w]
             mv = MV[w]
             np.take(peq, eq_idx, out=eq0)
@@ -173,10 +208,12 @@ def _chunk_myers(da, oa, db, ob, rows, m, n, lens_a, W, max_k, out) -> None:
             np.bitwise_or(t2, mv, out=t2)            # t2 = ph
             np.bitwise_and(pv, t1, out=t1)           # t1 = mh
             if w == last:
-                np.right_shift(t2, hi, out=t4)
+                # delta of the band-bottom row: the pattern's own high
+                # bit once the band reaches m, else bit 63 of the block
+                np.right_shift(t2, last_shift, out=t4)
                 np.bitwise_and(t4, one, out=t4)
                 np.add(score, t4, out=score)
-                np.right_shift(t1, hi, out=t4)
+                np.right_shift(t1, last_shift, out=t4)
                 np.bitwise_and(t4, one, out=t4)
                 np.subtract(score, t4, out=score)
             np.right_shift(t2, top, out=t4)          # hout_pos
@@ -203,7 +240,8 @@ def _chunk_myers(da, oa, db, ob, rows, m, n, lens_a, W, max_k, out) -> None:
             out[tgt[ok]] = vals[ok]
         # early exit: score can drop at most 1 per remaining char
         # (score + j > mk + n  <=>  score - (n - j) > mk, all non-negative)
-        if (j & 15) == 0:
+        # — valid only once the band bottom has reached the pattern end
+        if (j & 15) == 0 and cur_last == W - 1:
             done = done | (score + np.uint64(j) > mk_c + n_c.astype(np.uint64))
         if done.any():
             alive = ~done
@@ -211,6 +249,8 @@ def _chunk_myers(da, oa, db, ob, rows, m, n, lens_a, W, max_k, out) -> None:
             MV = np.ascontiguousarray(MV[:, alive])
             score = score[alive]
             hi = hi[alive]
+            m_u = m_u[alive]
+            bottom = bottom[alive]
             rows_c = rows_c[alive]
             n_c = n_c[alive]
             mk_c = mk_c[alive]
