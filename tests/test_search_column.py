@@ -92,3 +92,28 @@ def test_hamming_search_column_matches_scalar():
             want = expected(hamming_search_naive_with_opts, needle,
                             t["text"].to_pylist(), k, st)
             assert sorted(got_rows(out)) == sorted(want), (st, k)
+
+
+def test_levenshtein_search_column_long_needle():
+    """Multi-word needles (m > 64): the reference's own search bench shape
+    (needle = len/10 = 100 for 1000-char haystacks)."""
+    rng = random.Random(13)
+    needle = bytes(rng.randrange(97, 123) for _ in range(100))
+    texts = []
+    for i in range(40):
+        L = rng.randrange(0, 400)
+        t = bytearray(rng.randrange(97, 123) for _ in range(L))
+        if rng.random() < 0.6 and L > 10:
+            nd = bytearray(needle)
+            for _ in range(rng.randrange(0, 12)):
+                nd[rng.randrange(len(nd))] = rng.randrange(97, 123)
+            p = rng.randrange(0, L)
+            t[p:p] = nd
+        texts.append(bytes(t).decode("latin-1"))
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for st in (SEARCH_ALL, SEARCH_BEST):
+        for k in (5, 10):
+            out = levenshtein_search_column(t, needle, k, st)
+            want = expected(levenshtein_search_naive_with_opts, needle,
+                            t["text"].to_pylist(), k, st)
+            assert sorted(got_rows(out)) == sorted(want), (st, k)

@@ -24,7 +24,155 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["myers_scan_column", "hamming_scan_column", "recover_starts_batch"]
+__all__ = [
+    "myers_scan_column",
+    "myers_scan_column_multiword",
+    "hamming_scan_column",
+    "recover_starts_batch",
+    "recover_starts_batch_multiword",
+]
+
+
+def _peq_words(needle: bytes) -> np.ndarray:
+    """(W, 256) uint64 bitmask planes for a multi-word needle."""
+    m = len(needle)
+    W = (m + 63) >> 6
+    peq = np.zeros((W, 256), dtype=np.uint64)
+    for i, c in enumerate(needle):
+        peq[i >> 6, c] |= np.uint64(1 << (i & 63))
+    return peq
+
+
+def _multiword_scan(needle, data, offsets, k, semi_global, rows=None,
+                    ends=None, costs=None, chunk_rows=2048):
+    """Shared word-serial Myers engine over a column, one (W, rows) uint64
+    register file. semi_global=True scans haystacks (row 0 pinned to 0,
+    no carry into word 0) and returns every (row, end, cost <= k);
+    semi_global=False runs GLOBAL alignment over reversed hit windows and
+    returns, per hit, the largest prefix length whose score equals the
+    hit cost (the longest-match start recovery). The needle is SHARED, so
+    PEQ is one (W, 256) table and the score bit is uniform."""
+    m = len(needle)
+    W = (m + 63) >> 6
+    peq = _peq_words(needle)
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    hi = np.uint64((m - 1) & 63)
+    one = np.uint64(1)
+    top = np.uint64(63)
+    k_eff = min(k, m)
+
+    if semi_global:
+        lens = np.diff(offsets)
+        n = len(lens)
+        order = np.argsort(lens, kind="stable")
+    else:
+        n = len(rows)
+        window = m + k_eff
+        wlen = np.minimum(ends, window)
+        order = np.argsort(wlen, kind="stable")
+
+    out_rows: list = []
+    out_ends: list = []
+    out_costs: list = []
+    best_p = None if semi_global else np.full(n, -1, dtype=np.int64)
+
+    for c0 in range(0, len(order), chunk_rows):
+        sel = order[c0 : c0 + chunk_rows]
+        nr = len(sel)
+        if semi_global:
+            clens = lens[sel]
+            starts = offsets[:-1][sel]
+        else:
+            clens = wlen[sel]
+            # reversed windows: char j of the scan = hay[end-1-j]
+            starts = offsets[:-1][rows[sel]] + ends[sel]
+            ccosts = costs[sel].astype(np.int64)
+            bp = best_p
+            bp[sel[ccosts == m]] = 0  # empty window solves cost == m
+        maxlen = int(clens.max(initial=0))
+        if maxlen == 0:
+            continue
+        # ghost bits above m in the last word carry garbage upward only —
+        # they never reach bit hi or below (same argument as myers_batch)
+        PV = np.full((W, nr), full, dtype=np.uint64)
+        MV = np.zeros((W, nr), dtype=np.uint64)
+        score = np.full(nr, m, dtype=np.int64)
+        for j in range(maxlen):
+            ls = int(np.searchsorted(clens, j + 1))
+            if ls >= nr:
+                break
+            if semi_global:
+                idx = np.minimum(starts + j, np.int64(max(0, len(data) - 1)))
+            else:
+                idx = np.maximum(starts - 1 - j, np.int64(0))
+            chars = data[idx] if len(data) else np.zeros(nr, np.uint8)
+            hin_pos = (
+                np.zeros(nr, dtype=np.uint64) if semi_global
+                else np.ones(nr, dtype=np.uint64)
+            )
+            hin_neg = np.zeros(nr, dtype=np.uint64)
+            for w in range(W):
+                pv = PV[w]
+                mv = MV[w]
+                eq0 = peq[w][chars]
+                xv = eq0 | mv
+                eq = eq0 | hin_neg
+                xh = (((eq & pv) + pv) ^ pv) | eq
+                ph = mv | ~(xh | pv)
+                mh = pv & xh
+                if w == W - 1:
+                    score += ((ph >> hi) & one).astype(np.int64)
+                    score -= ((mh >> hi) & one).astype(np.int64)
+                hout_pos = (ph >> top) & one
+                hout_neg = (mh >> top) & one
+                ph = (ph << one) | hin_pos
+                mh = (mh << one) | hin_neg
+                PV[w] = mh | ~(xv | ph)
+                MV[w] = ph & xv
+                hin_pos, hin_neg = hout_pos, hout_neg
+            if semi_global:
+                hit = np.nonzero(score <= k_eff)[0]
+                if hit.size:
+                    hit = hit[hit >= ls]
+                if hit.size:
+                    out_rows.append(sel[hit])
+                    out_ends.append(np.full(len(hit), j + 1, dtype=np.int64))
+                    out_costs.append(score[hit].copy())
+            else:
+                upd = np.nonzero(score == ccosts)[0]
+                if upd.size:
+                    upd = upd[upd >= ls]
+                if upd.size:
+                    bp[sel[upd]] = j + 1
+
+    if semi_global:
+        if not out_rows:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        rows_a = np.concatenate(out_rows)
+        ends_a = np.concatenate(out_ends)
+        costs_a = np.concatenate(out_costs)
+        o = np.lexsort((ends_a, rows_a))
+        return rows_a[o], ends_a[o], costs_a[o]
+    return best_p
+
+
+def myers_scan_column_multiword(needle: bytes, data, offsets, k):
+    """Semi-global scan for needles longer than one word (64 < m): same
+    end/cost stream as the scalar Sellers DP, word-serial carries
+    vectorized across rows."""
+    return _multiword_scan(needle, data, offsets, k, semi_global=True)
+
+
+def recover_starts_batch_multiword(needle, data, offsets, rows, ends, costs,
+                                   k_eff):
+    """Multi-word twin of :func:`recover_starts_batch` (same longest-match
+    rule via reverse global scan)."""
+    best_p = _multiword_scan(
+        needle[::-1], data, offsets, k_eff, semi_global=False,
+        rows=rows, ends=ends, costs=costs,
+    )
+    return ends - best_p
 
 
 def _peq_table(needle: bytes) -> np.ndarray:

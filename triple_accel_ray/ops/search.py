@@ -106,20 +106,32 @@ def levenshtein_search_column(batch: pa.Table, needle: bytes, k: int,
     out_e: list = []
     out_k: list = []
 
-    if unit and not anchored and 1 <= m <= 64:
-        from ..kernels.search_batch import recover_starts_batch
+    if unit and not anchored and 1 <= m <= 1024:
+        from ..kernels.search_batch import (
+            myers_scan_column_multiword,
+            recover_starts_batch,
+            recover_starts_batch_multiword,
+        )
 
         data, offsets = to_byte_rows(batch[text_col])
         lens = np.diff(offsets)
-        rows_h, ends_h, costs_h = myers_scan_column(
-            needle, data, offsets, k
-        )
         # rows whose haystack is shorter than the needle can still match
         # (m - n <= k) — the scan covers them identically to Sellers
         k_eff = min(k, m)
-        starts_h = recover_starts_batch(
-            needle, data, offsets, rows_h, ends_h, costs_h, k_eff
-        )
+        if m <= 64:
+            rows_h, ends_h, costs_h = myers_scan_column(
+                needle, data, offsets, k
+            )
+            starts_h = recover_starts_batch(
+                needle, data, offsets, rows_h, ends_h, costs_h, k_eff
+            )
+        else:
+            rows_h, ends_h, costs_h = myers_scan_column_multiword(
+                needle, data, offsets, k
+            )
+            starts_h = recover_starts_batch_multiword(
+                needle, data, offsets, rows_h, ends_h, costs_h, k_eff
+            )
         bounds = np.searchsorted(rows_h, np.arange(len(lens) + 1))
         need_empty = m <= k  # every row emits the position-0 empty match
         for r in range(len(lens)):
