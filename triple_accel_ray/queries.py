@@ -378,6 +378,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["lev_search_all"] = lev_search_all
 
+    def lev_search_selfneedle(sf_dir):
+        """Long-needle search (multi-word Myers path): the needle is the
+        first 80 bytes of the min-doc_id document — deterministic and
+        derivable in SQL — searched across the whole corpus at k=4."""
+        docs_t = pq.read_table(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+        order = pc.sort_indices(docs_t, sort_keys=[("doc_id", "ascending")])
+        needle = docs_t["text"][order[0].as_py()].as_py()[:80].encode()
+        docs = rd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+        return search_dataset(docs, needle, 4, mode="levenshtein",
+                              search_type="all")
+
+    q["lev_search_selfneedle"] = lev_search_selfneedle
+
     # ---- dedup family ---------------------------------------------------
     def dedup_exact(sf_dir):
         docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1019,6 +1034,47 @@ hit AS (
   SELECT b.doc_id, b.e, b.c, min(w.s) AS s
   FROM best_e b JOIN wins w ON w.doc_id = b.doc_id AND w.e = b.e AND w.c = b.c
   WHERE b.c <= {ak}
+  GROUP BY b.doc_id, b.e, b.c
+)
+SELECT doc_id, s::BIGINT AS start, e::BIGINT AS "end", c::BIGINT AS k FROM hit"""
+
+    # Long-needle (80-byte) search with a PEX exact-chunk prefilter: with
+    # <= 4 edits over 5 chunks of 16, pigeonhole leaves one chunk exact,
+    # shifted by at most 4 — candidate end positions derive from exact
+    # chunk anchors, cutting the windowed levenshtein scan ~500x.
+    o["lev_search_selfneedle"] = """
+WITH nd AS (
+  SELECT substr(text, 1, 80) AS s FROM documents ORDER BY doc_id LIMIT 1
+),
+chunks AS (
+  SELECT i, substr((SELECT s FROM nd), i*16 + 1, 16) AS ch
+  FROM (SELECT unnest(range(0, 5)) AS i)
+),
+pos AS (
+  SELECT doc_id, text, unnest(range(0, greatest(0, strlen(text) - 15))) AS p
+  FROM documents
+),
+anchors AS (
+  SELECT pos.doc_id, pos.text, pos.p, c.i
+  FROM pos JOIN chunks c ON substr(pos.text, pos.p + 1, 16) = c.ch
+),
+cand_e AS (
+  SELECT DISTINCT doc_id, text, p - i*16 + off AS e
+  FROM (SELECT a.*, unnest(range(72, 89)) AS off FROM anchors a)
+  WHERE p - i*16 + off >= 1 AND p - i*16 + off <= strlen(text)
+),
+wins AS (
+  SELECT doc_id, e, e - wl AS s,
+         levenshtein((SELECT s FROM nd), substr(text, e - wl + 1, wl)) AS c
+  FROM (SELECT doc_id, text, e, unnest([76,77,78,79,80,81,82,83,84]) AS wl
+        FROM cand_e)
+  WHERE e - wl >= 0
+),
+best_e AS (SELECT doc_id, e, min(c) AS c FROM wins GROUP BY doc_id, e),
+hit AS (
+  SELECT b.doc_id, b.e, b.c, min(w.s) AS s
+  FROM best_e b JOIN wins w ON w.doc_id = b.doc_id AND w.e = b.e AND w.c = b.c
+  WHERE b.c <= 4
   GROUP BY b.doc_id, b.e, b.c
 )
 SELECT doc_id, s::BIGINT AS start, e::BIGINT AS "end", c::BIGINT AS k FROM hit"""
