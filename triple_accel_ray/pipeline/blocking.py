@@ -278,16 +278,28 @@ class BlockKeyer:
         )
 
 
-def build_blocks(docs, keyer_kwargs: dict | None = None, concurrency=None):
-    """docs Dataset → block rows Dataset. Stateless map; keyer state (perm
-    tables) lives per actor when concurrency is given."""
+def build_blocks(docs, keyer_kwargs: dict | None = None, concurrency=None,
+                 batch_rows: int | None = None):
+    """docs Dataset → block rows Dataset.
+
+    Default execution is STATELESS tasks (the keyer instance is serialized
+    once and reused per worker process, so its scratch buffers stay warm
+    across same-worker tasks): measured 3x faster end-to-end than an
+    autoscaling actor pool at sf0.1/32cpu — the pool ramps up from one
+    actor while tasks fan out immediately. ``concurrency`` remains for
+    callers that want a fixed pool. ``batch_rows`` defaults to None (one
+    batch per block): an explicit batch_size makes Ray re-bundle blocks,
+    measured 5-8x slower here; set it only for tiny input blocks (to
+    coalesce) or >~30k-row blocks (keyer window set goes superlinear)."""
     kw = keyer_kwargs or {}
+    bs = {"batch_size": batch_rows} if batch_rows else {}
     if concurrency:
         return docs.map_batches(
             BlockKeyer,
             fn_constructor_kwargs=kw,
             batch_format="pyarrow",
             concurrency=concurrency,
+            **bs,
         )
     keyer = BlockKeyer(**kw)
-    return docs.map_batches(keyer, batch_format="pyarrow")
+    return docs.map_batches(keyer, batch_format="pyarrow", **bs)

@@ -24,10 +24,19 @@ class PipelineConfig:
     shingle_size: int = 5
     blocking_seed: int = 7
     len_band_width: int = 32  # signature-key length bucket width (bytes)
-    # autoscaling actor pool for the keyer: its reusable scratch buffers
-    # only pay off when the actor survives across batches (stateless tasks
-    # re-fault fresh pages per batch — measured dominant on this sandbox)
-    block_concurrency: tuple = (1, 64)
+    # keyer execution: STATELESS tasks. Round 2 ran this as an autoscaling
+    # (1, 64) actor pool for scratch reuse and regressed the stage ~3x at
+    # sf0.1 (VERDICT r2); the round-3 in-pipeline A/B on the same docs
+    # measured actor pool (1,64) = 3.98s vs stateless = 1.29s at 32 CPUs —
+    # the pool ramps from 1 actor while stateless tasks fan out to every
+    # core immediately, and the keyer is cheap to construct. None = tasks.
+    block_concurrency: tuple | None = None
+    # per-task keyer batch rows: None = one batch per input block (the
+    # fast path — an explicit batch_size makes Ray re-bundle blocks, which
+    # measured 5-8x slower on this stage at sf0.1). Set only when input
+    # blocks are tiny (dedup over one small file) or huge (>~30k rows,
+    # where the keyer's window working set goes superlinear)
+    block_batch_rows: int | None = None
 
     # --- pair generation --------------------------------------------------
     pair_buckets: int = 32

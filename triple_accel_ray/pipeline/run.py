@@ -82,6 +82,7 @@ def run_er_pipeline_fused(
             len_band_width=cfg.len_band_width,
         ),
         concurrency=cfg.block_concurrency,
+        batch_rows=cfg.block_batch_rows,
     )
     pairs = gen_pairs(
         blocks,
@@ -225,6 +226,7 @@ def run_er_pipeline(
                 len_band_width=cfg.len_band_width,
             ),
             concurrency=cfg.block_concurrency,
+            batch_rows=cfg.block_batch_rows,
         ).write_parquet(tmp)
 
     blocks_dir = run_stage(run_dir, "blocks", fp_blocks, _w_blocks, resume)
