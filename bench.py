@@ -149,8 +149,73 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
     return result
 
 
+def _run_ab(ref: str, sf_dir: str) -> int:
+    """Same-environment A/B against a prior commit: check out ``ref`` into
+    a temporary git worktree and run THIS benchmark there and here,
+    interleaved (HEAD, ref, HEAD, ref), reporting best-of per side and the
+    ratio. Exists because round 2 shipped two "optimizations" that won
+    their microbenchmarks and lost in the pipeline (VERDICT r2) — the
+    harness makes that class of regression self-detected before commit.
+
+        python bench.py --ab <git-ref>   # e.g. --ab HEAD~1
+    """
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix=f"ta_ab_{ref.replace('/', '_')[:24]}_")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--force", "--detach", wt, ref],
+        check=True, capture_output=True,
+    )
+    try:
+        sha = subprocess.run(
+            ["git", "-C", wt, "rev-parse", "--short", "HEAD"],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+
+        def run_in(tree: str) -> dict:
+            env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.join(tree, "bench.py")],
+                env=env, cwd=tree, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        reps = int(os.environ.get("GRAFT_AB_REPS", 2))
+        best: dict = {}
+        for _ in range(reps):
+            for side, tree in (("head", repo), (ref, wt)):
+                r = run_in(tree)
+                if side not in best or r["value"] < best[side]["value"]:
+                    best[side] = r
+        hv, rv = best["head"]["value"], best[ref]["value"]
+        print(json.dumps({
+            "metric": "ab_ratio_head_over_ref",
+            "value": round(hv / rv, 3),   # < 1.0 means HEAD is faster
+            "unit": "ratio",
+            "ref": ref,
+            "ref_sha": sha,
+            "sec_head": hv,
+            "sec_ref": rv,
+            "queries_head": best["head"]["queries"],
+            "queries_ref": best[ref]["queries"],
+            "sf": best["head"].get("sf"),
+        }))
+        return 0
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+
+
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "--ab" in sys.argv:
+        ref = sys.argv[sys.argv.index("--ab") + 1]
+        return _run_ab(ref, sf_dir)
 
     if "--scaling" in sys.argv:
         # scaling evidence runs the fused pipeline on a larger deterministic
