@@ -99,6 +99,36 @@ def test_knn_ivf_recall(ray_session):
     assert agree >= 0.7
 
 
+def test_seeded_sample_order_independent(ray_session):
+    """The centroid-build sample must not depend on row/file order
+    (a limit(n) head is one shard's prefix at scale): same rows in a
+    permuted order -> bit-identical sample matrix and identical knn_ivf
+    results."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from triple_accel_ray.ops.similarity import knn_ivf, seeded_vector_sample
+
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(emb_t.num_rows)
+    emb_perm = emb_t.take(pa.array(perm))
+
+    s1 = seeded_vector_sample(rd.from_arrow(emb_t), 64)
+    s2 = seeded_vector_sample(rd.from_arrow(emb_perm), 64)
+    assert s1.shape == s2.shape
+    assert np.array_equal(s1, s2)
+
+    queries = emb_t.slice(0, 5)
+    a = knn_ivf(rd.from_arrow(emb_t), queries, k=3, n_centroids=8,
+                nprobe=8).to_pandas().sort_values(
+                    ["query_id", "rank"]).reset_index(drop=True)
+    b = knn_ivf(rd.from_arrow(emb_perm), queries, k=3, n_centroids=8,
+                nprobe=8).to_pandas().sort_values(
+                    ["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_token_count_and_quality():
     from triple_accel_ray.ops.text import quality_score_batch, token_count_batch
 
@@ -248,6 +278,37 @@ def test_media_pipeline(ray_session):
 
     with pytest.raises(NotImplementedError):
         MediaDecoder(accept_formats=("jpeg",))
+
+
+def test_media_one_pixel_wide_edge_energy():
+    """1-pixel-wide images have no horizontal neighbor pairs: edge_energy
+    is exactly 0.0 (pinned — w<=1 rows flow through the same reduction
+    as everyone else, contributing all-zero diffs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from triple_accel_ray.ops.multimodal import MAGIC, MediaDecoder
+
+    payloads = []
+    for w, h in ((1, 4), (1, 1), (3, 2)):
+        px = np.arange(w * h, dtype=np.uint8) * 40
+        payloads.append(
+            MAGIC + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + px.tobytes()
+        )
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["fakeimg"] * 3, pa.string()),
+        }
+    )
+    out = MediaDecoder()(t).to_pandas().set_index("media_id")
+    assert out.loc[0, "edge_energy"] == 0.0
+    assert out.loc[1, "edge_energy"] == 0.0
+    assert out.loc[0, "sum_hdiff"] == 0
+    # sanity: the w=3 image does have horizontal diffs
+    assert out.loc[2, "sum_hdiff"] == 2 * 2 * 40
 
 
 def test_embedding_dup_pairs_block_and_ivf(ray_session):

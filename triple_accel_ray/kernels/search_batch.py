@@ -365,12 +365,16 @@ def recover_starts_batch(
 
 
 def hamming_scan_column(
-    needle: bytes, data: np.ndarray, offsets: np.ndarray
+    needle: bytes, data: np.ndarray, offsets: np.ndarray,
+    max_cost: int | None = None, chunk: int = 1 << 20,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Mismatch count of the needle at every window start of every row:
-    returns (row, start, cost) for ALL windows (cost filtering is the
-    caller's — ALL/BEST semantics differ). ``len(needle)`` vectorized
-    passes over the flat buffer."""
+    returns (row, start, cost). With ``max_cost`` only windows with
+    cost <= max_cost are returned — safe for both ALL and BEST semantics
+    (BEST's running threshold starts at k, so costlier windows never
+    participate). Windows are processed in bounded flat chunks so peak
+    memory is O(chunk), not O(corpus bytes) (round-2 ADVICE: the
+    unchunked form materialized ~24-32 bytes per corpus byte)."""
     m = len(needle)
     lens = np.diff(offsets)
     n = len(lens)
@@ -379,13 +383,25 @@ def hamming_scan_column(
     z = np.empty(0, np.int64)
     if not total or m == 0:
         return z, z, z
-    doc_of = np.repeat(np.arange(n), counts)
-    cum = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=cum[1:])
-    within = np.arange(total) - cum[doc_of]
-    pos = offsets[:-1][doc_of] + within
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
     nb = np.frombuffer(needle, dtype=np.uint8)
-    cost = np.zeros(total, dtype=np.int64)
-    for j in range(m):
-        cost += data[pos + j] != nb[j]
-    return doc_of, within, cost
+    out_r, out_w, out_c = [], [], []
+    for c0 in range(0, total, chunk):
+        c1 = min(total, c0 + chunk)
+        fp = np.arange(c0, c1)
+        doc_of = np.searchsorted(cum, fp, "right") - 1
+        within = fp - cum[doc_of]
+        pos = offsets[:-1][doc_of] + within
+        cost = np.zeros(c1 - c0, dtype=np.int64)
+        for j in range(m):
+            cost += data[pos + j] != nb[j]
+        if max_cost is not None:
+            keep = cost <= max_cost
+            doc_of, within, cost = doc_of[keep], within[keep], cost[keep]
+        out_r.append(doc_of)
+        out_w.append(within)
+        out_c.append(cost)
+    if len(out_r) == 1:
+        return out_r[0], out_w[0], out_c[0]
+    return np.concatenate(out_r), np.concatenate(out_w), np.concatenate(out_c)

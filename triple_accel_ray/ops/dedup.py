@@ -574,12 +574,10 @@ def embedding_dup_pairs_ivf(embeddings, threshold: float = 0.95,
     globally distinct; every emitted cosine is exact."""
     import ray
 
-    from .similarity import build_centroids
+    from .similarity import build_centroids, seeded_vector_sample
 
-    sample = _stack_vecs(
-        pa.Table.from_pandas(
-            embeddings.select_columns([vec_col]).limit(sample_rows).to_pandas()
-        )[vec_col]
+    sample = seeded_vector_sample(
+        embeddings, sample_rows, id_col, vec_col, seed
     )
     C = build_centroids(sample, n_centroids, seed)
     cref = ray.put(C)

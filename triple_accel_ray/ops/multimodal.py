@@ -116,10 +116,10 @@ class MediaDecoder:
             dif = np.zeros(len(px), dtype=np.int64)
             idx = np.nonzero(has_next)[0]
             dif[idx] = np.abs(px[np.minimum(idx + 1, len(px) - 1)] - px[idx])
-            hd_nz = nz & (w > 1)
-            if hd_nz.any():
-                sum_hdiff_all = np.add.reduceat(dif, cum[nz])
-                sum_hdiff[nz] = sum_hdiff_all
+            # w <= 1 rows have no has_next positions, so dif is all-zero
+            # over their segments and they reduce to sum_hdiff == 0
+            # (edge_energy 0.0 for 1-pixel-wide images — pinned by test)
+            sum_hdiff[nz] = np.add.reduceat(dif, cum[nz])
 
         npix_f = np.maximum(1, npix).astype(np.float64)
         mean_px = sum_px / npix_f

@@ -57,7 +57,10 @@ def hamming_search_column(batch: pa.Table, needle: bytes, k: int,
     out_k: list = []
     if m > 0:
         data, offsets = to_byte_rows(batch[text_col])
-        doc_of, within, cost = hamming_scan_column(needle, data, offsets)
+        # kernel-side cost filter: qualifying windows only (bounds memory)
+        doc_of, within, cost = hamming_scan_column(
+            needle, data, offsets, max_cost=k
+        )
         if search_type == SEARCH_BEST:
             hit = np.nonzero(cost <= k)[0]
             hit_docs = doc_of[hit]  # nondecreasing

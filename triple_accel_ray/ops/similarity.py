@@ -86,6 +86,46 @@ def knn_bruteforce(corpus, queries_table: pa.Table, k: int = 5,
     return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
 
 
+def seeded_vector_sample(ds, sample_rows: int, id_col: str = "vec_id",
+                         vec_col: str = "embedding", seed: int = 13) -> np.ndarray:
+    """Deterministic, ORDER-INDEPENDENT corpus sample for centroid builds:
+    every row is ranked by a salted mix of its id and the ``sample_rows``
+    smallest ranks win — the result does not depend on file order, block
+    boundaries or partitioning (a ``limit(n)`` head is one shard's prefix
+    at scale; round-2 VERDICT flagged it as biased). One streaming filter
+    pass; the driver only ever holds ~1.6x the sample."""
+    import ray
+
+    from ..pipeline.blocking import _mix64
+
+    n = ds.count()
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    frac = min(1.0, 1.6 * sample_rows / n)
+    cutoff = np.uint64(min(2**64 - 1, int(frac * 2**64)))
+
+    def _flt(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        salt = np.uint64((seed * 0x9E3779B97F4A7C15) % 2**64)
+        h = _mix64(ids.astype(np.uint64) ^ salt)
+        keep = h <= cutoff
+        out = t.select([vec_col]).filter(pa.array(keep))
+        return out.append_column("_h", pa.array(h[keep], pa.uint64()))
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(_flt, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not parts:
+        return np.empty((0, 0), dtype=np.float64)
+    tab = pa.concat_tables(parts)
+    order = np.argsort(tab["_h"].to_numpy(), kind="stable")[:sample_rows]
+    return _stack(tab[vec_col].take(pa.array(order)))
+
+
 def build_centroids(corpus_sample: np.ndarray, n_centroids: int, seed: int = 13,
                     iters: int = 5) -> np.ndarray:
     """Seeded mini k-means on a sample (numpy only, deterministic)."""
@@ -110,9 +150,7 @@ def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
     centroid buckets."""
     import ray
 
-    sample = np.stack(
-        corpus.limit(4096).to_pandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    sample = seeded_vector_sample(corpus, 4096, id_col, vec_col, seed)
     C = build_centroids(sample, n_centroids, seed)
     Q = _normalize(_stack(queries_table[vec_col]))
     qids = queries_table[id_col].to_numpy()
