@@ -42,6 +42,8 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from triple_accel_ray.io import read_parquet_clean
+
     from triple_accel_ray.pipeline import PipelineConfig, run_er_pipeline
     from triple_accel_ray.pipeline.transcripts import ensure_fixture, parse_sf
 
@@ -104,13 +106,13 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
         timed(
             "dedup_minhash",
             lambda: minhash_dup_pairs(
-                rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+                read_parquet_clean(docs_path, columns=["doc_id", "text"]),
                 threshold=0.5, num_buckets=32,
             ).count(),
         )
         timed(
             "quality_scores",
-            lambda: rd.read_parquet(docs_path, columns=["doc_id", "text"])
+            lambda: read_parquet_clean(docs_path, columns=["doc_id", "text"])
             .map_batches(quality_score_batch, batch_format="pyarrow")
             .count(),
         )
@@ -122,7 +124,7 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
         timed(
             "events_sessions",
             lambda: sessionize(
-                rd.read_parquet(ev_path, columns=["user_id", "ts", "event_id"]),
+                read_parquet_clean(ev_path, columns=["user_id", "ts", "event_id"]),
                 num_buckets=32,
             ).count(),
         )

@@ -28,6 +28,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from .io import read_parquet_clean
+
 from .ops.dedup import exact_dup_groups, minhash_dup_pairs, simhash_dup_pairs
 from .ops.multimodal import media_features, synthesize_media_table
 from .ops.search import search_dataset
@@ -55,7 +57,7 @@ def _t(sf_dir: str, name: str) -> str:
 
 def _er_docs_ds(sf_dir: str):
     tp, _ = ensure_fixture(sf_dir)
-    return build_docs(rd.read_parquet(tp), num_buckets=16)
+    return build_docs(read_parquet_clean(tp), num_buckets=16)
 
 
 def _docs_sorted_cols(ds):
@@ -104,7 +106,7 @@ def _adjacent_docs(sf_dir: str, min_len: int | None = None):
     """(a_id, b_id=a_id+1, a_text, b_text) via Ray hash join."""
     # strip parquet pandas metadata: the join operator hashes schemas for
     # deduplication and a metadata dict makes them unhashable (log spam)
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
@@ -344,14 +346,14 @@ def build_queries() -> Dict[str, Callable]:
     q["rdamerau_adjacent"] = rdamerau_adjacent
 
     def search_exact_hits(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         out = search_dataset(docs, SEARCH_NEEDLE.encode(), 0, mode="hamming")
         return out.select_columns(["doc_id", "start", "end"])
 
     q["search_exact_hits"] = search_exact_hits
 
     def lev_search_best(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return search_dataset(
             docs, b"value pert", 2, mode="levenshtein", search_type="best"
         )
@@ -362,7 +364,7 @@ def build_queries() -> Dict[str, Callable]:
         """Hamming fuzzy search, BEST semantics, k=2 — exercises the
         running-threshold + final-best filter over sliding mismatch
         counts (hamming.rs:96-146 Best semantics)."""
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         out = search_dataset(
             docs, b"custoner", 2, mode="hamming", search_type="best"
         )
@@ -373,7 +375,7 @@ def build_queries() -> Dict[str, Callable]:
     def lev_search_all(sf_dir):
         """Levenshtein search, ALL semantics, k=1 — every end position
         within the bound is reported with its longest-match start."""
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return search_dataset(
             docs, b"stream", 1, mode="levenshtein", search_type="all"
         )
@@ -388,7 +390,7 @@ def build_queries() -> Dict[str, Callable]:
                                columns=["doc_id", "text"])
         order = pc.sort_indices(docs_t, sort_keys=[("doc_id", "ascending")])
         needle = docs_t["text"][order[0].as_py()].as_py()[:80].encode()
-        docs = rd.read_parquet(_t(sf_dir, "documents"),
+        docs = read_parquet_clean(_t(sf_dir, "documents"),
                                columns=["doc_id", "text"])
         return search_dataset(docs, needle, 4, mode="levenshtein",
                               search_type="all")
@@ -397,13 +399,13 @@ def build_queries() -> Dict[str, Callable]:
 
     # ---- dedup family ---------------------------------------------------
     def dedup_exact(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return exact_dup_groups(docs, num_buckets=16)
 
     q["dedup_exact"] = dedup_exact
 
     def dedup_minhash_pairs(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return minhash_dup_pairs(docs, threshold=0.5, num_buckets=16)
 
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
@@ -412,7 +414,7 @@ def build_queries() -> Dict[str, Callable]:
         # uncapped pair generation: the query/oracle contract is "all pairs
         # sharing a band within hamming 6" (the capped production path is
         # exercised by the ER pipeline and its skew tests)
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return simhash_dup_pairs(docs, max_hamming=6, num_buckets=16,
                                  hot_block_cap=1 << 30)
 
@@ -468,14 +470,14 @@ def build_queries() -> Dict[str, Callable]:
                  "qip": pa.array(v, pa.int64())}
             )
 
-        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        emb = read_parquet_clean(_t(sf_dir, "embeddings"))
         return blockwise_pair_scores(emb, _score, target_chunk_rows=256)
 
     q["embed_near_dups"] = embed_near_dups
 
     # ---- similarity search ---------------------------------------------
     def knn_top5(sf_dir):
-        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        emb = read_parquet_clean(_t(sf_dir, "embeddings"))
         queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
         out = knn_bruteforce(emb, queries_table, k=5)
         return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -483,7 +485,7 @@ def build_queries() -> Dict[str, Callable]:
     q["knn_top5"] = knn_top5
 
     def knn_ivf_top5(sf_dir):
-        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        emb = read_parquet_clean(_t(sf_dir, "embeddings"))
         queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
         out = knn_ivf(emb, queries_table, k=5, n_centroids=8, nprobe=3)
         return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -494,7 +496,7 @@ def build_queries() -> Dict[str, Callable]:
         """IVF invariant contract: probing every cell must reproduce the
         exact brute-force top-k (same oracle as knn_top5). Exercises the
         cell-bucketed shuffle + per-cell scoring + global merge."""
-        emb = rd.read_parquet(_t(sf_dir, "embeddings"))
+        emb = read_parquet_clean(_t(sf_dir, "embeddings"))
         queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
         out = knn_ivf(emb, queries_table, k=5, n_centroids=8, nprobe=8)
         return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -503,7 +505,7 @@ def build_queries() -> Dict[str, Callable]:
 
     # ---- text analysis --------------------------------------------------
     def token_count(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return docs.map_batches(
             lambda t: token_count_batch(t).select(["doc_id", "token_count"]),
             batch_format="pyarrow",
@@ -512,7 +514,7 @@ def build_queries() -> Dict[str, Callable]:
     q["token_count"] = token_count
 
     def quality_scores(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return docs.map_batches(
             lambda t: quality_score_batch(t).select(
                 ["doc_id", "n_bytes", "alpha_count", "digit_count",
@@ -525,7 +527,7 @@ def build_queries() -> Dict[str, Callable]:
     q["quality_scores"] = quality_scores
 
     def lang_id_pred(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2,
                                 batch_size=512).select_columns(
             ["doc_id", "lang_pred"]
@@ -534,7 +536,7 @@ def build_queries() -> Dict[str, Callable]:
     q["lang_id_pred"] = lang_id_pred
 
     def fingerprints(sf_dir):
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return docs.map_batches(
             lambda t: fingerprint_batch(t).select(
                 ["doc_id", "min_gram_hash", "content_hash"]
@@ -546,7 +548,7 @@ def build_queries() -> Dict[str, Callable]:
 
     # ---- stream-shaped --------------------------------------------------
     def events_tumbling_1h(sf_dir):
-        ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
         def _cents(t: pa.Table) -> pa.Table:
             v = t["value"].to_numpy()
@@ -582,7 +584,7 @@ def build_queries() -> Dict[str, Callable]:
         60 s; late events are dropped and counted per window."""
         from .ops.streaming import watermark_tumbling_windows
 
-        ev = rd.read_parquet(
+        ev = read_parquet_clean(
             _t(sf_dir, "events"),
             columns=["event_id", "user_id", "ts", "value"],
         )
@@ -594,7 +596,7 @@ def build_queries() -> Dict[str, Callable]:
     q["events_watermark_1h"] = events_watermark_1h
 
     def events_sessions(sf_dir):
-        ev = rd.read_parquet(_t(sf_dir, "events"),
+        ev = read_parquet_clean(_t(sf_dir, "events"),
                              columns=["user_id", "ts", "event_id"])
         return sessionize(ev, gap_sec=1800, num_buckets=16)
 
@@ -623,7 +625,7 @@ def build_queries() -> Dict[str, Callable]:
         tie-break)."""
         from .ops.text import quality_score_batch
 
-        docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         scored = docs.map_batches(
             lambda t: quality_score_batch(t).select(["doc_id", "alpha_count"]),
             batch_format="pyarrow",
@@ -636,7 +638,7 @@ def build_queries() -> Dict[str, Callable]:
     def source_stats(sf_dir):
         from ray.data.aggregate import Count, Max, Min, Sum
 
-        docs = rd.read_parquet(
+        docs = read_parquet_clean(
             _t(sf_dir, "documents"), columns=["source", "n_chars"]
         )
         return docs.groupby("source").aggregate(
@@ -652,9 +654,9 @@ def build_queries() -> Dict[str, Callable]:
     def events_asof_orders(sf_dir):
         from .ops.relational import events_last_order
 
-        ev = rd.read_parquet(_t(sf_dir, "events"),
+        ev = read_parquet_clean(_t(sf_dir, "events"),
                              columns=["event_id", "user_id", "ts"])
-        od = rd.read_parquet(_t(sf_dir, "orders"),
+        od = read_parquet_clean(_t(sf_dir, "orders"),
                              columns=["o_custkey", "o_orderdate"])
         return events_last_order(ev, od, num_buckets=16)
 
@@ -663,7 +665,7 @@ def build_queries() -> Dict[str, Callable]:
     def pricing_summary_q(sf_dir):
         from .ops.relational import pricing_summary
 
-        li = rd.read_parquet(
+        li = read_parquet_clean(
             _t(sf_dir, "lineitem"),
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount"],
@@ -683,7 +685,7 @@ def build_queries() -> Dict[str, Callable]:
             tmp = path + ".tmp"
             pq.write_table(synthesize_media_table(200, seed=42), tmp)
             os.replace(tmp, path)
-        media = rd.read_parquet(path)
+        media = read_parquet_clean(path)
         return media_features(media, concurrency=2, batch_size=64)
 
     q["media_feature_rows"] = media_feature_rows
