@@ -400,6 +400,10 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     """
 
     def _sim(t: pa.Table) -> pa.Table:
+        # the 64-bit simhash rides the shuffle in the doc_len slot (round
+        # 3): each doc's TEXT used to ride all 4 band copies and every
+        # candidate copy recomputed both simhashes from text — the hash
+        # itself is all verification needs
         sh = simhash_batch(t[text_col])
         ids = t[id_col].cast(pa.string())
         rows = []
@@ -414,8 +418,9 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                     {
                         "block_key": pa.array(key, pa.uint64()),
                         "conv_id": ids,
-                        "doc_text": t[text_col],
-                        "doc_len": pa.array(sh.astype(np.int64), pa.int64()),
+                        "doc_len": pa.array(
+                            sh.view(np.int64), pa.int64()
+                        ),
                     }
                 )
             )
@@ -434,8 +439,8 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
                  "b_id": pa.array([], pa.string()),
                  "hamming64": pa.array([], pa.int64())}
             )
-        ha = simhash_batch(t["a_text"])
-        hb = simhash_batch(t["b_text"])
+        ha = t["a_len"].to_numpy().view(np.uint64)
+        hb = t["b_len"].to_numpy().view(np.uint64)
         x = ha ^ hb
         pop = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
@@ -452,7 +457,8 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         .groupby("bucket")
         .map_groups(
             _bucket_to_pairs, batch_format="pyarrow",
-            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
+            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window,
+                       "carry_len": True},
         )
         .map_batches(_verify, batch_format="pyarrow")
     )

@@ -34,7 +34,11 @@ def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     return df.to_arrow()
 
 
-def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
+def _bucket_to_pairs(batch: pa.Table, cap: int, window: int,
+                     carry_len: bool = False) -> pa.Table:
+    """``carry_len=True`` emits each side's ``doc_len`` as a_len/b_len —
+    callers that key on a per-doc value (e.g. simhash stores its uint64
+    in the doc_len slot) get it on the pair row without a text join."""
     has_text = "doc_text" in batch.column_names
     df = (
         pl.from_arrow(batch)
@@ -69,10 +73,12 @@ def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
         blk.append(np.full(len(a), s, dtype=np.int64))
 
     text_fields = [("a_text", pa.string()), ("b_text", pa.string())] if has_text else []
+    len_fields = [("a_len", pa.int64()), ("b_len", pa.int64())] if carry_len else []
     bk_type = batch.schema.field("block_key").type
     schema = pa.schema(
         [("a_id", pa.string()), ("b_id", pa.string())]
         + text_fields
+        + len_fields
         + [("block_key", bk_type)]
     )
     if not ai:
@@ -92,6 +98,10 @@ def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
         text = df["doc_text"]
         cols["a_text"] = text.gather(a_idx)
         cols["b_text"] = text.gather(b_idx)
+    if carry_len:
+        dl = df["doc_len"]
+        cols["a_len"] = dl.gather(a_idx)
+        cols["b_len"] = dl.gather(b_idx)
     out = pl.DataFrame(cols)
     # canonicalize a_id < b_id, then dedup within the bucket
     swapped = out["a_id"] > out["b_id"]
@@ -103,6 +113,11 @@ def _bucket_to_pairs(batch: pa.Table, cap: int, window: int) -> pa.Table:
         swap_exprs += [
             pl.when(swapped).then(pl.col("b_text")).otherwise(pl.col("a_text")).alias("a_text"),
             pl.when(swapped).then(pl.col("a_text")).otherwise(pl.col("b_text")).alias("b_text"),
+        ]
+    if carry_len:
+        swap_exprs += [
+            pl.when(swapped).then(pl.col("b_len")).otherwise(pl.col("a_len")).alias("a_len"),
+            pl.when(swapped).then(pl.col("a_len")).otherwise(pl.col("b_len")).alias("b_len"),
         ]
     out = out.with_columns(*swap_exprs).unique(
         subset=["a_id", "b_id"], keep="first", maintain_order=True
