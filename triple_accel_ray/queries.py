@@ -31,7 +31,13 @@ import ray.data as rd
 from .io import read_parquet_clean
 
 from .ops.dedup import exact_dup_groups, minhash_dup_pairs, simhash_dup_pairs
-from .ops.multimodal import media_features, synthesize_media_table
+from .ops.multimodal import (
+    audio_features,
+    media_features,
+    synthesize_audio_table,
+    synthesize_media_table,
+    synthesize_media_table_png,
+)
 from .ops.search import search_dataset
 from .ops.similarity import knn_bruteforce, knn_ivf
 from .ops.text import LangId, fingerprint_batch, quality_score_batch, token_count_batch
@@ -44,6 +50,8 @@ from .pipeline.transcripts import ensure_fixture
 # absolute fixture path at the driver's correctness scale (sf0.01, seed 42)
 FIXTURE_SF001 = "/tmp/ta_ray_fixtures/sf0.01_s42/transcripts.parquet"
 MEDIA_FIXTURE = "/tmp/ta_ray_fixtures/media_n200_s42.parquet"
+MEDIA_PNG_FIXTURE = "/tmp/ta_ray_fixtures/media_png_n200_s42.parquet"
+AUDIO_FIXTURE = "/tmp/ta_ray_fixtures/audio_n200_s42.parquet"
 
 LEN_BUCKET = 32  # doc_len bucket width for the SQL-expressible sig blocking
 SEARCH_NEEDLE = "data"
@@ -675,20 +683,50 @@ def build_queries() -> Dict[str, Callable]:
     q["pricing_summary"] = pricing_summary_q
 
     # ---- multimodal plumbing -------------------------------------------
+    def _ensure_fixture_file(path, build):
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(build(), tmp)
+            os.replace(tmp, path)
+
     def media_feature_rows(sf_dir):
         """Deterministic fake-image corpus written once to a fixture path
         (so the DuckDB oracle can parse the same payload blobs), decoded by
         the vectorized actor-pool stage."""
-        path = MEDIA_FIXTURE
-        if not os.path.exists(path):
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + ".tmp"
-            pq.write_table(synthesize_media_table(200, seed=42), tmp)
-            os.replace(tmp, path)
-        media = read_parquet_clean(path)
+        _ensure_fixture_file(
+            MEDIA_FIXTURE, lambda: synthesize_media_table(200, seed=42))
+        media = read_parquet_clean(MEDIA_FIXTURE)
         return media_features(media, concurrency=2, batch_size=64)
 
     q["media_feature_rows"] = media_feature_rows
+
+    def media_feature_rows_png(sf_dir):
+        """REAL PNG decode (stdlib zlib + numpy unfiltering, every filter
+        type 0-4 exercised across rows). The PNG corpus carries the exact
+        pixel content of the fakeimg fixture (same rng draws), so the SQL
+        oracle parses the byte-transparent fakeimg payloads while the Ray
+        pipeline must reproduce the identical features from the compressed
+        PNGs — a value-exact end-to-end codec check."""
+        _ensure_fixture_file(
+            MEDIA_FIXTURE, lambda: synthesize_media_table(200, seed=42))
+        _ensure_fixture_file(
+            MEDIA_PNG_FIXTURE, lambda: synthesize_media_table_png(200, seed=42))
+        media = read_parquet_clean(MEDIA_PNG_FIXTURE)
+        return media_features(
+            media, concurrency=2, batch_size=64, accept_formats=("png",))
+
+    q["media_feature_rows_png"] = media_feature_rows_png
+
+    def audio_feature_rows(sf_dir):
+        """REAL WAV/PCM16 decode; the oracle parses the s16le sample bytes
+        straight out of the payload hex (canonical 44-byte header)."""
+        _ensure_fixture_file(
+            AUDIO_FIXTURE, lambda: synthesize_audio_table(200, seed=42))
+        audio = read_parquet_clean(AUDIO_FIXTURE)
+        return audio_features(audio, concurrency=2, batch_size=64)
+
+    q["audio_feature_rows"] = audio_feature_rows
 
     return q
 
@@ -1340,6 +1378,53 @@ SELECT g.media_id, g.w::INT AS width, g.h::INT AS height,
             / (g.w * g.h))) AS std_pixel,
        coalesce(hd.sum_hdiff, 0)::DOUBLE / greatest(1, g.h * (g.w - 1)) AS edge_energy
 FROM agg g LEFT JOIN hd ON hd.media_id = g.media_id"""
+
+    # The PNG corpus carries the SAME pixels as the fakeimg fixture (same
+    # rng draws; grayscale luma == the pixel byte), so the oracle for the
+    # real-PNG decode is the fakeimg byte-parse verbatim: the Ray side must
+    # recover identical features from zlib-compressed, scanline-filtered
+    # payloads that SQL cannot parse.
+    o["media_feature_rows_png"] = o["media_feature_rows"]
+
+    # s16le samples parsed from the payload hex at the canonical 44-byte
+    # header offset: lo byte at 44+2j, hi byte at 45+2j, two's complement.
+    lo = ("(strpos('0123456789ABCDEF', substr(hx, 2*(44+2*j)+1, 1)) - 1) * 16"
+          " + (strpos('0123456789ABCDEF', substr(hx, 2*(44+2*j)+2, 1)) - 1)")
+    hi = ("(strpos('0123456789ABCDEF', substr(hx, 2*(45+2*j)+1, 1)) - 1) * 16"
+          " + (strpos('0123456789ABCDEF', substr(hx, 2*(45+2*j)+2, 1)) - 1)")
+    o["audio_feature_rows"] = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx,
+         sample_rate::BIGINT AS rate, n_samples::BIGINT AS ns
+  FROM read_parquet('{AUDIO_FIXTURE}')
+),
+smp AS (
+  SELECT media_id, rate, ns, j,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+  FROM (
+    SELECT media_id, rate, ns, j, ({lo}) + 256 * ({hi}) AS raw
+    FROM (SELECT media_id, hx, rate, ns, unnest(range(0, ns)) AS j FROM m)
+  )
+),
+agg AS (
+  SELECT media_id, rate, ns,
+         sum(abs(s))::BIGINT AS sum_abs,
+         sum(s*s)::BIGINT AS sumsq
+  FROM smp GROUP BY media_id, rate, ns
+),
+zx AS (
+  SELECT a.media_id,
+         sum(CASE WHEN (a.s >= 0) != (b.s >= 0) THEN 1 ELSE 0 END)::BIGINT
+           AS zero_crossings
+  FROM smp a JOIN smp b ON b.media_id = a.media_id AND b.j = a.j + 1
+  GROUP BY a.media_id
+)
+SELECT g.media_id, g.rate AS sample_rate, 1::BIGINT AS channels,
+       g.ns AS n_frames, g.sum_abs, g.sumsq,
+       coalesce(z.zero_crossings, 0)::BIGINT AS zero_crossings,
+       g.sum_abs::DOUBLE / g.ns AS mean_abs,
+       sqrt(g.sumsq::DOUBLE / g.ns) AS rms
+FROM agg g LEFT JOIN zx z ON z.media_id = g.media_id"""
 
     o["events_watermark_1h"] = """
 WITH arr AS (
