@@ -35,6 +35,22 @@ def _poly_powers(maxlen: int, coef: np.uint64) -> np.ndarray:
     return p
 
 
+# Reusable flat scratch (grown geometrically, one copy per worker process).
+# Fresh multi-MB temporaries per batch get mmap'd and returned to the OS on
+# free, so every batch pays the page faults again — measured as the
+# dominant cost of polyhash over large batches on this sandbox.
+_SCR: dict = {}
+
+
+def _scr(name: str, size: int, dtype) -> np.ndarray:
+    buf = _SCR.get(name)
+    if buf is None or len(buf) < size:
+        cap = size if buf is None else max(size, 2 * len(buf))
+        buf = np.empty(cap, dtype)
+        _SCR[name] = buf
+    return buf[:size]
+
+
 def polyhash_rows(
     data: np.ndarray,
     offsets: np.ndarray,
@@ -54,13 +70,41 @@ def polyhash_rows(
     total = int(offsets[-1] - offsets[0]) if n else 0
     if total:
         powers = _poly_powers(int(lens.max()), coef)
-        rows_of = np.repeat(np.arange(n), lens)
-        exp = offsets[1:][rows_of] - 1 - np.arange(offsets[0], offsets[-1])
-        contrib = data[offsets[0] : offsets[-1]].astype(np.uint64) * powers[exp]
         nz = lens > 0
-        starts = (offsets[:-1] - offsets[0])[nz]
+        starts = np.asarray(offsets[:-1] - offsets[0])[nz]
+        # exponent of flat position p = (end of its row) - 1 - p, built
+        # without per-position gathers or fresh temporaries: scatter the
+        # row-end deltas at row starts, cumsum to broadcast, subtract the
+        # cached iota (empty rows occupy no positions, so nz-row starts
+        # tile the buffer exactly)
+        exp = _scr("ph_exp", total, np.int64)
+        exp[:] = 0
+        ends = np.asarray(offsets[1:] - offsets[0])[nz].astype(np.int64)
+        deltas = np.empty_like(ends)
+        if len(ends):
+            deltas[0] = ends[0]
+            np.subtract(ends[1:], ends[:-1], out=deltas[1:])
+        exp[starts] = deltas
+        np.cumsum(exp, out=exp)
+        exp -= _scr_iota(total)
+        exp -= 1
+        contrib = _scr("ph_tmp", total, np.uint64)
+        np.take(powers, exp, out=contrib)
+        np.multiply(
+            contrib, data[offsets[0] : offsets[-1]], out=contrib,
+            casting="unsafe",
+        )
         raw[nz] = np.add.reduceat(contrib, starts)
     return _mix64(raw ^ _mix64(lens.astype(np.uint64) ^ np.uint64(seed)))
+
+
+def _scr_iota(size: int) -> np.ndarray:
+    buf = _SCR.get("iota")
+    if buf is None or len(buf) < size:
+        cap = size if buf is None else max(size, 2 * len(buf))
+        buf = np.arange(cap, dtype=np.int64)
+        _SCR["iota"] = buf
+    return buf[:size]
 
 
 def packed_windows(

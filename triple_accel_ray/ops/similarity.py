@@ -28,6 +28,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(1e-12, np.linalg.norm(m, axis=1))[:, None]
 
 
+def _topk_emit(sims: np.ndarray, q_ids: np.ndarray, cids: np.ndarray, k: int):
+    """Vectorized per-row top-k over a (nq, nc) cosine matrix: self-matches
+    excluded, ties broken by neighbor_id ascending (columns are pre-sorted
+    by id, so one stable row argsort of -sims inherits the id order — no
+    per-query Python loop). Returns flat (query_id, neighbor_id, cosine)
+    int64/int64/float64 arrays."""
+    if sims.size == 0:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.float64)
+    order_c = np.argsort(cids, kind="stable")
+    cids_s = np.asarray(cids)[order_c]
+    sims_s = np.where(
+        cids_s[None, :] == np.asarray(q_ids)[:, None],
+        -np.inf,
+        sims[:, order_c],
+    )
+    kk = min(k, sims_s.shape[1])
+    top = np.argsort(-sims_s, axis=1, kind="stable")[:, :kk]
+    vals = np.take_along_axis(sims_s, top, axis=1)
+    valid = np.isfinite(vals).ravel()
+    qcol = np.repeat(np.asarray(q_ids, np.int64), kk)[valid]
+    ncol = cids_s[top.ravel()[valid]].astype(np.int64)
+    return qcol, ncol, vals.ravel()[valid]
+
+
 def knn_bruteforce(corpus, queries_table: pa.Table, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding"):
     """→ (query_id, neighbor_id, cosine, rank 1..k) — exact, deterministic
@@ -43,24 +68,11 @@ def knn_bruteforce(corpus, queries_table: pa.Table, k: int = 5,
         C = _normalize(_stack(batch[vec_col]))
         cids = batch[id_col].to_numpy()
         sims = Q_ @ C.T  # (nq, nc)
-        nq, nc = sims.shape
-        kk = min(k, nc)
-        out = {"query_id": [], "neighbor_id": [], "cosine": []}
-        for r in range(nq):
-            row = sims[r]
-            mask = cids != qids_[r]
-            idx = np.nonzero(mask)[0]
-            if idx.size == 0:
-                continue
-            # partial top-k with (−sim, id) ordering for determinism
-            order = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
-            out["query_id"].extend([int(qids_[r])] * len(order))
-            out["neighbor_id"].extend(int(cids[i]) for i in order)
-            out["cosine"].extend(float(row[i]) for i in order)
+        qcol, ncol, scol = _topk_emit(sims, qids_, cids, k)
         return pa.table(
-            {"query_id": pa.array(out["query_id"], pa.int64()),
-             "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-             "cosine": pa.array(out["cosine"], pa.float64())}
+            {"query_id": pa.array(qcol, pa.int64()),
+             "neighbor_id": pa.array(ncol, pa.int64()),
+             "cosine": pa.array(scol, pa.float64())}
         )
 
     partials = corpus.map_batches(_partial, batch_format="pyarrow")
@@ -178,19 +190,11 @@ def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
         X = _normalize(_stack(t[vec_col]))
         cids = t[id_col].to_numpy()
         sims = Q_[rows] @ X.T
-        out_q, out_n, out_s = [], [], []
-        kk = min(k, len(cids))
-        for i, r in enumerate(rows):
-            mask = cids != qids_[r]
-            idx = np.nonzero(mask)[0]
-            order = idx[np.lexsort((cids[idx], -sims[i][idx]))][:kk]
-            out_q.extend([int(qids_[r])] * len(order))
-            out_n.extend(int(cids[j]) for j in order)
-            out_s.extend(float(sims[i, j]) for j in order)
+        qcol, ncol, scol = _topk_emit(sims, qids_[rows], cids, k)
         return pa.table(
-            {"query_id": pa.array(out_q, pa.int64()),
-             "neighbor_id": pa.array(out_n, pa.int64()),
-             "cosine": pa.array(out_s, pa.float64())}
+            {"query_id": pa.array(qcol, pa.int64()),
+             "neighbor_id": pa.array(ncol, pa.int64()),
+             "cosine": pa.array(scol, pa.float64())}
         )
 
     partials = (
