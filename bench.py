@@ -245,26 +245,64 @@ def main() -> int:
 
         pairs_spec = os.environ.get("GRAFT_SCALING_PAIRS", "4:16,8:32")
         pairings = [tuple(map(int, p.split(":"))) for p in pairs_spec.split(",")]
-        # the sandbox VM's wall-clock varies up to ~2x across minutes
-        # (host-level contention, invisible to the guest) — interleaved
-        # repetitions with per-config best-of decorrelate slow phases
-        reps = int(os.environ.get("GRAFT_SCALING_REPS", 2))
-        cpus = sorted({n for p in pairings for n in p})
-        runs: dict = {}
+        # The sandbox VM's wall-clock varies up to ~3x across minutes
+        # (hypervisor contention, invisible to the guest) — a per-config
+        # best-of across the whole session pairs times from DIFFERENT
+        # phases and can make 8 CPUs measure "slower" than 4. Protocol:
+        # PHASE-COHERENT PAIRS — each efficiency sample is one lo-run
+        # immediately followed by one hi-run (adjacent in time, so both
+        # sit in the same host phase); repeat GRAFT_SCALING_REPS times and
+        # report the best and median pair efficiency. A fixed single-core
+        # numpy probe before every run records host speed at measurement
+        # time as drift evidence (probe seconds ride along in the JSON).
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", 3))
+
+        def probe() -> float:
+            # deterministic single-core workload (~1.5 s in a quiet phase):
+            # measures the host phase, not the engine
+            import numpy as _np
+
+            t0 = time.perf_counter()
+            rng = _np.random.default_rng(0)
+            a = rng.random((1200, 1200))
+            for _ in range(6):
+                a = a @ a
+                a /= _np.abs(a).max()
+            return round(time.perf_counter() - t0, 3)
+
         sf = None
-        for _ in range(reps):
-            for ncpu in cpus:
-                r = run(ncpu)
-                sf = r["sf"]
-                if ncpu not in runs or r["value"] < runs[ncpu]["value"]:
-                    runs[ncpu] = r
-        queries = {f"er_pipeline_{n}": runs[n]["value"] for n in cpus}
-        effs = {
-            f"eff_{lo}_{hi}": round(
-                (runs[lo]["value"] / runs[hi]["value"]) / (hi / lo), 3
+        pair_samples = []  # all (lo, hi, eff, t_lo, t_hi, probes) rows
+        per_pair_best: dict = {}
+        for lo, hi in pairings:
+            for _ in range(reps):
+                p_lo = probe()
+                r_lo = run(lo)
+                p_hi = probe()
+                r_hi = run(hi)
+                sf = r_lo["sf"]
+                t_lo, t_hi = r_lo["value"], r_hi["value"]
+                eff = round((t_lo / t_hi) / (hi / lo), 3)
+                row = {
+                    "lo": lo, "hi": hi, "eff": eff,
+                    f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+                    f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+                    f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                    f"probe_sec_before_{lo}": p_lo,
+                    f"probe_sec_before_{hi}": p_hi,
+                }
+                pair_samples.append(row)
+                key = (lo, hi)
+                if key not in per_pair_best or eff > per_pair_best[key]["eff"]:
+                    per_pair_best[key] = row
+        effs = {}
+        for lo, hi in pairings:
+            samp = sorted(
+                r["eff"] for r in pair_samples
+                if r["lo"] == lo and r["hi"] == hi
             )
-            for lo, hi in pairings
-        }
+            effs[f"eff_{lo}_{hi}"] = per_pair_best[(lo, hi)]["eff"]
+            effs[f"eff_{lo}_{hi}_median"] = samp[len(samp) // 2]
+        best_main = per_pair_best.get(pairings[0])
         out = {
             "metric": "scaling_efficiency",
             # headline value: the node-count proxy pairing (4 -> 16); the
@@ -274,10 +312,13 @@ def main() -> int:
             "value": effs.get("eff_4_16", next(iter(effs.values()))),
             "unit": "ratio",
             **effs,
-            **{f"sec_{n}": r["value"] for n, r in runs.items()},
-            **{f"turns_per_sec_{n}": r["turns_per_sec"] for n, r in runs.items()},
+            **{k: v for k, v in best_main.items() if k not in ("lo", "hi")},
             "sf": sf,
-            "queries": queries,
+            "pair_samples": pair_samples,
+            "queries": {
+                f"er_pipeline_{lo}_{hi}": r["eff"]
+                for (lo, hi), r in per_pair_best.items()
+            },
         }
         print(json.dumps(out))
         return 0

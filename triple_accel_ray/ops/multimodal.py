@@ -18,6 +18,7 @@ import pyarrow as pa
 from .codecs import png_decode, png_encode_filtered, png_luma, wav_decode, wav_encode
 
 MAGIC = b"FAKEIMG1"
+VID_MAGIC = b"FAKEVID1"
 
 
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
@@ -101,6 +102,41 @@ def synthesize_audio_table(n: int, seed: int = 42) -> pa.Table:
             "format": pa.array(["wav"] * n, pa.string()),
             "sample_rate": pa.array(rates, pa.int32()),
             "n_samples": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def synthesize_video_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake video corpus: payload = 8-byte magic + u16 width,
+    u16 height, u16 n_frames + n_frames grayscale frames back-to-back
+    (width*height bytes each) — byte-transparent so a SQL oracle can parse
+    the identical pixels the pipeline decodes."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, widths, heights, frames = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(4, 24))
+        h = int(rng.integers(4, 24))
+        nf = int(rng.integers(2, 40))
+        pixels = rng.integers(0, 256, size=w * h * nf, dtype=np.uint8)
+        payloads.append(
+            VID_MAGIC
+            + int(w).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little")
+            + int(nf).to_bytes(2, "little")
+            + pixels.tobytes()
+        )
+        ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        frames.append(nf)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["fakevid"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "n_frames": pa.array(frames, pa.int64()),
         }
     )
 
@@ -293,6 +329,276 @@ class AudioDecoder:
                 "rms": pa.array(np.sqrt(sumsq / nf), pa.float64()),
             }
         )
+
+
+class ImageResizer:
+    """Actor-pool box-average downscale (factor ``f``): each output pixel is
+    ``floor(mean)`` of its f×f source box; trailing rows/cols that don't
+    fill a box are cropped (the standard box-filter contract, and the one a
+    SQL oracle can express exactly in integers). Emits the resized image as
+    a new fakeimg payload plus integer-exact aggregates.
+
+    fakeimg batches run fully vectorized (one flat byte gather + bincount
+    segment sums across the whole batch); png decodes per row (zlib inflate
+    is per-payload) and shares the same integer box math."""
+
+    _REAL = {"fakeimg", "png"}
+
+    def __init__(self, factor: int = 4, accept_formats=("fakeimg",)):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        for f in accept_formats:
+            if f not in self._REAL:
+                raise NotImplementedError(
+                    f"codec for format {f!r} is not available in this "
+                    "environment (real decoders: fakeimg, png)"
+                )
+        self.f = int(factor)
+        self.accept = set(accept_formats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(
+            batch["format"], value_set=pa.array(sorted(self.accept))
+        )
+        sub = batch.filter(keep)
+        fmts = sub["format"].to_pylist()
+        is_png = np.array([f == "png" for f in fmts], dtype=bool)
+        if is_png.any():
+            parts = [
+                self._resize_fakeimg(sub.filter(pa.array(~is_png))),
+                self._resize_png(sub.filter(pa.array(is_png))),
+            ]
+            out = pa.concat_tables([p for p in parts if p.num_rows])
+            return out.sort_by("media_id") if out.num_rows else out
+        return self._resize_fakeimg(sub)
+
+    def _resize_png(self, sub: pa.Table) -> pa.Table:
+        f = self.f
+        n = sub.num_rows
+        rvs, w2s, h2s, sw, sh = [], [], [], [], []
+        for payload in sub["payload"]:
+            luma = png_luma(png_decode(payload.as_py())).astype(np.int64)
+            h, w = luma.shape
+            h2, w2 = h // f, w // f
+            box = (
+                luma[: h2 * f, : w2 * f]
+                .reshape(h2, f, w2, f)
+                .sum(axis=(1, 3))
+                // (f * f)
+            ) if h2 and w2 else np.zeros((h2, w2), np.int64)
+            rvs.append(box.ravel())
+            w2s.append(w2)
+            h2s.append(h2)
+            sw.append(w)
+            sh.append(h)
+        return self._emit(
+            sub,
+            np.array(sw, np.int64), np.array(sh, np.int64),
+            np.array(w2s, np.int64), np.array(h2s, np.int64),
+            np.concatenate(rvs) if n else np.zeros(0, np.int64),
+        )
+
+    def _resize_fakeimg(self, sub: pa.Table) -> pa.Table:
+        from ..kernels.batch import to_byte_rows
+
+        f = self.f
+        data, offsets = to_byte_rows(sub["payload"])
+        n = sub.num_rows
+        starts = offsets[:-1]
+        d64 = data.astype(np.int64)
+        if n:
+            w = d64[starts + 8] + (d64[starts + 9] << 8)
+            h = d64[starts + 10] + (d64[starts + 11] << 8)
+        else:
+            w = h = np.zeros(0, np.int64)
+        npix = w * h
+        if n and (np.diff(offsets) < 12 + npix).any():
+            raise ValueError("truncated pixel data")
+        w2, h2 = w // f, h // f
+        nout = w2 * h2
+        cum_out = np.zeros(n, np.int64)
+        if n:
+            np.cumsum(nout[:-1], out=cum_out[1:])
+        total_out = int(nout.sum()) if n else 0
+
+        rv = np.zeros(total_out, np.int64)
+        if total_out:
+            rows_of = np.repeat(np.arange(n), npix)
+            cum = np.zeros(n, np.int64)
+            np.cumsum(npix[:-1], out=cum[1:])
+            flat = np.arange(int(npix.sum()))
+            within = flat - cum[rows_of]
+            px = d64[starts[rows_of] + 12 + within]
+            wv = w[rows_of]
+            x = within % wv
+            y = within // wv
+            keep = (x < w2[rows_of] * f) & (y < h2[rows_of] * f)
+            gid = cum_out[rows_of][keep] + (
+                (y[keep] // f) * w2[rows_of][keep] + x[keep] // f
+            )
+            # float64 bincount sums are exact here (box sums < 255·f²≪2^53)
+            box = np.bincount(gid, weights=px[keep], minlength=total_out)
+            rv = (np.rint(box).astype(np.int64)) // (f * f)
+        return self._emit(sub, w, h, w2, h2, rv)
+
+    def _emit(self, sub, w, h, w2, h2, rv_flat) -> pa.Table:
+        n = sub.num_rows
+        nout = w2 * h2
+        cum_out = np.zeros(n, np.int64)
+        if n:
+            np.cumsum(nout[:-1], out=cum_out[1:])
+        sum_px = np.zeros(n, np.int64)
+        sumsq = np.zeros(n, np.int64)
+        nz = nout > 0
+        if rv_flat.size:
+            sum_px[nz] = np.add.reduceat(rv_flat, cum_out[nz])
+            sumsq[nz] = np.add.reduceat(rv_flat * rv_flat, cum_out[nz])
+        payloads = []
+        rv_u8 = rv_flat.astype(np.uint8)
+        for i in range(n):
+            payloads.append(
+                MAGIC
+                + int(w2[i]).to_bytes(2, "little")
+                + int(h2[i]).to_bytes(2, "little")
+                + rv_u8[cum_out[i] : cum_out[i] + nout[i]].tobytes()
+            )
+        mean = sum_px / np.maximum(1, nout).astype(np.float64)
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "src_width": pa.array(w.astype(np.int32), pa.int32()),
+                "src_height": pa.array(h.astype(np.int32), pa.int32()),
+                "width": pa.array(w2.astype(np.int32), pa.int32()),
+                "height": pa.array(h2.astype(np.int32), pa.int32()),
+                "sum_pixel": pa.array(sum_px, pa.int64()),
+                "sumsq_pixel": pa.array(sumsq, pa.int64()),
+                "mean_pixel": pa.array(mean, pa.float64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool frame sampling over the byte-transparent ``fakevid``
+    container (8-byte magic + u16 width/height/n_frames + grayscale frames
+    back-to-back): keeps every ``stride``-th frame and emits ONE ROW PER
+    SAMPLED FRAME with integer-exact pixel aggregates — the row-expanding
+    map_batches shape a real video pipeline (decode → frame-sample →
+    feature) uses, minus only the codec. Fully vectorized: one flat byte
+    gather + bincount segment sums across the whole batch."""
+
+    def __init__(self, stride: int = 3, accept_formats=("fakevid",)):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        for f in accept_formats:
+            if f != "fakevid":
+                raise NotImplementedError(
+                    f"video codec for format {f!r} is not available in "
+                    "this environment (real parser: fakevid)"
+                )
+        self.stride = int(stride)
+        self.accept = set(accept_formats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.batch import to_byte_rows
+
+        s = self.stride
+        keep_fmt = pa.compute.is_in(
+            batch["format"], value_set=pa.array(sorted(self.accept))
+        )
+        sub = batch.filter(keep_fmt)
+        data, offsets = to_byte_rows(sub["payload"])
+        n = sub.num_rows
+        starts = offsets[:-1]
+        d64 = data.astype(np.int64)
+        if n:
+            magic = np.frombuffer(VID_MAGIC, np.uint8)
+            head = data[starts[:, None] + np.arange(8)[None, :]]
+            if not (head == magic[None, :]).all():
+                raise ValueError("bad magic")
+            w = d64[starts + 8] + (d64[starts + 9] << 8)
+            h = d64[starts + 10] + (d64[starts + 11] << 8)
+            nf = d64[starts + 12] + (d64[starts + 13] << 8)
+        else:
+            w = h = nf = np.zeros(0, np.int64)
+        fpp = w * h
+        npix = fpp * nf
+        if n and (np.diff(offsets) < 14 + npix).any():
+            raise ValueError("truncated frame data")
+        nsamp = (nf + s - 1) // s  # frames with frame_idx % stride == 0
+        cum_sf = np.zeros(n, np.int64)
+        if n:
+            np.cumsum(nsamp[:-1], out=cum_sf[1:])
+        total_sf = int(nsamp.sum()) if n else 0
+
+        sum_px = np.zeros(total_sf, np.int64)
+        sumsq = np.zeros(total_sf, np.int64)
+        if total_sf and npix.sum():
+            rows_of = np.repeat(np.arange(n), npix)
+            cum = np.zeros(n, np.int64)
+            np.cumsum(npix[:-1], out=cum[1:])
+            flat = np.arange(int(npix.sum()))
+            within = flat - cum[rows_of]
+            frame = within // fpp[rows_of]
+            keep = (frame % s) == 0
+            px = d64[starts[rows_of][keep] + 14 + within[keep]]
+            sid = cum_sf[rows_of][keep] + frame[keep] // s
+            # exact in float64 (frame sums < 255·2^16·2^16 ≪ 2^53)
+            sum_px = np.rint(
+                np.bincount(sid, weights=px, minlength=total_sf)
+            ).astype(np.int64)
+            sumsq = np.rint(
+                np.bincount(sid, weights=px * px, minlength=total_sf)
+            ).astype(np.int64)
+
+        media_rep = np.repeat(
+            sub["media_id"].to_numpy(zero_copy_only=False), nsamp
+        ) if n else np.zeros(0, np.int64)
+        fi = (
+            np.arange(total_sf) - np.repeat(cum_sf, nsamp)
+        ) * s if n else np.zeros(0, np.int64)
+        w_rep = np.repeat(w, nsamp) if n else w
+        h_rep = np.repeat(h, nsamp) if n else h
+        area = np.maximum(1, w_rep * h_rep).astype(np.float64)
+        return pa.table(
+            {
+                "media_id": pa.array(media_rep, pa.int64()),
+                "frame_idx": pa.array(fi, pa.int64()),
+                "width": pa.array(w_rep.astype(np.int32), pa.int32()),
+                "height": pa.array(h_rep.astype(np.int32), pa.int32()),
+                "sum_pixel": pa.array(sum_px, pa.int64()),
+                "sumsq_pixel": pa.array(sumsq, pa.int64()),
+                "mean_pixel": pa.array(sum_px / area, pa.float64()),
+            }
+        )
+
+
+def resize_images(media, factor: int = 4, concurrency=2, batch_size: int = 64,
+                  accept_formats=("fakeimg",)):
+    """Binary image payloads → box-averaged thumbnails + exact aggregates."""
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={
+            "factor": factor, "accept_formats": tuple(accept_formats)
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(media, stride: int = 3, concurrency=2,
+                        batch_size: int = 32):
+    """Video payloads → one feature row per sampled frame (every
+    ``stride``-th). Small batch_size: frame-expanded rows × concurrency
+    must fit a worker heap."""
+    return media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def audio_features(media, concurrency=2, batch_size: int = 64):

@@ -34,9 +34,12 @@ from .ops.dedup import exact_dup_groups, minhash_dup_pairs, simhash_dup_pairs
 from .ops.multimodal import (
     audio_features,
     media_features,
+    resize_images,
+    sample_video_frames,
     synthesize_audio_table,
     synthesize_media_table,
     synthesize_media_table_png,
+    synthesize_video_table,
 )
 from .ops.search import search_dataset
 from .ops.similarity import knn_bruteforce, knn_ivf
@@ -52,6 +55,7 @@ FIXTURE_SF001 = "/tmp/ta_ray_fixtures/sf0.01_s42/transcripts.parquet"
 MEDIA_FIXTURE = "/tmp/ta_ray_fixtures/media_n200_s42.parquet"
 MEDIA_PNG_FIXTURE = "/tmp/ta_ray_fixtures/media_png_n200_s42.parquet"
 AUDIO_FIXTURE = "/tmp/ta_ray_fixtures/audio_n200_s42.parquet"
+VIDEO_FIXTURE = "/tmp/ta_ray_fixtures/video_n200_s42.parquet"
 
 LEN_BUCKET = 32  # doc_len bucket width for the SQL-expressible sig blocking
 SEARCH_NEEDLE = "data"
@@ -727,6 +731,48 @@ def build_queries() -> Dict[str, Callable]:
         return audio_features(audio, concurrency=2, batch_size=64)
 
     q["audio_feature_rows"] = audio_feature_rows
+
+    def media_resize_4x(sf_dir):
+        """Box-average 4x downscale (floor-of-mean per 4x4 box, trailing
+        remainder cropped): the oracle recomputes every output pixel in SQL
+        from the raw payload bytes, so the resize math — not just the
+        aggregates — is value-checked."""
+        _ensure_fixture_file(
+            MEDIA_FIXTURE, lambda: synthesize_media_table(200, seed=42))
+        media = read_parquet_clean(MEDIA_FIXTURE)
+        return resize_images(
+            media, factor=4, concurrency=2, batch_size=64
+        ).drop_columns(["payload"])
+
+    q["media_resize_4x"] = media_resize_4x
+
+    def media_resize_4x_png(sf_dir):
+        """Same resize over REAL PNGs carrying the identical pixels (same
+        rng draws as the fakeimg fixture) — decode + resize must reproduce
+        the fakeimg oracle's numbers from compressed, filtered payloads."""
+        _ensure_fixture_file(
+            MEDIA_FIXTURE, lambda: synthesize_media_table(200, seed=42))
+        _ensure_fixture_file(
+            MEDIA_PNG_FIXTURE, lambda: synthesize_media_table_png(200, seed=42))
+        media = read_parquet_clean(MEDIA_PNG_FIXTURE)
+        return resize_images(
+            media, factor=4, concurrency=2, batch_size=64,
+            accept_formats=("png",),
+        ).drop_columns(["payload"])
+
+    q["media_resize_4x_png"] = media_resize_4x_png
+
+    def video_frame_samples(sf_dir):
+        """Every-3rd-frame sampling over the byte-transparent fakevid
+        container: one feature row per sampled frame (row-expanding
+        map_batches), integer aggregates parsed per frame by the oracle."""
+        _ensure_fixture_file(
+            VIDEO_FIXTURE, lambda: synthesize_video_table(200, seed=42))
+        media = read_parquet_clean(VIDEO_FIXTURE)
+        return sample_video_frames(media, stride=3, concurrency=2,
+                                   batch_size=32)
+
+    q["video_frame_samples"] = video_frame_samples
 
     return q
 
@@ -1425,6 +1471,64 @@ SELECT g.media_id, g.rate AS sample_rate, 1::BIGINT AS channels,
        g.sum_abs::DOUBLE / g.ns AS mean_abs,
        sqrt(g.sumsq::DOUBLE / g.ns) AS rms
 FROM agg g LEFT JOIN zx z ON z.media_id = g.media_id"""
+
+    # Box-average 4x resize recomputed pixel-for-pixel in SQL: every output
+    # pixel is floor(sum of its 4x4 source box / 16) over the cropped
+    # region; aggregates then match the pipeline's integers exactly.
+    o["media_resize_4x"] = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx, width::BIGINT AS w, height::BIGINT AS h
+  FROM read_parquet('{MEDIA_FIXTURE}')
+),
+px AS (
+  SELECT media_id, w, h, j, {hv1} + {hv2} AS v
+  FROM (SELECT media_id, hx, w, h, unnest(range(0, w*h)) AS j FROM m)
+),
+boxes AS (
+  SELECT media_id, w, h, (j // w) // 4 AS oy, (j % w) // 4 AS ox,
+         (sum(v) // 16)::BIGINT AS rv
+  FROM px
+  WHERE (j % w) < (w - w % 4) AND (j // w) < (h - h % 4)
+  GROUP BY media_id, w, h, oy, ox
+),
+agg AS (
+  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+         sum(rv)::BIGINT AS sum_pixel, sum(rv*rv)::BIGINT AS sumsq_pixel
+  FROM boxes GROUP BY media_id
+)
+SELECT m.media_id, m.w::INT AS src_width, m.h::INT AS src_height,
+       (m.w // 4)::INT AS width, (m.h // 4)::INT AS height,
+       coalesce(a.sum_pixel, 0) AS sum_pixel,
+       coalesce(a.sumsq_pixel, 0) AS sumsq_pixel,
+       coalesce(a.sum_pixel, 0)::DOUBLE
+         / greatest(1, (m.w // 4) * (m.h // 4)) AS mean_pixel
+FROM m LEFT JOIN agg a ON a.media_id = m.media_id"""
+
+    # PNG twin: same pixels (same rng draws), so the fakeimg byte-parse
+    # oracle applies verbatim — the pipeline must reproduce it from real
+    # compressed PNGs.
+    o["media_resize_4x_png"] = o["media_resize_4x"]
+
+    # fakevid frames parsed straight from payload bytes (pixel data starts
+    # at byte 14); every 3rd frame kept, aggregated per sampled frame.
+    vv1 = "(strpos('0123456789ABCDEF', substr(hx, 2*(14+j)+1, 1)) - 1) * 16"
+    vv2 = "(strpos('0123456789ABCDEF', substr(hx, 2*(14+j)+2, 1)) - 1)"
+    o["video_frame_samples"] = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx, width::BIGINT AS w,
+         height::BIGINT AS h, n_frames::BIGINT AS nf
+  FROM read_parquet('{VIDEO_FIXTURE}')
+),
+px AS (
+  SELECT media_id, w, h, j // (w*h) AS f, {vv1} + {vv2} AS v
+  FROM (SELECT media_id, hx, w, h, unnest(range(0, w*h*nf)) AS j FROM m)
+  WHERE (j // (w*h)) % 3 = 0
+)
+SELECT media_id, f AS frame_idx,
+       any_value(w)::INT AS width, any_value(h)::INT AS height,
+       sum(v)::BIGINT AS sum_pixel, sum(v*v)::BIGINT AS sumsq_pixel,
+       sum(v)::DOUBLE / greatest(1, any_value(w) * any_value(h)) AS mean_pixel
+FROM px GROUP BY media_id, f"""
 
     o["events_watermark_1h"] = """
 WITH arr AS (
