@@ -16,6 +16,23 @@ import sys
 import time
 
 
+def _probe_host() -> float:
+    """Deterministic single-core numpy workload (~1.5 s in a quiet phase):
+    measures the HOST's current speed, not the engine. The sandbox VM's
+    wall-clock degrades up to ~3x for minutes at a time (hypervisor
+    contention invisible to the guest); recording the probe alongside every
+    measurement lets readers tell engine changes from host phases."""
+    import numpy as _np
+
+    t0 = time.perf_counter()
+    rng = _np.random.default_rng(0)
+    a = rng.random((1200, 1200))
+    for _ in range(6):
+        a = a @ a
+        a /= _np.abs(a).max()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _run_benches(sf_dir: str, ncpus: int) -> dict:
     import ray
 
@@ -65,6 +82,7 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
     # intermediate checkpoints — max-throughput mode)
     from triple_accel_ray.pipeline.run import run_er_pipeline_fused
 
+    timings["probe_sec_start"] = _probe_host()
     run_dir = f"/tmp/ta_ray_bench/erf_{os.path.basename(os.path.dirname(tp))}_{ncpus}"
     shutil.rmtree(run_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -77,16 +95,31 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
 
     scaling_only = os.environ.get("GRAFT_BENCH_MODE") == "scaling"
     if not scaling_only:
-        # durable mode: per-stage checkpoints + manifests (the resumable path)
-        run_dir2 = f"/tmp/ta_ray_bench/er_{os.path.basename(os.path.dirname(tp))}_{ncpus}"
-        shutil.rmtree(run_dir2, ignore_errors=True)
-        t0 = time.perf_counter()
-        summary_ck = run_er_pipeline(tp, run_dir2, PipelineConfig(), labels_path=lp)
-        timings["er_pipeline_checkpointed"] = round(time.perf_counter() - t0, 3)
-        summary["rows"] = summary_ck["rows"]
-        # per-stage wall times from the stage manifests (observability)
+        # durable mode: per-stage checkpoints + manifests (the resumable
+        # path). GRAFT_BENCH_REPS fresh repetitions (default 2), keep the
+        # best — one headline sample landing in a degraded host phase
+        # otherwise reads as an engine regression (see _probe_host).
         from triple_accel_ray.pipeline.checkpoint import read_manifest
 
+        reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+        best = None
+        for rep in range(reps):
+            run_dir2 = (
+                f"/tmp/ta_ray_bench/er_{os.path.basename(os.path.dirname(tp))}"
+                f"_{ncpus}_r{rep}"
+            )
+            shutil.rmtree(run_dir2, ignore_errors=True)
+            t0 = time.perf_counter()
+            summary_ck = run_er_pipeline(
+                tp, run_dir2, PipelineConfig(), labels_path=lp
+            )
+            t_ck = round(time.perf_counter() - t0, 3)
+            if best is None or t_ck < best[0]:
+                best = (t_ck, run_dir2, summary_ck)
+        t_ck, run_dir2, summary_ck = best
+        timings["er_pipeline_checkpointed"] = t_ck
+        summary["rows"] = summary_ck["rows"]
+        # per-stage wall times from the stage manifests (observability)
         timings["stages"] = {
             s: read_manifest(os.path.join(run_dir2, s))["wall_sec"]
             for s in ("docs", "blocks", "pairs", "edges", "clusters")
@@ -129,6 +162,7 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
             ).count(),
         )
 
+    timings["probe_sec_end"] = _probe_host()
     # headline = best full-pipeline run (fused vs checkpointed differ mainly
     # by which one paid the session's cold-start costs)
     t_best = min(
@@ -257,18 +291,7 @@ def main() -> int:
         # time as drift evidence (probe seconds ride along in the JSON).
         reps = int(os.environ.get("GRAFT_SCALING_REPS", 3))
 
-        def probe() -> float:
-            # deterministic single-core workload (~1.5 s in a quiet phase):
-            # measures the host phase, not the engine
-            import numpy as _np
-
-            t0 = time.perf_counter()
-            rng = _np.random.default_rng(0)
-            a = rng.random((1200, 1200))
-            for _ in range(6):
-                a = a @ a
-                a /= _np.abs(a).max()
-            return round(time.perf_counter() - t0, 3)
+        probe = _probe_host
 
         sf = None
         pair_samples = []  # all (lo, hi, eff, t_lo, t_hi, probes) rows
