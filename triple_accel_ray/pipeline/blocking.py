@@ -98,6 +98,17 @@ class BlockKeyer:
         h, tmp, key, doc_of = _KEYER_SCR["bufs"]
         return h[:size], tmp[:size], key[:size], doc_of[:size]
 
+    # windows per internal chunk: bounds the scratch working set at
+    # ~24 B/window × 2^20 ≈ 25 MB per WORKER PROCESS regardless of batch
+    # size. Without this bound a large input block (Ray bundles ~128 MB of
+    # docs into one batch at bigger scales) sized the flat scratch to the
+    # whole batch's window count — tens–hundreds of MB × every concurrent
+    # worker of FRESH pages, and this VM faults first-touch pages at
+    # ~0.24 GB/s with kernel-side contention across processes: the blocks
+    # stage measured 37.7 s at 32 CPUs vs 9.7 s at 8 (ANTI-scaling) at
+    # sf0.4. Chunked, scratch is faulted once per worker and stays warm.
+    CHUNK_WINDOWS = 1 << 20
+
     def minhash_matrix(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """(n_docs, num_perm) uint64 signatures via one-permutation hashing
         (Li, Owen & Zhang 2012): each shingle is hashed ONCE, the hash space
@@ -108,19 +119,38 @@ class BlockKeyer:
         densification so band hashing sees no sentinel collisions. Rows with
         no shingles stay all-max.
 
-        Implementation is flat and allocation-free: shingle hashes are
-        computed over the whole byte buffer with CONTIGUOUS shifted views
-        (no per-shingle index gather), per-doc tail positions that would
-        straddle a document boundary are masked out, and the per-(doc,bin)
-        minimum is ``num_perm`` masked segment reductions into reusable
-        actor scratch — no sort, no fresh large arrays per batch."""
+        Work is split into doc-aligned chunks of ≤ CHUNK_WINDOWS windows so
+        the per-worker scratch stays small and warm (see CHUNK_WINDOWS);
+        results are identical to the unchunked form because chunks are
+        doc-aligned (per-(doc,bin) minima never cross docs)."""
         n = len(offsets) - 1
-        lens = np.diff(offsets)
         MAXU = np.iinfo(np.uint64).max
         sig = np.full((n, self.num_perm), MAXU, dtype=np.uint64)
         B = int(offsets[-1] - offsets[0])
         if B < self.shingle:
             return sig
+        i0 = 0
+        while i0 < n:
+            # widest doc range whose byte span stays under the chunk bound
+            # (a single over-long doc gets its own chunk)
+            limit = int(offsets[i0]) + self.CHUNK_WINDOWS
+            i1 = int(np.searchsorted(offsets, limit, side="right")) - 1
+            i1 = max(i1, i0 + 1)
+            i1 = min(i1, n)
+            self._minhash_chunk(data, offsets[i0 : i1 + 1], sig[i0:i1])
+            i0 = i1
+        self._densify(sig, np.diff(offsets))
+        return sig
+
+    def _minhash_chunk(
+        self, data: np.ndarray, offsets: np.ndarray, sig: np.ndarray
+    ) -> None:
+        """One-permutation minhash for one doc-aligned chunk; writes
+        per-(doc, bin) minima into ``sig`` (rows aligned with offsets)."""
+        MAXU = np.iinfo(np.uint64).max
+        B = int(offsets[-1] - offsets[0])
+        if B < self.shingle:
+            return
         flat = data[offsets[0] : offsets[-1]]
         off0 = offsets - offsets[0]
         npos = B - self.shingle + 1  # flat window starts (incl. invalid)
@@ -202,11 +232,14 @@ class BlockKeyer:
             sig[d, b] = np.minimum(sig[d, b], mins)
         # MAXU-poisoned windows (tails/short docs) can never win a min
         # unless the bin is empty — in which case the sentinel stays and
-        # densification (below) refills it, exactly as before
+        # densification (in minhash_matrix) refills it, exactly as before
 
-        # rotation densification: an empty bin borrows the next non-empty
-        # bin's value (wrapping), mixed with its distance so borrowed values
-        # differ across positions
+    def _densify(self, sig: np.ndarray, lens: np.ndarray) -> None:
+        """Rotation densification: an empty bin borrows the next non-empty
+        bin's value (wrapping), mixed with its distance so borrowed values
+        differ across positions. Runs once over the full signature matrix
+        (chunk-independent: densification only reads sig rows)."""
+        MAXU = np.iinfo(np.uint64).max
         empty = sig == MAXU
         has_any = lens >= self.shingle
         if empty[has_any].any():
@@ -218,7 +251,6 @@ class BlockKeyer:
                 if fill.any():
                     sig[fill] = _mix64(donor[fill] + np.uint64(shift))
                 empty = sig == MAXU
-        return sig
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:
         """(n_docs, n_bands) uint64 band hashes."""
