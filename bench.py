@@ -226,18 +226,29 @@ def _run_ab(ref: str, sf_dir: str) -> int:
                 if side not in best or r["value"] < best[side]["value"]:
                     best[side] = r
         hv, rv = best["head"]["value"], best[ref]["value"]
-        print(json.dumps({
+        head_sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+        out = {
             "metric": "ab_ratio_head_over_ref",
             "value": round(hv / rv, 3),   # < 1.0 means HEAD is faster
             "unit": "ratio",
             "ref": ref,
             "ref_sha": sha,
+            "head_sha": head_sha,
             "sec_head": hv,
             "sec_ref": rv,
             "queries_head": best["head"]["queries"],
             "queries_ref": best[ref]["queries"],
             "sf": best["head"].get("sf"),
-        }))
+        }
+        print(json.dumps(out))
+        # persist so plain bench runs can surface the latest recorded A/B
+        # (the driver's per-round bench doesn't pass --ab; embedding the
+        # artifact makes the regression self-check visible in BENCH_r{N})
+        with open(os.path.join(repo, "AB_LATEST.json"), "w") as f:
+            json.dump(out, f, indent=1)
         return 0
     finally:
         subprocess.run(
@@ -347,7 +358,22 @@ def main() -> int:
         return 0
 
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(_run_benches(sf_dir, ncpus)))
+    result = _run_benches(sf_dir, ncpus)
+    # attach the latest recorded same-environment A/B (see _run_ab): a
+    # RECORDED measurement from `bench.py --ab <ref>`, labeled with both
+    # shas — not re-measured here (doubling every bench run would be worse
+    # observability than a labeled artifact).
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "AB_LATEST.json")
+    if os.path.exists(ab_path):
+        with open(ab_path) as f:
+            ab = json.load(f)
+        result["ab_recorded"] = {
+            k: ab.get(k)
+            for k in ("value", "ref", "ref_sha", "head_sha",
+                      "sec_head", "sec_ref", "sf")
+        }
+    print(json.dumps(result))
     return 0
 
 

@@ -142,6 +142,49 @@ def test_token_count_and_quality():
     assert q["stop_count"].to_pylist() == [1, 0, 0]  # "the"
 
 
+def test_bpe_token_count_matches_re_and_duckdb():
+    """The engine (polars/rust-regex), Python `re`, and DuckDB (RE2) must
+    count identical matches for BPE_TOKEN_PATTERN — all leftmost-first."""
+    import re
+
+    import duckdb
+
+    from triple_accel_ray.ops.text import BPE_TOKEN_PATTERN, bpe_token_count_batch
+
+    texts = [
+        "don't stop believing",
+        "it's we'll they've you're I'd I'm that'd",
+        "hello   world\t\n42 abc123def",
+        "",
+        "  leading space",
+        "naïve café — em–dash… 3.14 isn't $5,000!",
+        "a" * 300 + " " + "9" * 50,
+        "!!!???...,,,;;;",
+        "\n\n\n",
+        "mixed'quote 'start end'",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = bpe_token_count_batch(t)["bpe_token_count"].to_pylist()
+
+    want_re = [len(re.findall(BPE_TOKEN_PATTERN, s)) for s in texts]
+    assert got == want_re
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = (
+        "SELECT len(regexp_extract_all(text, '"
+        + BPE_TOKEN_PATTERN.replace("'", "''")
+        + "'))::BIGINT AS c FROM documents ORDER BY doc_id"
+    )
+    want_duck = [r[0] for r in con.sql(sql).fetchall()]
+    assert got == want_duck
+
+    # every byte of the text is consumed by exactly one match (partition
+    # property the capacity-planning use relies on)
+    for s in texts:
+        assert sum(len(m) for m in re.findall(BPE_TOKEN_PATTERN, s)) == len(s)
+
+
 def test_lang_id():
     from triple_accel_ray.ops.text import LangId
 

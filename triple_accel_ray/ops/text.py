@@ -65,6 +65,40 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# GPT-2-style BPE pre-tokenizer pattern, simplified to be LOOKAHEAD-FREE so
+# the SAME pattern runs identically in polars (rust regex), DuckDB (RE2) and
+# Python `re` — all three scan leftmost with first-alternative-wins. ASCII
+# classes throughout ([ \t-\r] = space + TAB..CR) because `\s` is Unicode in
+# rust regex but ASCII in RE2. Alternatives: English contractions, a letter
+# run (optional leading space), a digit run, a run of anything else
+# non-space (symbols/punct/non-ASCII), a residual whitespace run.
+BPE_TOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^ \t-\r0-9A-Za-z]+"
+    r"|[ \t-\r]+"
+)
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Count BPE-style pre-tokens per row (every byte of the text belongs to
+    exactly one match, so this upper-bounds the post-merge BPE token count
+    the way real tokenizer capacity planning uses it)."""
+    df = pl.from_arrow(batch)
+    out = df.with_columns(
+        bpe_token_count=pl.col(text_col)
+        .str.count_matches(BPE_TOKEN_PATTERN)
+        .cast(pl.Int64)
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            list(zip(batch.schema.names, batch.schema.types))
+            + [("bpe_token_count", pa.int64())]
+        )
+    )
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Counts + ratios + stopword ratio + a composite quality score."""
     texts = batch[text_col]

@@ -58,6 +58,17 @@ class PipelineConfig:
     abs_max_k: int = 128
     costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
     score_batch_size: int = 512
+    # adaptive scoring batches: the scorer chunks each batch by W =
+    # ceil(len/64) before the kernel, and small batches fragment into tiny
+    # W-groups that are pure numpy-dispatch overhead (measured single-core
+    # on the sf0.1 pair mix: 62.7 core-s at bs=512 vs 51.0 at bs=8192).
+    # When the pair count is known (checkpointed path: pairs manifest) or
+    # estimable (fused path: doc count; pairs/doc ≈ 0.9 on transcript
+    # corpora), grow the batch toward score_batch_max while keeping >= 4
+    # batches per CPU so no core starves. score_batch_size stays the floor
+    # (and the exact size used when adaptivity is off or counts unknown).
+    score_batch_adaptive: bool = True
+    score_batch_max: int = 8192
     score_concurrency: int | tuple | None = None  # None → stateless tasks
     # match decision: dist within k AND normalized similarity above this
     min_similarity: float = 0.85

@@ -48,6 +48,23 @@ def _read_dir(stage_dir: str):
     return rd.read_parquet(stage_dir)
 
 
+def _score_batch_size(cfg: PipelineConfig, n_pairs_est: int) -> int:
+    """Scoring batch size for an (estimated) total pair count — grows
+    toward cfg.score_batch_max while keeping >= 4 batches per cluster CPU
+    (load balance); see PipelineConfig.score_batch_adaptive."""
+    if not cfg.score_batch_adaptive:
+        return cfg.score_batch_size
+    import ray
+
+    ncpus = int(ray.cluster_resources().get("CPU", 0)) or 32
+    return int(
+        min(
+            cfg.score_batch_max,
+            max(cfg.score_batch_size, n_pairs_est // (4 * ncpus)),
+        )
+    )
+
+
 def run_er_pipeline_fused(
     transcripts_path: str,
     run_dir: str,
@@ -98,6 +115,9 @@ def run_er_pipeline_fused(
         min_similarity=cfg.min_similarity,
     )
     text_bytes = docs.size_bytes() or (1 << 62)
+    # docs is materialized, so count() is metadata; pairs/doc ≈ 0.9 on
+    # transcript corpora makes the doc count a fine batch-size estimate
+    score_bs = _score_batch_size(cfg, docs.count())
     if text_bytes <= cfg.broadcast_text_max_bytes:
         # small-side broadcast: no join shuffles (see config threshold)
         import ray
@@ -115,7 +135,7 @@ def run_er_pipeline_fused(
         scored = pairs.map_batches(
             BroadcastTextScorer(index_ref, **scorer_kw),
             batch_format="pyarrow",
-            batch_size=cfg.score_batch_size,
+            batch_size=score_bs,
         )
     else:
         with_texts = attach_pair_texts(
@@ -124,7 +144,7 @@ def run_er_pipeline_fused(
         )
         scored = score_pairs(
             with_texts,
-            batch_size=cfg.score_batch_size,
+            batch_size=score_bs,
             concurrency=cfg.score_concurrency,
             **scorer_kw,
         )
@@ -268,6 +288,8 @@ def run_er_pipeline(
             for f in os.listdir(docs_dir)
             if f.endswith(".parquet")
         )
+        # exact pair count from the pairs-stage manifest
+        score_bs = _score_batch_size(cfg, read_manifest(pairs_dir)["rows"])
         if docs_bytes <= cfg.broadcast_text_max_bytes:
             import ray
 
@@ -280,7 +302,7 @@ def run_er_pipeline(
             scored = _read_dir(pairs_dir).map_batches(
                 BroadcastTextScorer(index_ref, **scorer_kw),
                 batch_format="pyarrow",
-                batch_size=cfg.score_batch_size,
+                batch_size=score_bs,
             )
         else:
             with_texts = attach_pair_texts(
@@ -290,7 +312,7 @@ def run_er_pipeline(
             )
             scored = score_pairs(
                 with_texts,
-                batch_size=cfg.score_batch_size,
+                batch_size=score_bs,
                 concurrency=cfg.score_concurrency,
                 **scorer_kw,
             )

@@ -525,6 +525,17 @@ def build_queries() -> Dict[str, Callable]:
 
     q["token_count"] = token_count
 
+    def bpe_token_count(sf_dir):
+        from .ops.text import bpe_token_count_batch
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(
+            lambda t: bpe_token_count_batch(t).select(["doc_id", "bpe_token_count"]),
+            batch_format="pyarrow",
+        )
+
+    q["bpe_token_count"] = bpe_token_count
+
     def quality_scores(sf_dir):
         docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return docs.map_batches(
@@ -1259,6 +1270,16 @@ SELECT doc_id,
                    trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
        END::BIGINT AS token_count
 FROM documents"""
+
+    # the SAME lookahead-free pattern as ops.text.BPE_TOKEN_PATTERN (RE2 and
+    # rust regex share leftmost-first alternation); SQL-escape the quote
+    from .ops.text import BPE_TOKEN_PATTERN as _bpe_pat
+
+    o["bpe_token_count"] = (
+        "SELECT doc_id, len(regexp_extract_all(text, '"
+        + _bpe_pat.replace("'", "''")
+        + "'))::BIGINT AS bpe_token_count FROM documents"
+    )
 
     stop_list = "'the','and','of','a','to','in','is','it','for','on'"
     o["quality_scores"] = rf"""
