@@ -33,6 +33,34 @@ def _probe_host() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _probe_host_parallel(n: int) -> float:
+    """Aggregate throughput (tasks/sec) of ``n`` CONCURRENT single-threaded
+    numpy workers. The single-core probe above cannot see hypervisor
+    co-tenancy: a phase where 1 core runs at full speed but 16 cannot
+    (observed on this sandbox — the host's own 4->16-process scaling
+    efficiency dipped to ~0.5 for minutes at a time). The ratio between two
+    probe levels is the HOST's parallel-capacity ceiling in that window; an
+    engine efficiency measured under a degraded ceiling reflects the host,
+    not the engine, so every scaling sample records the ceiling alongside."""
+    import subprocess as _sp
+
+    work = (
+        "import numpy as np,time;t0=time.perf_counter();"
+        "rng=np.random.default_rng(0);a=rng.random((700,700));\n"
+        "for _ in range(8): a=a@a; a/=np.abs(a).max()\n"
+    )
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    t0 = time.perf_counter()
+    procs = [
+        _sp.Popen([sys.executable, "-c", work], stdout=_sp.DEVNULL, env=env)
+        for _ in range(n)
+    ]
+    for p in procs:
+        p.wait()
+    return round(n / (time.perf_counter() - t0), 3)
+
+
 def _run_benches(sf_dir: str, ncpus: int) -> dict:
     import ray
 
@@ -309,6 +337,11 @@ def main() -> int:
         per_pair_best: dict = {}
         for lo, hi in pairings:
             for _ in range(reps):
+                # host parallel-capacity ceiling for this pairing, right
+                # before the sample (see _probe_host_parallel)
+                agg_lo_c = _probe_host_parallel(lo)
+                agg_hi_c = _probe_host_parallel(hi)
+                host_eff = round((agg_hi_c / agg_lo_c) / (hi / lo), 3)
                 p_lo = probe()
                 r_lo = run(lo)
                 p_hi = probe()
@@ -318,6 +351,7 @@ def main() -> int:
                 eff = round((t_lo / t_hi) / (hi / lo), 3)
                 row = {
                     "lo": lo, "hi": hi, "eff": eff,
+                    "host_eff": host_eff,
                     f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
                     f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
                     f"turns_per_sec_{hi}": r_hi["turns_per_sec"],

@@ -51,6 +51,17 @@ def _scr(name: str, size: int, dtype) -> np.ndarray:
     return buf[:size]
 
 
+# Flat bytes per internal polyhash chunk. The exponent/contribution
+# scratch costs 16 B per text byte; sized to the whole batch it exceeds L2
+# and every pass streams DRAM — and this sandbox VM sustains only ~2.4 GB/s
+# of AGGREGATE memory traffic across all cores (measured: the identical
+# keyer workload burned 5.4 CPU-s single-process vs 176 CPU-s split across
+# 32 processes, pure memory-stall inflation; wall ~flat with core count).
+# Row-aligned 64 KB chunks keep the working set (~1 MB) cache-resident, so
+# only the text itself is read from DRAM and the stage scales with cores.
+_POLY_CHUNK_BYTES = 1 << 16
+
+
 def polyhash_rows(
     data: np.ndarray,
     offsets: np.ndarray,
@@ -62,40 +73,65 @@ def polyhash_rows(
 
     ``(data, offsets)`` as returned by :func:`..batch.to_byte_rows`
     (offsets rebased to start at 0). Fully vectorized: one exponent
-    gather + multiply over the flat bytes, one segment reduction.
-    """
+    gather + multiply over the flat bytes, one segment reduction — split
+    into row-aligned cache-resident chunks (see _POLY_CHUNK_BYTES)."""
     lens = np.diff(offsets)
     n = len(lens)
     raw = np.zeros(n, dtype=np.uint64)
     total = int(offsets[-1] - offsets[0]) if n else 0
     if total:
         powers = _poly_powers(int(lens.max()), coef)
-        nz = lens > 0
-        starts = np.asarray(offsets[:-1] - offsets[0])[nz]
-        # exponent of flat position p = (end of its row) - 1 - p, built
-        # without per-position gathers or fresh temporaries: scatter the
-        # row-end deltas at row starts, cumsum to broadcast, subtract the
-        # cached iota (empty rows occupy no positions, so nz-row starts
-        # tile the buffer exactly)
-        exp = _scr("ph_exp", total, np.int64)
-        exp[:] = 0
-        ends = np.asarray(offsets[1:] - offsets[0])[nz].astype(np.int64)
-        deltas = np.empty_like(ends)
-        if len(ends):
-            deltas[0] = ends[0]
-            np.subtract(ends[1:], ends[:-1], out=deltas[1:])
-        exp[starts] = deltas
-        np.cumsum(exp, out=exp)
-        exp -= _scr_iota(total)
-        exp -= 1
-        contrib = _scr("ph_tmp", total, np.uint64)
-        np.take(powers, exp, out=contrib)
-        np.multiply(
-            contrib, data[offsets[0] : offsets[-1]], out=contrib,
-            casting="unsafe",
-        )
-        raw[nz] = np.add.reduceat(contrib, starts)
+        i0 = 0
+        while i0 < n:
+            # widest row range whose byte span stays under the chunk bound
+            # (a single over-long row gets its own chunk)
+            limit = int(offsets[i0]) + _POLY_CHUNK_BYTES
+            i1 = int(np.searchsorted(offsets, limit, side="right")) - 1
+            i1 = min(max(i1, i0 + 1), n)
+            _polyhash_chunk(
+                data, offsets[i0 : i1 + 1], powers, raw[i0:i1]
+            )
+            i0 = i1
     return _mix64(raw ^ _mix64(lens.astype(np.uint64) ^ np.uint64(seed)))
+
+
+def _polyhash_chunk(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    powers: np.ndarray,
+    raw: np.ndarray,
+) -> None:
+    """Polynomial row hashes for one row-aligned chunk; writes the raw
+    (pre-mix) sums into ``raw`` (rows aligned with offsets)."""
+    lens = np.diff(offsets)
+    total = int(offsets[-1] - offsets[0])
+    if not total:
+        return
+    nz = lens > 0
+    starts = np.asarray(offsets[:-1] - offsets[0])[nz]
+    # exponent of flat position p = (end of its row) - 1 - p, built
+    # without per-position gathers or fresh temporaries: scatter the
+    # row-end deltas at row starts, cumsum to broadcast, subtract the
+    # cached iota (empty rows occupy no positions, so nz-row starts
+    # tile the buffer exactly)
+    exp = _scr("ph_exp", total, np.int64)
+    exp[:] = 0
+    ends = np.asarray(offsets[1:] - offsets[0])[nz].astype(np.int64)
+    deltas = np.empty_like(ends)
+    if len(ends):
+        deltas[0] = ends[0]
+        np.subtract(ends[1:], ends[:-1], out=deltas[1:])
+    exp[starts] = deltas
+    np.cumsum(exp, out=exp)
+    exp -= _scr_iota(total)
+    exp -= 1
+    contrib = _scr("ph_tmp", total, np.uint64)
+    np.take(powers, exp, out=contrib)
+    np.multiply(
+        contrib, data[offsets[0] : offsets[-1]], out=contrib,
+        casting="unsafe",
+    )
+    raw[nz] = np.add.reduceat(contrib, starts)
 
 
 def _scr_iota(size: int) -> np.ndarray:

@@ -99,15 +99,15 @@ class BlockKeyer:
         return h[:size], tmp[:size], key[:size], doc_of[:size]
 
     # windows per internal chunk: bounds the scratch working set at
-    # ~24 B/window × 2^20 ≈ 25 MB per WORKER PROCESS regardless of batch
-    # size. Without this bound a large input block (Ray bundles ~128 MB of
-    # docs into one batch at bigger scales) sized the flat scratch to the
-    # whole batch's window count — tens–hundreds of MB × every concurrent
-    # worker of FRESH pages, and this VM faults first-touch pages at
-    # ~0.24 GB/s with kernel-side contention across processes: the blocks
-    # stage measured 37.7 s at 32 CPUs vs 9.7 s at 8 (ANTI-scaling) at
-    # sf0.4. Chunked, scratch is faulted once per worker and stays warm.
-    CHUNK_WINDOWS = 1 << 20
+    # ~24 B/window — and CACHE-RESIDENT, not merely bounded. At 2^20 the
+    # ~25 MB per-worker scratch exceeded L2/L3 share, so every hash/mix/
+    # sort pass streamed DRAM; this VM sustains only ~2.4 GB/s AGGREGATE
+    # memory traffic across all cores (measured: 16.6 CPU-s single-process
+    # for the sf0.4 corpus vs 457 CPU-s split across 32 processes — the
+    # blocks stage ran NO faster at 32 CPUs than at 1). At 2^16 the ~1.5 MB
+    # working set stays in-cache, only the text bytes stream, and the same
+    # 32-process harness measured ~1.3x CPU inflation instead of ~27x.
+    CHUNK_WINDOWS = 1 << 16
 
     def minhash_matrix(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """(n_docs, num_perm) uint64 signatures via one-permutation hashing
