@@ -84,26 +84,43 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from triple_accel_ray.io import read_parquet_clean
 
     from triple_accel_ray.pipeline import PipelineConfig, run_er_pipeline
-    from triple_accel_ray.pipeline.transcripts import ensure_fixture, parse_sf
+    from triple_accel_ray.pipeline.transcripts import (
+        count_rows, ensure_fixture, parse_sf,
+    )
 
     tp, lp = ensure_fixture(sf_dir)
     # warm the OS page cache so we measure compute+shuffle, not first read
-    with open(tp, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    warm = (
+        [os.path.join(tp, x) for x in os.listdir(tp)]
+        if os.path.isdir(tp) else [tp]
+    )
+    for w in warm:
+        with open(w, "rb") as f:
+            while f.read(1 << 24):
+                pass
     # spin up the worker pool before timing (process forking isn't pipeline
-    # throughput)
+    # throughput) and pre-import the UDF modules in every worker: polars +
+    # the pipeline modules cost ~2 s of import per worker process, which
+    # otherwise lands inside the first measured stage
+    def _warm_worker(b):
+        import polars  # noqa: F401
+
+        from triple_accel_ray.pipeline import (  # noqa: F401
+            blocking, cluster, docs, pairs, score,
+        )
+
+        return b
+
     rd.range(ncpus * 8).map_batches(
-        lambda b: b, batch_size=1, batch_format="pyarrow"
+        _warm_worker, batch_size=1, batch_format="pyarrow"
     ).materialize()
 
-    n_turns = pq.read_metadata(tp).num_rows
+    n_turns = count_rows(tp)
     timings: dict = {}
 
     # headline: full ER pipeline, fused streaming execution (no
