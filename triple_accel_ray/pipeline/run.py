@@ -83,6 +83,8 @@ def run_er_pipeline_fused(
     cfg = cfg or PipelineConfig()
     os.makedirs(run_dir, exist_ok=True)
 
+    import ray
+
     docs = build_docs(
         rd.read_parquet(
             transcripts_path, override_num_blocks=cfg.doc_buckets * 2
@@ -118,10 +120,9 @@ def run_er_pipeline_fused(
     # docs is materialized, so count() is metadata; pairs/doc ≈ 0.9 on
     # transcript corpora makes the doc count a fine batch-size estimate
     score_bs = _score_batch_size(cfg, docs.count())
+    docs_table = None  # driver copy of (conv_id, doc_text), broadcast path
     if text_bytes <= cfg.broadcast_text_max_bytes:
         # small-side broadcast: no join shuffles (see config threshold)
-        import ray
-
         from .score import BroadcastTextScorer, build_text_index
 
         doc_parts = [
@@ -159,10 +160,23 @@ def run_er_pipeline_fused(
     clusters_dir = os.path.join(run_dir, "clusters")
     os.makedirs(clusters_dir, exist_ok=True)
     if n_edges <= cfg.local_cluster_edge_cap:
-        et = pa.Table.from_pandas(
-            edges.select_columns(["a_id", "b_id"]).to_pandas()
-        )
-        nt = pa.Table.from_pandas(docs.select_columns(["conv_id"]).to_pandas())
+        # collect as arrow directly (a pandas round-trip here measured
+        # 2.7 s of driver-serial time at sf0.4); the node list reuses the
+        # broadcast-path docs collection when it exists
+        et = pa.concat_tables(
+            [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
+        ).select(["a_id", "b_id"])
+        if docs_table is not None:
+            nt = docs_table.select(["conv_id"])
+        else:
+            nt = pa.concat_tables(
+                [
+                    t for t in ray.get(
+                        docs.select_columns(["conv_id"]).to_arrow_refs()
+                    )
+                    if t.num_rows > 0
+                ]
+            )
         out = connected_components_local(et, nt)
         pq.write_table(out, os.path.join(clusters_dir, "clusters_0.parquet"))
     else:
