@@ -143,6 +143,22 @@ def _scr_iota(size: int) -> np.ndarray:
     return buf[:size]
 
 
+def row_chunks(cum: np.ndarray, cap: int):
+    """Yield (i0, i1) row spans whose summed per-row work (given as a
+    cumulative array with a leading 0) stays <= cap; a single over-large
+    row gets its own span. Used to keep per-span scratch CACHE-RESIDENT —
+    see _POLY_CHUNK_BYTES for why bounded-but-DRAM-sized is not enough on
+    this host."""
+    n = len(cum) - 1
+    i0 = 0
+    while i0 < n:
+        limit = int(cum[i0]) + cap
+        i1 = int(np.searchsorted(cum, limit, side="right")) - 1
+        i1 = min(max(i1, i0 + 1), n)
+        yield i0, i1
+        i0 = i1
+
+
 def packed_windows(
     data: np.ndarray, offsets: np.ndarray, gram: int
 ) -> tuple[np.ndarray, np.ndarray]:

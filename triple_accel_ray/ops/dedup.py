@@ -118,7 +118,7 @@ def _shingle_set_jaccard_flat(da, oa, db, ob, n, shingle) -> np.ndarray:
 
 
 def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5,
-                         chunk_elems: int = 1 << 22) -> np.ndarray:
+                         chunk_elems: int = 1 << 15) -> np.ndarray:
     """Exact char-shingle-SET Jaccard per pair, fully vectorized: windows
     are packed injectively into uint64 (shingle <= 8, so no collisions —
     identical results to byte-string sets).
@@ -130,7 +130,12 @@ def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5,
     the previous gather-heavy global lexsorts over every window in the
     batch (measured ~3x faster on the sf0.1 minhash-verify workload,
     which is sort-bound either way). Pairs are processed in width-sorted
-    chunks so the padded matrix stays under ``chunk_elems`` elements."""
+    chunks so the padded matrix stays under ``chunk_elems`` elements —
+    sized CACHE-RESIDENT (2^15 elems ≈ 0.25 MB per matrix): at 2^22 the
+    three sort passes streamed 32 MB matrices through DRAM and this VM's
+    ~2.4 GB/s aggregate-bandwidth ceiling made the kernel anti-scale
+    (measured 899 CPU-s split across 32 processes vs 40 single; at 2^15
+    it is 21 CPU-s across 32 AND 2x faster single-process)."""
     da, oa = to_byte_rows(a_texts)
     db, ob = to_byte_rows(b_texts)
     n = len(oa) - 1
@@ -359,6 +364,8 @@ def _distinct_pairs(pairs, metric_field: tuple, num_buckets: int = 16):
 def simhash_batch(texts, gram: int = 4) -> np.ndarray:
     """64-bit simhash per row over char n-gram hashes (vectorized: flat
     n-gram hashing + per-bit segmented counts)."""
+    from ..kernels.vhash import row_chunks
+
     data, offsets = to_byte_rows(texts)
     n = len(offsets) - 1
     lens = np.diff(offsets)
@@ -367,24 +374,38 @@ def simhash_batch(texts, gram: int = 4) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if not total:
         return out
-    doc_of = np.repeat(np.arange(n), counts)
-    cum = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=cum[1:])
-    pos = offsets[:-1][doc_of] + (np.arange(total) - cum[doc_of])
-    h = np.zeros(total, dtype=np.uint64)
     coef = np.uint64(0x100000001B3)
-    for kk in range(gram):
-        h = (h ^ data[pos + kk].astype(np.uint64)) * coef
-    h = _mix64(h)
-    # per-bit balance: +1 when bit set, -1 otherwise, summed per doc
-    has = counts > 0
-    seg = cum[has]
-    for bit in range(64):
-        vote = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2) - 1
-        bal = np.add.reduceat(vote, seg)
-        set_bit = np.zeros(n, dtype=np.uint64)
-        set_bit[has] = (bal > 0).astype(np.uint64)
-        out |= set_bit << np.uint64(bit)
+    # row-aligned cache-resident chunks (kernels.vhash.row_chunks): the
+    # 64-pass bit-vote loop re-reads the window-hash array once per bit,
+    # so a whole-batch flat array costs ~512 B/window of DRAM traffic —
+    # the worst offender under this host's aggregate-bandwidth ceiling
+    ccum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=ccum[1:])
+    for i0, i1 in row_chunks(ccum, 1 << 15):
+        cc = counts[i0:i1]
+        ctot = int(ccum[i1] - ccum[i0])
+        if not ctot:
+            continue
+        doc_of = np.repeat(np.arange(i1 - i0), cc)
+        cum = (ccum[i0:i1] - ccum[i0]).astype(np.int64)
+        pos = offsets[i0:i1][doc_of] + (np.arange(ctot) - cum[doc_of])
+        h = np.zeros(ctot, dtype=np.uint64)
+        for kk in range(gram):
+            h = (h ^ data[pos + kk].astype(np.uint64)) * coef
+        h = _mix64(h)
+        # per-bit balance: +1 when bit set, -1 otherwise, summed per doc
+        has = cc > 0
+        seg = cum[has]
+        sub = out[i0:i1]
+        for bit in range(64):
+            vote = (
+                ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2
+            ) - 1
+            bal = np.add.reduceat(vote, seg)
+            set_bit = np.zeros(i1 - i0, dtype=np.uint64)
+            set_bit[has] = (bal > 0).astype(np.uint64)
+            sub |= set_bit << np.uint64(bit)
+        out[i0:i1] = sub
     return out
 
 

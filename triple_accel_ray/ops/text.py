@@ -200,6 +200,8 @@ def fingerprint_batch(
     from ..kernels.vhash import POLY_COEF, polyhash_rows
     from ..pipeline.blocking import _mix64
 
+    from ..kernels.vhash import row_chunks
+
     data, offsets = to_byte_rows(batch[text_col])
     n = len(offsets) - 1
     lens = np.diff(offsets)
@@ -207,16 +209,24 @@ def fingerprint_batch(
     total = int(counts.sum())
     fp = np.zeros(n, dtype=np.uint64)
     if total:
-        doc_of = np.repeat(np.arange(n), counts)
-        cum = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=cum[1:])
-        pos = offsets[:-1][doc_of] + (np.arange(total) - cum[doc_of])
-        h = np.zeros(total, dtype=np.uint64)
-        for kk in range(gram):
-            h = h * POLY_COEF + data[pos + kk].astype(np.uint64)
-        h = _mix64(h)
-        has = counts > 0
-        fp[has] = np.minimum.reduceat(h, cum[has])
+        # row-aligned cache-resident chunks (see kernels.vhash.row_chunks):
+        # whole-batch flat window arrays stream DRAM on this host
+        ccum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=ccum[1:])
+        for i0, i1 in row_chunks(ccum, 1 << 15):
+            cc = counts[i0:i1]
+            ctot = int(ccum[i1] - ccum[i0])
+            if not ctot:
+                continue
+            doc_of = np.repeat(np.arange(i1 - i0), cc)
+            cum = (ccum[i0:i1] - ccum[i0]).astype(np.int64)
+            pos = offsets[i0:i1][doc_of] + (np.arange(ctot) - cum[doc_of])
+            h = np.zeros(ctot, dtype=np.uint64)
+            for kk in range(gram):
+                h = h * POLY_COEF + data[pos + kk].astype(np.uint64)
+            h = _mix64(h)
+            has = cc > 0
+            fp[i0:i1][has] = np.minimum.reduceat(h, cum[has])
     content = polyhash_rows(data, offsets, POLY_COEF, seed=0)
     return batch.append_column(
         "min_gram_hash", pa.array(fp.astype("uint64"))
