@@ -214,9 +214,10 @@ def _shingle_set_jaccard(a_texts, b_texts, shingle: int = 5,
 
 
 class _AttachFromIndex:
-    """Attach a_text/b_text to id pairs from a broadcast (ray.put) sorted
+    """Attach a_text/b_text to id pairs from a broadcast (ray.put)
     id→text index — the small-corpus alternative to two bucketed joins.
-    The ObjectRef ships per task; the index is fetched once per worker."""
+    The ObjectRef ships per task; the index is fetched once per worker.
+    Lookup via `pc.index_in` (C++ hash) — see pipeline.score.build_text_index."""
 
     def __init__(self, index_ref):
         self.index_ref = index_ref
@@ -227,12 +228,11 @@ class _AttachFromIndex:
             import ray
 
             self._idx = ray.get(self.index_ref)
-        ids_sorted, texts = self._idx
+        ids, texts = self._idx
+        import pyarrow.compute as pc
 
         def look(col):
-            want = np.asarray(col.to_numpy(zero_copy_only=False))
-            pos = np.searchsorted(ids_sorted, want)
-            return texts.take(pa.array(pos))
+            return texts.take(pc.index_in(col, value_set=ids))
 
         return t.append_column("a_text", look(t["a_id"])).append_column(
             "b_text", look(t["b_id"])

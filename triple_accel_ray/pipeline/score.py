@@ -117,15 +117,18 @@ class PairScorer:
 
 
 def build_text_index(docs_table: pa.Table):
-    """(sorted conv_id numpy array, aligned doc_text arrow array) for
-    broadcast lookup: `ray.put` once, `np.searchsorted` + `Array.take` per
-    batch — vectorized, no per-row Python, no dict rebuild per task."""
-    ids = np.asarray(docs_table["conv_id"].to_numpy(zero_copy_only=False))
-    order = np.argsort(ids, kind="stable")
+    """(conv_id arrow array, aligned doc_text arrow array) for broadcast
+    lookup: `ray.put` once, `pc.index_in` (C++ hash lookup) + `take` per
+    batch — no per-row Python, no object-dtype string comparisons (a
+    numpy searchsorted over to_numpy'd strings compares python objects
+    in the scoring hot path)."""
+    ids = docs_table["conv_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     texts = docs_table["doc_text"]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    return ids[order], texts.take(pa.array(order))
+    return ids, texts
 
 
 class BroadcastTextScorer(PairScorer):
@@ -144,12 +147,13 @@ class BroadcastTextScorer(PairScorer):
             import ray
 
             self._index = ray.get(self.index_ref)
-        ids_sorted, texts = self._index
-        want = np.asarray(id_col.to_numpy(zero_copy_only=False))
-        pos = np.searchsorted(ids_sorted, want)
-        if not np.array_equal(ids_sorted[pos], want):
+        ids, texts = self._index
+        import pyarrow.compute as pc
+
+        pos = pc.index_in(id_col, value_set=ids)
+        if pos.null_count:
             raise KeyError("pair references unknown conv_id")
-        return texts.take(pa.array(pos))
+        return texts.take(pos)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = pa.table(
