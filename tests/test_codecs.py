@@ -149,9 +149,28 @@ def test_media_decoder_mixed_formats_one_batch():
     assert got.sort_by("media_id").equals(ref.sort_by("media_id"))
 
 
-def test_media_decoder_jpeg_still_not_implemented():
+def test_media_decoder_unknown_format_not_implemented():
+    # jpeg graduated to a real decoder in round 3 (ops/jpeg.py); formats
+    # genuinely beyond a from-scratch codec still refuse honestly
     with pytest.raises(NotImplementedError):
-        MediaDecoder(("jpeg",))
+        MediaDecoder(("gif",))
+
+
+def test_media_decoder_jpeg_matches_tiles_features():
+    """The JPEG fixture carries the SAME pixels as the tile-constant
+    fakeimg twin and tile-constant images round-trip baseline JPEG
+    bit-exactly at quant=1 — so both decode paths must emit identical
+    feature rows (the SQL oracle's check)."""
+    from triple_accel_ray.ops.multimodal import (
+        synthesize_media_table_jpeg,
+        synthesize_media_table_tiles,
+    )
+
+    tiles = synthesize_media_table_tiles(30, seed=43)
+    jpg = synthesize_media_table_jpeg(30, seed=43)
+    got_tiles = MediaDecoder(("fakeimg",))(tiles)
+    got_jpg = MediaDecoder(("jpeg",))(jpg)
+    assert got_tiles.equals(got_jpg)
 
 
 def test_audio_decoder_integer_exact():

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Decoders are REAL where the environment allows: PNG (stdlib zlib + numpy
-unfiltering) and WAV (PCM RIFF walk) in ``ops.codecs``, plus the
-deterministic ``fakeimg`` synthetic format whose raw payload a SQL oracle
-can parse byte-for-byte. JPEG remains an explicit NotImplementedError
-(no DCT/Huffman codec in the container). The Ray-side plumbing — binary
+Decoders are REAL: PNG (stdlib zlib + numpy unfiltering) and WAV (PCM
+RIFF walk) in ``ops.codecs``, baseline JPEG (numpy DCT + canonical
+Huffman, ``ops.jpeg``), plus the deterministic ``fakeimg`` synthetic
+format whose raw payload a SQL oracle can parse byte-for-byte. Only
+formats genuinely beyond a from-scratch implementation here (progressive
+JPEG, real video containers) raise NotImplementedError. The Ray-side
+plumbing — binary
 columns with metadata, actor-pool ``map_batches`` stages with decoder
 state in ``__init__``, small batch sizes for wide rows, a stable
 feature-row output layout — is shared by all formats and fully tested.
@@ -82,6 +84,73 @@ def synthesize_media_table_png(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def _tile_pixels(rng) -> np.ndarray:
+    """One draw of an 8x8-tile-constant image: dims are multiples of 8 and
+    every aligned 8x8 block is a single value. Such images round-trip
+    through baseline JPEG at quant=1 BIT-EXACTLY (DC-only blocks; proof in
+    ops/jpeg.py docstring), which is what lets a real lossy-format decode
+    be checked by a value-exact SQL oracle over the fakeimg twin."""
+    tw = int(rng.integers(1, 8))
+    th = int(rng.integers(1, 8))
+    tiles = rng.integers(0, 256, size=(th, tw), dtype=np.uint8)
+    return np.kron(tiles, np.ones((8, 8), np.uint8))
+
+
+def synthesize_media_table_tiles(n: int, seed: int = 43) -> pa.Table:
+    """fakeimg corpus of tile-constant images (the JPEG twin's oracle
+    side: same rng draws, byte-parseable payloads)."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        px = _tile_pixels(rng)
+        h, w = px.shape
+        payloads.append(
+            MAGIC
+            + int(w).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little")
+            + px.tobytes()
+        )
+        ids.append(i)
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["fakeimg"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
+def synthesize_media_table_jpeg(n: int, seed: int = 43) -> pa.Table:
+    """JPEG twin of :func:`synthesize_media_table_tiles`: the SAME rng
+    draws encoded as real baseline JPEGs (markers, quant, zigzag, DC
+    differencing, Annex-K Huffman, byte stuffing — ops/jpeg.py). Decoded
+    features must equal the tiles fixture's byte-parse exactly."""
+    from .jpeg import jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        px = _tile_pixels(rng)
+        h, w = px.shape
+        payloads.append(jpeg_encode(px))
+        ids.append(i)
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["jpeg"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
 def synthesize_audio_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic mono PCM16 WAV corpus (canonical 44-byte header, the
     layout the SQL oracle parses sample-by-sample from hex)."""
@@ -143,20 +212,20 @@ def synthesize_video_table(n: int, seed: int = 42) -> pa.Table:
 
 class MediaDecoder:
     """Actor-pool image decode stage. Real codecs where the environment
-    allows: ``png`` (stdlib zlib + numpy unfiltering, ops/codecs.py) and
-    the byte-parseable ``fakeimg`` synthetic format. ``jpeg`` (or any
-    other format) raises NotImplementedError at construction — no
-    DCT/Huffman codec exists in this container.
+    allows: ``png`` (stdlib zlib + numpy unfiltering, ops/codecs.py),
+    ``jpeg`` (baseline grayscale DCT/Huffman, ops/jpeg.py) and the
+    byte-parseable ``fakeimg`` synthetic format. Any other format raises
+    NotImplementedError at construction.
     """
 
-    _REAL = {"fakeimg", "png"}
+    _REAL = {"fakeimg", "png", "jpeg"}
 
     def __init__(self, accept_formats=("fakeimg",)):
         for f in accept_formats:
             if f not in self._REAL:
                 raise NotImplementedError(
                     f"codec for format {f!r} is not available in this "
-                    "environment (real decoders: fakeimg, png)"
+                    "environment (real decoders: fakeimg, png, jpeg)"
                 )
         self.accept = set(accept_formats)
 
@@ -174,11 +243,11 @@ class MediaDecoder:
         )
         sub = batch.filter(keep)
         fmts = sub["format"].to_pylist()
-        is_png = np.array([f == "png" for f in fmts], dtype=bool)
-        if is_png.any():
+        is_codec = np.array([f in ("png", "jpeg") for f in fmts], dtype=bool)
+        if is_codec.any():
             parts = [
-                self._fakeimg_features(sub.filter(pa.array(~is_png))),
-                self._png_features(sub.filter(pa.array(is_png))),
+                self._fakeimg_features(sub.filter(pa.array(~is_codec))),
+                self._codec_features(sub.filter(pa.array(is_codec))),
             ]
             out = pa.concat_tables([p for p in parts if p.num_rows])
             if out.num_rows:
@@ -186,16 +255,24 @@ class MediaDecoder:
             return out
         return self._fakeimg_features(sub)
 
-    def _png_features(self, sub: pa.Table) -> pa.Table:
+    def _codec_features(self, sub: pa.Table) -> pa.Table:
+        """png / jpeg payloads decode per row (zlib inflate and Huffman
+        entropy decode are inherently per-payload) with per-image
+        vectorized aggregates."""
+        from .jpeg import jpeg_decode
+
         n = sub.num_rows
         w = np.zeros(n, np.int64)
         h = np.zeros(n, np.int64)
         sum_px = np.zeros(n, np.int64)
         sumsq_px = np.zeros(n, np.int64)
         sum_hdiff = np.zeros(n, np.int64)
+        fmts = sub["format"].to_pylist()
         for i, payload in enumerate(sub["payload"]):
-            img = png_decode(payload.as_py())
-            luma = png_luma(img).astype(np.int64)
+            if fmts[i] == "jpeg":
+                luma = jpeg_decode(payload.as_py()).astype(np.int64)
+            else:
+                luma = png_luma(png_decode(payload.as_py())).astype(np.int64)
             h[i], w[i] = luma.shape
             sum_px[i] = luma.sum()
             sumsq_px[i] = (luma * luma).sum()

@@ -38,7 +38,9 @@ from .ops.multimodal import (
     sample_video_frames,
     synthesize_audio_table,
     synthesize_media_table,
+    synthesize_media_table_jpeg,
     synthesize_media_table_png,
+    synthesize_media_table_tiles,
     synthesize_video_table,
 )
 from .ops.search import search_dataset
@@ -54,6 +56,8 @@ from .pipeline.transcripts import ensure_fixture
 FIXTURE_SF001 = "/tmp/ta_ray_fixtures/sf0.01_s42/transcripts.parquet"
 MEDIA_FIXTURE = "/tmp/ta_ray_fixtures/media_n200_s42.parquet"
 MEDIA_PNG_FIXTURE = "/tmp/ta_ray_fixtures/media_png_n200_s42.parquet"
+MEDIA_TILES_FIXTURE = "/tmp/ta_ray_fixtures/media_tiles_n200_s43.parquet"
+MEDIA_JPEG_FIXTURE = "/tmp/ta_ray_fixtures/media_jpeg_n200_s43.parquet"
 AUDIO_FIXTURE = "/tmp/ta_ray_fixtures/audio_n200_s42.parquet"
 VIDEO_FIXTURE = "/tmp/ta_ray_fixtures/video_n200_s42.parquet"
 
@@ -732,6 +736,26 @@ def build_queries() -> Dict[str, Callable]:
             media, concurrency=2, batch_size=64, accept_formats=("png",))
 
     q["media_feature_rows_png"] = media_feature_rows_png
+
+    def media_feature_rows_jpeg(sf_dir):
+        """REAL baseline JPEG decode (numpy DCT + canonical Huffman +
+        marker walk, ops/jpeg.py). The corpus is 8x8-tile-constant images
+        — the one image class where lossy JPEG round-trips bit-exactly at
+        quant=1 (DC-only blocks, proof in ops/jpeg.py) — so the SQL oracle
+        can parse the byte-transparent tiles twin (same rng draws) while
+        the Ray pipeline must recover identical integer aggregates from
+        entropy-coded JPEG payloads."""
+        _ensure_fixture_file(
+            MEDIA_TILES_FIXTURE,
+            lambda: synthesize_media_table_tiles(200, seed=43))
+        _ensure_fixture_file(
+            MEDIA_JPEG_FIXTURE,
+            lambda: synthesize_media_table_jpeg(200, seed=43))
+        media = read_parquet_clean(MEDIA_JPEG_FIXTURE)
+        return media_features(
+            media, concurrency=2, batch_size=64, accept_formats=("jpeg",))
+
+    q["media_feature_rows_jpeg"] = media_feature_rows_jpeg
 
     def audio_feature_rows(sf_dir):
         """REAL WAV/PCM16 decode; the oracle parses the s16le sample bytes
@@ -1452,6 +1476,14 @@ FROM agg g LEFT JOIN hd ON hd.media_id = g.media_id"""
     # recover identical features from zlib-compressed, scanline-filtered
     # payloads that SQL cannot parse.
     o["media_feature_rows_png"] = o["media_feature_rows"]
+
+    # JPEG twin: the tiles fixture carries the SAME pixels as the JPEG
+    # corpus (same rng draws; tile-constant images round-trip baseline
+    # JPEG bit-exactly at quant=1 — ops/jpeg.py), so the oracle is the
+    # fakeimg byte-parse over the tiles twin: the Ray side must recover
+    # identical aggregates from entropy-coded DCT payloads.
+    o["media_feature_rows_jpeg"] = o["media_feature_rows"].replace(
+        MEDIA_FIXTURE, MEDIA_TILES_FIXTURE)
 
     # s16le samples parsed from the payload hex at the canonical 44-byte
     # header offset: lo byte at 44+2j, hi byte at 45+2j, two's complement.
