@@ -116,7 +116,22 @@ def test_video_sampler_stride1_keeps_every_frame():
 def test_resizer_rejects_unavailable_codec():
     import pytest
 
+    # jpeg is a real decoder since round 3 (ops/jpeg.py)
     with pytest.raises(NotImplementedError):
-        ImageResizer(accept_formats=("jpeg",))
+        ImageResizer(accept_formats=("gif",))
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(accept_formats=("mp4",))
+
+
+def test_resizer_jpeg_matches_tiles():
+    from triple_accel_ray.ops.multimodal import (
+        synthesize_media_table_jpeg,
+        synthesize_media_table_tiles,
+    )
+
+    tiles = synthesize_media_table_tiles(20, seed=43)
+    jpg = synthesize_media_table_jpeg(20, seed=43)
+    a = ImageResizer(4, ("fakeimg",))(tiles)
+    b = ImageResizer(4, ("jpeg",))(jpg)
+    # resized payload re-encodes as fakeimg on both paths -> fully equal
+    assert a.equals(b)

@@ -419,7 +419,7 @@ class ImageResizer:
     segment sums across the whole batch); png decodes per row (zlib inflate
     is per-payload) and shares the same integer box math."""
 
-    _REAL = {"fakeimg", "png"}
+    _REAL = {"fakeimg", "png", "jpeg"}
 
     def __init__(self, factor: int = 4, accept_formats=("fakeimg",)):
         if factor < 1:
@@ -428,7 +428,7 @@ class ImageResizer:
             if f not in self._REAL:
                 raise NotImplementedError(
                     f"codec for format {f!r} is not available in this "
-                    "environment (real decoders: fakeimg, png)"
+                    "environment (real decoders: fakeimg, png, jpeg)"
                 )
         self.f = int(factor)
         self.accept = set(accept_formats)
@@ -439,22 +439,28 @@ class ImageResizer:
         )
         sub = batch.filter(keep)
         fmts = sub["format"].to_pylist()
-        is_png = np.array([f == "png" for f in fmts], dtype=bool)
-        if is_png.any():
+        is_codec = np.array([f in ("png", "jpeg") for f in fmts], dtype=bool)
+        if is_codec.any():
             parts = [
-                self._resize_fakeimg(sub.filter(pa.array(~is_png))),
-                self._resize_png(sub.filter(pa.array(is_png))),
+                self._resize_fakeimg(sub.filter(pa.array(~is_codec))),
+                self._resize_codec(sub.filter(pa.array(is_codec))),
             ]
             out = pa.concat_tables([p for p in parts if p.num_rows])
             return out.sort_by("media_id") if out.num_rows else out
         return self._resize_fakeimg(sub)
 
-    def _resize_png(self, sub: pa.Table) -> pa.Table:
+    def _resize_codec(self, sub: pa.Table) -> pa.Table:
+        from .jpeg import jpeg_decode
+
         f = self.f
         n = sub.num_rows
+        fmts = sub["format"].to_pylist()
         rvs, w2s, h2s, sw, sh = [], [], [], [], []
-        for payload in sub["payload"]:
-            luma = png_luma(png_decode(payload.as_py())).astype(np.int64)
+        for i, payload in enumerate(sub["payload"]):
+            if fmts[i] == "jpeg":
+                luma = jpeg_decode(payload.as_py()).astype(np.int64)
+            else:
+                luma = png_luma(png_decode(payload.as_py())).astype(np.int64)
             h, w = luma.shape
             h2, w2 = h // f, w // f
             box = (

@@ -797,6 +797,25 @@ def build_queries() -> Dict[str, Callable]:
 
     q["media_resize_4x_png"] = media_resize_4x_png
 
+    def media_resize_4x_jpeg(sf_dir):
+        """Same resize over REAL baseline JPEGs of the tile-constant corpus
+        (bit-exact decode, ops/jpeg.py) — decode + box-average must
+        reproduce the tiles twin's byte-parse oracle from entropy-coded
+        payloads."""
+        _ensure_fixture_file(
+            MEDIA_TILES_FIXTURE,
+            lambda: synthesize_media_table_tiles(200, seed=43))
+        _ensure_fixture_file(
+            MEDIA_JPEG_FIXTURE,
+            lambda: synthesize_media_table_jpeg(200, seed=43))
+        media = read_parquet_clean(MEDIA_JPEG_FIXTURE)
+        return resize_images(
+            media, factor=4, concurrency=2, batch_size=64,
+            accept_formats=("jpeg",),
+        ).drop_columns(["payload"])
+
+    q["media_resize_4x_jpeg"] = media_resize_4x_jpeg
+
     def video_frame_samples(sf_dir):
         """Every-3rd-frame sampling over the byte-transparent fakevid
         container: one feature row per sampled frame (row-expanding
@@ -1561,6 +1580,11 @@ FROM m LEFT JOIN agg a ON a.media_id = m.media_id"""
     # oracle applies verbatim — the pipeline must reproduce it from real
     # compressed PNGs.
     o["media_resize_4x_png"] = o["media_resize_4x"]
+
+    # JPEG twin: tile-constant pixels decode bit-exactly from baseline
+    # JPEG (ops/jpeg.py), so the tiles fixture's byte-parse oracle applies.
+    o["media_resize_4x_jpeg"] = o["media_resize_4x"].replace(
+        MEDIA_FIXTURE, MEDIA_TILES_FIXTURE)
 
     # fakevid frames parsed straight from payload bytes (pixel data starts
     # at byte 14); every 3rd frame kept, aggregated per sampled frame.
