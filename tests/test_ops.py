@@ -319,8 +319,10 @@ def test_media_pipeline(ray_session):
         assert row.sumsq_pixel == (px * px).sum()
         assert row.sum_hdiff == np.abs(np.diff(px.reshape(h, w), axis=1)).sum()
 
+    # jpeg/png are REAL codecs now; only genuinely-absent formats refuse
+    MediaDecoder(accept_formats=("jpeg", "png"))
     with pytest.raises(NotImplementedError):
-        MediaDecoder(accept_formats=("jpeg",))
+        MediaDecoder(accept_formats=("webp",))
 
 
 def test_media_one_pixel_wide_edge_energy():
