@@ -395,3 +395,79 @@ def test_embedding_dup_pairs_block_and_ivf(ray_session):
     assert len(ivf) == len(si)  # globally distinct
     assert si <= se  # exact verification => no false positives
     assert len(si) >= 0.9 * len(se)  # multi-probe recall on near-clones
+
+
+def test_sliding_window_agg(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import sliding_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = 1_700_000_000_000_000  # us
+    ts = base + rng.integers(0, 3 * 3600 * 1_000_000, n)
+    uid = rng.integers(0, 5, n)
+    val = np.round(rng.random(n) * 50, 2)
+    t = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    W, S = 3600, 900
+    out = (
+        sliding_window_agg(rd.from_arrow(t), window_sec=W, slide_sec=S)
+        .to_pandas()
+        .set_index(["user_id", "window_start"])
+        .sort_index()
+    )
+    # naive reference: enumerate every (user, window) membership per event
+    from collections import defaultdict
+
+    ref = defaultdict(lambda: [0, 0])
+    for u, t_us, v in zip(uid, ts, val):
+        cents = int(np.floor(v * 100.0 + 0.5))
+        last = t_us // (S * 1_000_000)
+        for k in range(W // S):
+            ws = (last - k) * S * 1_000_000
+            r = ref[(u, ws)]
+            r[0] += 1
+            r[1] += cents
+    assert len(out) == len(ref)
+    for (u, ws), (cnt, cents) in ref.items():
+        row = out.loc[(u, pd.Timestamp(ws, unit="us"))]
+        assert (row.n_events, row.sum_cents) == (cnt, cents)
+
+
+def test_interval_point_count(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import interval_point_count
+
+    rng = np.random.default_rng(11)
+    W = 1000  # bucket/interval width in fake "us"
+    n_iv, n_pt = 60, 500
+    starts = rng.integers(0, 20 * W, n_iv)
+    starts[0] = 3 * W       # exactly bucket-aligned (single replication)
+    starts[1] = 19 * W + 999  # near the far end (zero or few points)
+    pts = rng.integers(0, 20 * W, n_pt)
+    iv = pa.table(
+        {
+            "key": pa.array(np.arange(n_iv), pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+        }
+    )
+    pt = pa.table({"p": pa.array(pts, pa.int64())})
+    out = (
+        interval_point_count(
+            rd.from_arrow(iv), rd.from_arrow(pt),
+            key_col="key", start_col="start", point_col="p",
+            width_us=W, out_col="n",
+        )
+        .to_pandas()
+        .set_index("key")["n"]
+    )
+    assert len(out) == n_iv  # zero-count intervals preserved
+    for i, s in enumerate(starts):
+        assert out.loc[i] == int(((pts >= s) & (pts < s + W)).sum()), i

@@ -119,3 +119,90 @@ def pricing_summary(lineitem):
             Count(alias_name="count_order"),
         )
     )
+
+
+def interval_point_count(
+    intervals,
+    points,
+    *,
+    key_col: str,
+    start_col: str,
+    point_col: str,
+    width_us: int,
+    out_col: str = "n_points",
+):
+    """Distributed RANGE JOIN (interval x point, NO equi-key): for every
+    interval [start, start + width) count the points whose timestamp falls
+    inside it. The scale shape is the canonical bucket-replication range
+    join: time is cut into buckets exactly ``width_us`` wide, so an
+    interval overlaps at most TWO buckets (replicated <=2x) while every
+    point lands in exactly one — the all-to-all is a single hash shuffle
+    on the bucket id carrying only (key, t, side), and the per-bucket body
+    is a sort + np.searchsorted (O(n log n), no pairwise scan). Per-bucket
+    partial counts are exact because points are uniquely bucketed; a final
+    small groupby sums an interval's <=2 partials. Intervals with zero
+    points are kept (count 0) because every interval emits in >=1 bucket.
+    """
+    w = np.int64(width_us)
+
+    def _tag_intervals(t: pa.Table) -> pa.Table:
+        start = t[start_col].cast(pa.int64()).to_numpy()
+        key = t[key_col].cast(pa.int64()).to_numpy()
+        b0 = start // w
+        # end-exclusive last covered bucket: floor((start + w - 1) / w)
+        b1 = (start + w - np.int64(1)) // w
+        dup = b1 != b0
+        bucket = np.concatenate([b0, b1[dup]])
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "key": pa.array(np.concatenate([key, key[dup]]), pa.int64()),
+                "t": pa.array(np.concatenate([start, start[dup]]), pa.int64()),
+                "side": pa.array(
+                    np.zeros(len(bucket), dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def _tag_points(t: pa.Table) -> pa.Table:
+        ts = t[point_col].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(ts // w, pa.int64()),
+                "key": pa.array(np.zeros(len(ts), dtype=np.int64), pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "side": pa.array(np.ones(len(ts), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def _count(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy()
+        tt = t["t"].to_numpy()
+        iv = side == 0
+        starts = tt[iv]
+        keys = t["key"].to_numpy()[iv]
+        pts = np.sort(tt[~iv])
+        lo = np.searchsorted(pts, starts, side="left")
+        hi = np.searchsorted(pts, starts + w, side="left")
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    tagged = intervals.map_batches(
+        _tag_intervals, batch_format="pyarrow"
+    ).union(points.map_batches(_tag_points, batch_format="pyarrow"))
+    out = (
+        tagged.groupby("bucket")
+        .map_groups(_count, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name=out_col))
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([key_col, out_col]),
+        batch_format="pyarrow",
+    )

@@ -89,3 +89,49 @@ def sessionize(events, gap_sec: int = 1800, num_buckets: int = 32):
         .groupby("bucket")
         .map_groups(_sessions, batch_format="pyarrow")
     )
+
+
+def sliding_window_agg(events, window_sec: int = 3600, slide_sec: int = 900):
+    """→ (user_id, window_start, n_events, sum_cents) per SLIDING window
+    [window_start, window_start + window_sec) with starts every
+    ``slide_sec``. An event at ts belongs to exactly F = window/slide
+    windows (window must divide evenly); the fan-out is made explicit and
+    vectorized — each batch emits F copies with derived frame keys (numpy
+    repeat/tile, no Python rows) and the aggregate is one grouped shuffle
+    carrying only (user_id, window_start, cents). At 100 TB the shuffled
+    volume is F x the key columns, not F x the table. Monetary doubles go
+    through integer cents (module float policy)."""
+    if window_sec % slide_sec:
+        raise ValueError("window_sec must be a multiple of slide_sec")
+    F = window_sec // slide_sec
+    s_us = np.int64(slide_sec) * 1_000_000
+
+    def _frames(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy()
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        # frame starts floor(ts/S)*S - k*S for k in 0..F-1 (all windows
+        # whose [ws, ws+W) contains ts)
+        last = (ts // s_us)[:, None]
+        ws = (last - np.arange(F, dtype=np.int64)[None, :]) * s_us
+        n = len(ts)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, F), pa.int64()),
+                "window_start": pa.array(ws.reshape(-1), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "cents": pa.array(np.repeat(cents, F), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        events.map_batches(_frames, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+    )

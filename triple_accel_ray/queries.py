@@ -629,6 +629,38 @@ def build_queries() -> Dict[str, Callable]:
 
     q["events_sessions"] = events_sessions
 
+    def events_sliding_1h_15m(sf_dir):
+        """SLIDING windows (1 h window, 15 min slide): explicit vectorized
+        4x frame fan-out + one grouped shuffle (ops/windows.py)."""
+        from .ops.windows import sliding_window_agg
+
+        ev = read_parquet_clean(_t(sf_dir, "events"),
+                                columns=["user_id", "ts", "value"])
+        return sliding_window_agg(ev, window_sec=3600, slide_sec=900)
+
+    q["events_sliding_1h_15m"] = events_sliding_1h_15m
+
+    def orders_shipments_7d(sf_dir):
+        """RANGE JOIN with NO equi-key: per order, how many lineitems
+        (any order) shipped within [o_orderdate, o_orderdate + 7 days).
+        Bucket-replication interval join (ops/relational.py:
+        interval_point_count) — intervals replicated <=2x, points
+        bucketed once, per-bucket sorted searchsorted counts."""
+        from .ops.relational import interval_point_count
+
+        orders = read_parquet_clean(_t(sf_dir, "orders"),
+                                    columns=["o_orderkey", "o_orderdate"])
+        li = read_parquet_clean(_t(sf_dir, "lineitem"),
+                                columns=["l_shipdate"])
+        return interval_point_count(
+            orders, li,
+            key_col="o_orderkey", start_col="o_orderdate",
+            point_col="l_shipdate",
+            width_us=7 * 86400 * 1_000_000, out_col="n_shipped_7d",
+        )
+
+    q["orders_shipments_7d"] = orders_shipments_7d
+
     def ngram_jaccard_adjacent(sf_dir):
         """Exact distinct-3-gram Jaccard on adjacent doc pairs (set
         semantics; SQL oracle via generate_series exploding)."""
@@ -1398,6 +1430,27 @@ SELECT user_id,
        count(*)::BIGINT AS n_events,
        sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2"""
+
+    o["events_sliding_1h_15m"] = """
+WITH f AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+           AS window_start
+  FROM events, range(0, 4) t(k)
+)
+SELECT user_id, window_start,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM f GROUP BY 1, 2"""
+
+    o["orders_shipments_7d"] = """
+SELECT o.o_orderkey,
+       count(l.l_shipdate)::BIGINT AS n_shipped_7d
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1"""
 
     o["ngram_jaccard_adjacent"] = """
 WITH grams AS (
