@@ -471,3 +471,25 @@ def test_interval_point_count(ray_session):
     assert len(out) == n_iv  # zero-count intervals preserved
     for i, s in enumerate(starts):
         assert out.loc[i] == int(((pts >= s) & (pts < s + W)).sum()), i
+
+
+def test_heavy_hitter_tokens(ray_session):
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import heavy_hitter_tokens
+
+    # plant exact frequencies across many small docs (multiple blocks ->
+    # the combiner path is exercised): "hot" 30x, "warm" 10x, "cold" 3x
+    docs = (
+        ["hot warm hot"] * 10          # hot 20, warm 10
+        + ["hot cold"] * 3             # hot 3, cold 3
+        + ["hot hot hot hot hot hot hot"]  # hot 7
+    )
+    t = pa.table({"text": pa.array(docs, pa.string())})
+    out = (
+        heavy_hitter_tokens(rd.from_arrow(t), min_count=10)
+        .to_pandas()
+        .set_index("token")["n_total"]
+        .to_dict()
+    )
+    assert out == {"hot": 30, "warm": 10}

@@ -231,3 +231,43 @@ def fingerprint_batch(
     return batch.append_column(
         "min_gram_hash", pa.array(fp.astype("uint64"))
     ).append_column("content_hash", pa.array(content, pa.uint64()))
+
+
+def heavy_hitter_tokens(docs, min_count: int = 200, text_col: str = "text"):
+    """Distributed frequent-token mining (heavy hitters): → (token,
+    n_total) for every whitespace token occurring >= min_count times.
+
+    Scale shape: per-batch PRE-AGGREGATION (polars extract_all + explode +
+    group_by — the combiner) so the grouped shuffle carries one
+    (token, partial_n) row per DISTINCT token per block, never one row per
+    occurrence — hot tokens ("the") are absorbed into a single partial per
+    block, which is exactly the skew-salting a naive wordcount lacks. The
+    final groupby is vocabulary-sized. Token = ``\\S+`` (ASCII-identical
+    across polars/rust-regex and DuckDB/RE2; corpus is ASCII)."""
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        out = (
+            df.select(pl.col(text_col).str.extract_all(r"\S+").alias("token"))
+            .explode("token")
+            .drop_nulls()
+            .group_by("token")
+            .agg(n=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n", pa.int64())])
+        )
+
+    from ray.data.aggregate import Sum
+
+    mc = int(min_count)
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_total"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_total"], mc)),
+            batch_format="pyarrow",
+        )
+    )

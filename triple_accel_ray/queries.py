@@ -540,6 +540,17 @@ def build_queries() -> Dict[str, Callable]:
 
     q["bpe_token_count"] = bpe_token_count
 
+    def heavy_hitter_tokens(sf_dir):
+        """Frequent-token mining with per-block combiners (ops/text.py):
+        the shuffle carries (token, partial_n) per distinct token per
+        block, never per occurrence."""
+        from .ops.text import heavy_hitter_tokens as hh
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+        return hh(docs, min_count=200)
+
+    q["heavy_hitter_tokens"] = heavy_hitter_tokens
+
     def quality_scores(sf_dir):
         docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
         return docs.map_batches(
@@ -1355,6 +1366,12 @@ FROM documents"""
         + _bpe_pat.replace("'", "''")
         + "'))::BIGINT AS bpe_token_count FROM documents"
     )
+
+    o["heavy_hitter_tokens"] = r"""
+SELECT token, count(*)::BIGINT AS n_total
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+      FROM documents)
+GROUP BY token HAVING count(*) >= 200"""
 
     stop_list = "'the','and','of','a','to','in','is','it','for','on'"
     o["quality_scores"] = rf"""
