@@ -871,6 +871,46 @@ def build_queries() -> Dict[str, Callable]:
 
     q["video_frame_samples"] = video_frame_samples
 
+    def sample_stratified(sf_dir):
+        """Seeded stratified sample (ops/curation.py): keep-decision is a
+        salted splitmix64 rank of doc_id — order/partitioning-independent,
+        zero shuffle; per-source permille {src0: 500, src1: 250, else 100}."""
+        from .ops.curation import stratified_sample
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "source"])
+        return stratified_sample(
+            docs, {"src0": 500, "src1": 250}, default_permille=100)
+
+    q["sample_stratified"] = sample_stratified
+
+    def top3_longest_per_source(sf_dir):
+        """Per-group top-k (ops/curation.py): 3 longest docs per source
+        by (n_chars DESC, doc_id ASC); per-batch partial top-k combiner
+        before the grouped shuffle."""
+        from .ops.curation import top_k_per_group
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"),
+            columns=["doc_id", "source", "n_chars"])
+        return top_k_per_group(
+            docs, k=3, group_col="source", score_col="n_chars")
+
+    q["top3_longest_per_source"] = top3_longest_per_source
+
+    def docs_not_in_ref(sf_dir):
+        """Anti-join dedup against a reference corpus (ops/curation.py):
+        drop non-src0 docs whose text appears verbatim in src0 (broadcast
+        hash index + byte verify — exact text equality)."""
+        from .ops.curation import anti_join_texts
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"),
+            columns=["doc_id", "source", "text"])
+        return anti_join_texts(docs, ref_source="src0")
+
+    q["docs_not_in_ref"] = docs_not_in_ref
+
     return q
 
 
@@ -1729,5 +1769,38 @@ sess AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*)::BIGINT AS n_events
 FROM sess GROUP BY user_id, sess_idx"""
+
+    # --- curation operators (ops/curation.py) ---
+    # exact HUGEINT twin of curation.SAMPLE_SALT / _sample_threshold
+    _salt = 0xA0761D6478BD642F
+    _thr = {s: (p << 64) // 1000
+            for s, p in (("src0", 500), ("src1", 250))}
+    _thr_default = (100 << 64) // 1000
+    _sm_sql, _sm_f = _mix64_chain_sql("sm0", "doc_id, source", "sm")
+    o["sample_stratified"] = f"""
+WITH sm0 AS (
+  SELECT doc_id, source,
+         CAST(xor(CAST(doc_id AS UBIGINT), {_salt}::UBIGINT) AS HUGEINT) AS h
+  FROM documents
+),
+{_sm_sql}
+SELECT doc_id, source FROM {_sm_f}
+WHERE h < (CASE source
+             WHEN 'src0' THEN {_thr['src0']}::HUGEINT
+             WHEN 'src1' THEN {_thr['src1']}::HUGEINT
+             ELSE {_thr_default}::HUGEINT END)"""
+
+    o["top3_longest_per_source"] = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3"""
+
+    o["docs_not_in_ref"] = """
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.source <> 'src0'
+  AND NOT EXISTS (SELECT 1 FROM documents r
+                  WHERE r.source = 'src0' AND r.text = d.text)"""
 
     return o
