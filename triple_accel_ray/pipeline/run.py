@@ -147,19 +147,17 @@ def run_er_pipeline_fused(
     # docs is materialized, so count() is metadata; pairs/doc ≈ 0.9 on
     # transcript corpora makes the doc count a fine batch-size estimate
     score_bs = _score_batch_size(cfg, docs.count())
-    docs_table = None  # driver copy of (conv_id, doc_text), broadcast path
     if text_bytes <= cfg.broadcast_text_max_bytes:
-        # small-side broadcast: no join shuffles (see config threshold)
-        from .score import BroadcastTextScorer, build_text_index
+        # small-side broadcast: no join shuffles (see config threshold).
+        # Index built in a REMOTE task (ref of a pending result): the
+        # driver never copies the text and the build overlaps the
+        # read/block/pair stages (it was 3 serial memcpys of the corpus
+        # on the critical path — see build_text_index_remote).
+        from .score import BroadcastTextScorer, build_text_index_remote
 
-        doc_parts = [
-            t for t in ray.get(
-                docs.select_columns(["conv_id", "doc_text"]).to_arrow_refs()
-            )
-            if t.num_rows > 0
-        ]
-        docs_table = pa.concat_tables(doc_parts)
-        index_ref = ray.put(build_text_index(docs_table))
+        index_ref = build_text_index_remote(
+            docs.select_columns(["conv_id", "doc_text"]).to_arrow_refs()
+        )
         _phase("broadcast_index_driver")
         scored = pairs.map_batches(
             BroadcastTextScorer(index_ref, **scorer_kw),
@@ -195,17 +193,16 @@ def run_er_pipeline_fused(
         et = pa.concat_tables(
             [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
         ).select(["a_id", "b_id"])
-        if docs_table is not None:
-            nt = docs_table.select(["conv_id"])
-        else:
-            nt = pa.concat_tables(
-                [
-                    t for t in ray.get(
-                        docs.select_columns(["conv_id"]).to_arrow_refs()
-                    )
-                    if t.num_rows > 0
-                ]
-            )
+        # node list: conv_id-only collect (~16 B/doc — the full-text
+        # docs_table is no longer collected on the driver at all)
+        nt = pa.concat_tables(
+            [
+                t for t in ray.get(
+                    docs.select_columns(["conv_id"]).to_arrow_refs()
+                )
+                if t.num_rows > 0
+            ]
+        )
         out = connected_components_local(et, nt)
         pq.write_table(out, os.path.join(clusters_dir, "clusters_0.parquet"))
     else:
@@ -338,14 +335,12 @@ def run_er_pipeline(
         # exact pair count from the pairs-stage manifest
         score_bs = _score_batch_size(cfg, read_manifest(pairs_dir)["rows"])
         if docs_bytes <= cfg.broadcast_text_max_bytes:
-            import ray
+            from .score import BroadcastTextScorer, build_text_index_remote
 
-            from .score import BroadcastTextScorer, build_text_index
-
-            docs_table = pq.read_table(
-                docs_dir, columns=["conv_id", "doc_text"]
-            )
-            index_ref = ray.put(build_text_index(docs_table))
+            # parquet read + index build in a worker task: the pairs
+            # read below starts immediately instead of waiting behind a
+            # driver-serial full-corpus read
+            index_ref = build_text_index_remote(docs_dir=docs_dir)
             scored = _read_dir(pairs_dir).map_batches(
                 BroadcastTextScorer(index_ref, **scorer_kw),
                 batch_format="pyarrow",

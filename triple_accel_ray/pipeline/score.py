@@ -131,6 +131,43 @@ def build_text_index(docs_table: pa.Table):
     return ids, texts
 
 
+def build_text_index_remote(doc_part_refs=None, docs_dir: str = None):
+    """Build the broadcast text index in a REMOTE task and return the
+    ObjectRef of its result.
+
+    The driver-side form (collect parts -> concat -> combine_chunks ->
+    ray.put) is serial O(corpus bytes) on the critical path BEFORE the
+    scored stream can start: the collect and the combine are each a full
+    memcpy of the text, and ray.put is a third. Building in a worker task
+    instead (a) moves those copies off the driver and (b) overlaps the
+    build with the read/block/pair stages — the scorer's first batch
+    blocks on ``ray.get(index_ref)`` only if the index isn't ready yet.
+
+    Pass either ``doc_part_refs`` (ObjectRefs of arrow tables with
+    conv_id/doc_text — e.g. ``ds.to_arrow_refs()`` of a materialized
+    dataset) or ``docs_dir`` (a checkpoint directory of parquet parts,
+    read inside the task so the driver never touches the bytes).
+    """
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _from_parts(*parts):
+        tab = pa.concat_tables([t for t in parts if t.num_rows > 0])
+        return build_text_index(tab)
+
+    @ray.remote(num_cpus=1)
+    def _from_dir(d):
+        import pyarrow.parquet as pq
+
+        return build_text_index(
+            pq.read_table(d, columns=["conv_id", "doc_text"])
+        )
+
+    if docs_dir is not None:
+        return _from_dir.remote(docs_dir)
+    return _from_parts.remote(*doc_part_refs)
+
+
 class BroadcastTextScorer(PairScorer):
     """PairScorer over id-only pairs; texts resolved from a broadcast
     (ray.put) index. The small-side-broadcast alternative to the two text
