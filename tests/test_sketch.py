@@ -1,0 +1,107 @@
+"""Sketch-operator tests: HLL register merge associativity / permutation
+invariance, estimator error bounds (incl. the linear-counting branch),
+and exact quantiles vs a direct numpy oracle with the same rank rule."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from triple_accel_ray.ops.sketch import (
+    HLL_P,
+    distinct_count,
+    exact_quantiles,
+    hll_estimate,
+    hll_partial_registers,
+    hll_registers,
+)
+
+
+def _merge_sparse(tables):
+    """Reference merge: elementwise max over dense registers."""
+    m = 1 << HLL_P
+    reg = np.zeros(m, np.int64)
+    for t in tables:
+        b = t["bucket"].to_numpy()
+        np.maximum.at(reg, b, t["rho_max"].to_numpy())
+    nz = np.flatnonzero(reg)
+    return list(zip(nz.tolist(), reg[nz].tolist()))
+
+
+def test_hll_partials_merge_associative_and_permutation_invariant():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 40, size=20_000, dtype=np.int64)
+    whole = _merge_sparse([hll_partial_registers(vals)])
+    halves = _merge_sparse(
+        [hll_partial_registers(vals[:9_000]), hll_partial_registers(vals[9_000:])]
+    )
+    shuffled = _merge_sparse([hll_partial_registers(rng.permutation(vals))])
+    assert whole == halves == shuffled
+
+
+def test_hll_estimate_within_theoretical_error():
+    rng = np.random.default_rng(11)
+    n = 50_000
+    vals = rng.choice(1 << 60, size=n, replace=False).astype(np.int64)
+    # duplicate every value 3x: distinct count must be unaffected
+    vals3 = np.concatenate([vals, vals, vals])
+    est = hll_estimate(hll_partial_registers(vals3))
+    # sigma ~= 1.04/sqrt(4096) = 1.6%; allow 5 sigma
+    assert abs(est - n) / n < 0.08
+
+
+def test_hll_estimate_linear_counting_small_n():
+    vals = np.arange(150, dtype=np.int64)
+    est = hll_estimate(hll_partial_registers(vals))
+    assert abs(est - 150) < 5  # linear counting is near-exact here
+
+
+def test_hll_registers_distributed_matches_local(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 48, size=5_000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"user_id": vals})).repartition(7)
+    got = hll_registers(ds, "user_id").to_pandas().sort_values("bucket")
+    want = _merge_sparse([hll_partial_registers(vals)])
+    assert list(zip(got["bucket"], got["rho_max"])) == want
+
+
+def test_distinct_count_exact(ray_session):
+    import ray.data as rd
+
+    vals = np.array([1, 2, 2, 3, 3, 3, 9, 9, 9, 9], np.int64)
+    ds = rd.from_arrow(pa.table({"user_id": vals})).repartition(3)
+    out = distinct_count(ds, "user_id")
+    assert int(out["n_distinct"].iloc[0]) == 4
+
+
+def _quantile_oracle(vals, qp):
+    v, n = np.unique(vals, return_counts=True)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    rank = (qp * total + 999) // 1000
+    return int(v[np.searchsorted(cum, rank, side="left")])
+
+
+@pytest.mark.parametrize("qps", [(500, 900, 990), (1, 1000)])
+def test_exact_quantiles_vs_numpy(ray_session, qps):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(-50, 5_000, size=30_000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(9)
+    got = exact_quantiles(ds, "x", qps).to_pandas().sort_values("q_permille")
+    for qp, v in zip(got["q_permille"], got["x"]):
+        assert v == _quantile_oracle(vals, int(qp))
+    # qp=1000 must be the max (rank == n); qp=1 is the ceil(0.001*n)-th
+    # smallest, already covered by the oracle loop above.
+    if 1000 in qps:
+        assert int(got.set_index("q_permille").loc[1000, "x"]) == vals.max()
+
+
+def test_exact_quantiles_single_value(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([42] * 100, pa.int64())}))
+    got = exact_quantiles(ds, "x", (500,)).to_pandas()
+    assert list(got["x"]) == [42]

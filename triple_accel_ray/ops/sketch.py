@@ -1,0 +1,179 @@
+"""Mergeable sketches + distributed exact quantiles.
+
+The brief's custom-operator list names "a novel sketch" as a first-class
+shape; this module provides the two sketch families a 100 TB curation
+pipeline actually runs:
+
+- **HyperLogLog distinct-count** (`hll_registers` / `hll_estimate`): each
+  block contributes a PARTIAL register table (bucket -> max rho) and the
+  merge is an elementwise max — the canonical mergeable-sketch shape, so
+  the grouped shuffle carries at most ``2^p`` tiny integer rows per block
+  regardless of input size. The register table itself is deterministic
+  (salted splitmix64 over the value, the same `_mix64` the blocking layer
+  uses), so the sketch — not just a rows-only estimate — is value-checked
+  against a DuckDB oracle that replays the identical hash chain in
+  HUGEINT arithmetic. The rho rule is the count-trailing-zeros variant:
+  ``rho(w) = ctz(w) + 1 = bit_count(w XOR (w-1))`` for ``w > 0`` (same
+  geometric distribution as leading-zeros, but expressible in pure
+  integer SQL with no float log2).
+- **Exact distinct count** (`distinct_count`): the exact twin — per-block
+  unique combiner, then a key-grouped shuffle that carries one row per
+  distinct value per block, then a metadata-only count. Pairs with the
+  HLL query the way knn_ivf pairs with its full-probe twin.
+- **Exact quantiles over an integer domain** (`exact_quantiles`): the
+  shuffle-cheap exact form for bounded-domain columns (cents, lengths,
+  token counts): per-block value-histogram combiner -> groupby sum
+  (domain-bounded, NOT data-bounded: the histogram has one row per
+  distinct value no matter how many rows stream through) -> one
+  single-partition cumulative-selection pass. Rank rule is integer-exact:
+  the q-quantile is the smallest v with cumcount(v) >= ceil(q * n),
+  computed as ``(q_permille * n + 999) // 1000`` so the SQL oracle and
+  the numpy path share bit-identical arithmetic.
+
+Reference scope note: the reference engine (triple_accel) has no sketch
+layer — these are engine-side additions mandated by the training-data-
+pipeline brief, not ports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+from ..pipeline.blocking import _mix64
+
+# Fixed public salt so the sketch is reproducible across runs and the SQL
+# oracle can replay it.
+HLL_SALT = 0xA5A5F00D5EEDC0DE
+HLL_P = 12  # 2^12 = 4096 registers -> ~1.6% standard error
+
+
+def _rho_ctz(w: np.ndarray, width: int) -> np.ndarray:
+    """rho(w) = ctz(w) + 1 for w > 0, else width + 1 (all `width` bits of
+    w are zero). ctz via the isolated lowest set bit: ``w & (~w + 1)`` is
+    an exact power of two <= 2^63, whose float64 log2 is exact."""
+    rho = np.full(w.shape, width + 1, dtype=np.int64)
+    nz = w != 0
+    lb = w[nz] & (~w[nz] + np.uint64(1))
+    rho[nz] = 1 + np.log2(lb.astype(np.float64)).astype(np.int64)
+    return rho
+
+
+def hll_partial_registers(
+    values: np.ndarray, p: int = HLL_P, salt: int = HLL_SALT
+) -> pa.Table:
+    """Sparse (bucket, rho) register table for one batch of int64/uint64
+    values. bucket = low p bits of mix64(v ^ salt); w = the remaining
+    64-p bits."""
+    m = 1 << p
+    v = np.asarray(values)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64).view(np.uint64)
+    h = _mix64(v ^ np.uint64(salt))
+    bucket = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rho = _rho_ctz(w, 64 - p)
+    reg = np.zeros(m, dtype=np.int64)
+    np.maximum.at(reg, bucket, rho)
+    nzb = np.flatnonzero(reg)
+    return pa.table(
+        {"bucket": pa.array(nzb, pa.int64()),
+         "rho_max": pa.array(reg[nzb], pa.int64())}
+    )
+
+
+def hll_registers(ds, col: str, p: int = HLL_P, salt: int = HLL_SALT):
+    """Distributed HLL register build: per-block sparse partials, merged
+    by a bucket-grouped max (the shuffle carries <= 2^p rows per block)."""
+    from ray.data.aggregate import Max
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = hll_partial_registers(t[col].to_numpy(), p=p, salt=salt)
+        return out.rename_columns(["bucket", "rho"])
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho_max"))
+    )
+
+
+def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
+    """Standard HLL estimator over a (bucket, rho_max) register table.
+
+    The harmonic sum is computed as the INTEGER ``S = sum 2^(64 - rho)``
+    (absent buckets contribute rho = 0), so the float division happens
+    once on identical integers — deterministic across runs/partitionings.
+    Small-range correction: linear counting when est <= 2.5m and zero
+    registers exist."""
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int64)
+    b = registers["bucket"].to_numpy()
+    rho[b] = registers["rho_max"].to_numpy()
+    s_int = sum(1 << (64 - int(r)) for r in rho)  # <= m * 2^64, exact
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * float(2**64) / float(s_int)
+    zeros = int(np.count_nonzero(rho == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * float(np.log(m / zeros))
+    return float(est)
+
+
+def distinct_count(ds, col: str) -> pd.DataFrame:
+    """Exact distributed COUNT(DISTINCT col): per-block unique combiner,
+    grouped shuffle of distinct values only, metadata-only final count."""
+    import pyarrow.compute as pc
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t[col])})
+
+    grouped = (
+        ds.map_batches(_uniq, batch_format="pyarrow").groupby(col).count()
+    )
+    return pd.DataFrame({"n_distinct": [int(grouped.count())]})
+
+
+def exact_quantiles(ds, col: str, q_permille=(500, 900, 990)):
+    """Distributed exact quantiles over an integer column via a
+    domain-bounded value histogram. Returns one row per requested
+    q_permille: (q_permille, <col>) with <col> = smallest value whose
+    cumulative count reaches ceil(q * n) (integer rank arithmetic).
+
+    Scale shape: the only shuffle is the histogram groupby, whose key
+    cardinality is the value DOMAIN (e.g. distinct cent amounts), not the
+    row count; the cumulative selection runs once on that small table in
+    a single repartitioned block — never on the driver."""
+    from ray.data.aggregate import Sum
+
+    qs = sorted(int(x) for x in q_permille)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([col]))
+        out = df.group_by(col).agg(n=pl.len().cast(pl.Int64))
+        return out.to_arrow().cast(pa.schema([(col, pa.int64()), ("n", pa.int64())]))
+
+    hist = (
+        ds.map_batches(_hist, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _select(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        ranks = np.array([(qp * total + 999) // 1000 for qp in qs], np.int64)
+        idx = np.searchsorted(cum, ranks, side="left")
+        return pa.table(
+            {"q_permille": pa.array(qs, pa.int64()),
+             col: pa.array(v[idx], pa.int64())}
+        )
+
+    return hist.repartition(1).map_batches(
+        _select, batch_format="pyarrow", batch_size=None
+    )

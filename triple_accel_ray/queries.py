@@ -911,6 +911,49 @@ def build_queries() -> Dict[str, Callable]:
 
     q["docs_not_in_ref"] = docs_not_in_ref
 
+    # ---- sketches + exact quantiles (ops/sketch.py) ---------------------
+    def hll_user_registers(sf_dir):
+        """HyperLogLog register table over events.user_id (p=12): the
+        sketch itself is value-checked — per-block sparse partials merged
+        by a bucket-grouped max; the oracle replays the identical salted
+        splitmix64 + ctz chain in integer SQL."""
+        from .ops.sketch import hll_registers
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        return hll_registers(ev, "user_id")
+
+    q["hll_user_registers"] = hll_user_registers
+
+    def distinct_users_exact(sf_dir):
+        """Exact COUNT(DISTINCT user_id): per-block unique combiner ->
+        grouped shuffle of distinct values only -> metadata-only count.
+        The exact twin of hll_user_registers."""
+        from .ops.sketch import distinct_count
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        return distinct_count(ev, "user_id")
+
+    q["distinct_users_exact"] = distinct_users_exact
+
+    def quantiles_value_cents(sf_dir):
+        """Distributed exact p50/p90/p99 over events.value in cents via a
+        domain-bounded value histogram (ops/sketch.py); integer rank rule
+        ceil(q*n) shared bit-for-bit with the SQL oracle."""
+        from .ops.sketch import exact_quantiles
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["value"])
+
+        def _cents(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy()
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"value_cents": pa.array(cents, pa.int64())})
+
+        return exact_quantiles(
+            ev.map_batches(_cents, batch_format="pyarrow"),
+            "value_cents", (500, 900, 990))
+
+    q["quantiles_value_cents"] = quantiles_value_cents
+
     return q
 
 
@@ -1802,5 +1845,51 @@ SELECT d.doc_id, d.source FROM documents d
 WHERE d.source <> 'src0'
   AND NOT EXISTS (SELECT 1 FROM documents r
                   WHERE r.source = 'src0' AND r.text = d.text)"""
+
+    # HLL registers: replay ops/sketch.py's salted splitmix64 + ctz rho in
+    # integer SQL (rho = bit_count(w XOR (w-1)) == ctz(w)+1; w < 2^52 fits
+    # BIGINT). Duplicate user_ids hash identically, so DISTINCT is safe.
+    from .ops.sketch import HLL_P, HLL_SALT
+
+    _hm_sql, _hm_f = _mix64_chain_sql("hm0", "user_id", "hm")
+    _hll_m = 1 << HLL_P
+    o["hll_user_registers"] = f"""
+WITH hm0 AS (
+  SELECT DISTINCT user_id,
+         CAST(xor(CAST(user_id AS UBIGINT), {HLL_SALT}::UBIGINT) AS HUGEINT) AS h
+  FROM events
+),
+{_hm_sql},
+bw AS (
+  SELECT CAST(h % {_hll_m} AS BIGINT) AS bucket,
+         CAST(h // {_hll_m} AS BIGINT) AS w
+  FROM {_hm_f}
+),
+r AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN {64 - HLL_P + 1}
+              ELSE bit_count(xor(w, w - 1)) END AS rho
+  FROM bw
+)
+SELECT bucket, max(rho)::BIGINT AS rho_max FROM r GROUP BY 1"""
+
+    o["distinct_users_exact"] = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_distinct FROM events"""
+
+    # Same integer rank rule as ops/sketch.exact_quantiles:
+    # value at quantile q = min v with cumcount(v) >= (q_permille*n+999)//1000.
+    o["quantiles_value_cents"] = """
+WITH c AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT sum(n)::BIGINT AS total FROM c),
+cum AS (SELECT v, sum(n) OVER (ORDER BY v)::BIGINT AS cn FROM c),
+qs AS (SELECT * FROM (VALUES (500), (900), (990)) AS q(qp))
+SELECT qp::BIGINT AS q_permille,
+       (SELECT min(v) FROM cum, t
+         WHERE cum.cn >= (qs.qp * t.total + 999) // 1000) AS value_cents
+FROM qs"""
 
     return o
