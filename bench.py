@@ -277,7 +277,10 @@ def _run_ab(ref: str, sf_dir: str) -> int:
         ).stdout.strip()
 
         def run_in(tree: str) -> dict:
-            env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+            # no per-side phase gate: the interleave (HEAD, ref, HEAD, ref)
+            # is what makes the RATIO phase-immune
+            env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                       GRAFT_BENCH_PHASE_TIMEOUT="0")
             env.pop("RAY_ADDRESS", None)
             out = subprocess.run(
                 [sys.executable, os.path.join(tree, "bench.py")],
@@ -466,7 +469,36 @@ def main() -> int:
         return 0
 
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # PHASE GATE for the headline bench (same rationale as --scaling): a
+    # sample launched in one of the host's 2-3x degraded phases reads as an
+    # engine regression. Wait (bounded, default 10 min, overridable via
+    # GRAFT_BENCH_PHASE_TIMEOUT; 0 disables) until the single-core probe is
+    # near its quiet-phase floor; on timeout run anyway and record
+    # gate_ok=false. Scaling children skip this — the --scaling parent
+    # already gates each phase-coherent pair.
+    gate_state = None
+    if os.environ.get("GRAFT_BENCH_MODE") != "scaling":
+        probe_max = float(os.environ.get("GRAFT_PHASE_PROBE_MAX", "2.2"))
+        gate_timeout = float(os.environ.get("GRAFT_BENCH_PHASE_TIMEOUT", "600"))
+        t_gate = time.perf_counter()
+        p1 = _probe_host()
+        while p1 > probe_max and (time.perf_counter() - t_gate) < gate_timeout:
+            print(
+                f"[phase-gate] probe={p1}s > {probe_max}s — waiting for a "
+                f"quiet host phase ({round(time.perf_counter() - t_gate, 1)}s)",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+            p1 = _probe_host()
+        gate_state = {
+            "probe_sec_at_launch": p1,
+            "probe_max": probe_max,
+            "gate_ok": p1 <= probe_max,
+            "gate_waited_sec": round(time.perf_counter() - t_gate, 1),
+        }
     result = _run_benches(sf_dir, ncpus)
+    if gate_state is not None:
+        result["bench_gate"] = gate_state
     # attach the latest recorded same-environment A/B (see _run_ab): a
     # RECORDED measurement from `bench.py --ab <ref>`, labeled with both
     # shas — not re-measured here (doubling every bench run would be worse
