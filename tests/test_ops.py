@@ -493,3 +493,39 @@ def test_heavy_hitter_tokens(ray_session):
         .to_dict()
     )
     assert out == {"hot": 30, "warm": 10}
+
+
+def test_stack_list_column_layouts():
+    """The zero-copy reshape fast path must equal the naive per-row stack
+    across every Arrow layout the embedding tables can arrive in: list,
+    large_list, fixed_size_list, chunked, sliced, and the ragged/null
+    fallbacks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from triple_accel_ray.ops.veccol import stack_list_column
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(13, 5))
+    rows = [list(map(float, r)) for r in mat]
+
+    def naive(col):
+        return np.stack([np.asarray(x, np.float64) for x in col.to_pylist()])
+
+    for typ in (pa.list_(pa.float64()), pa.large_list(pa.float32()),
+                pa.list_(pa.float32(), 5)):
+        arr = pa.array(rows, typ)
+        got = stack_list_column(arr)
+        np.testing.assert_allclose(got, naive(arr), rtol=1e-6)
+        # sliced window must honor the offset, not read from row 0
+        sl = arr.slice(4, 6)
+        np.testing.assert_allclose(stack_list_column(sl), naive(sl), rtol=1e-6)
+        # chunked
+        ch = pa.chunked_array([arr.slice(0, 7), arr.slice(7)])
+        np.testing.assert_allclose(stack_list_column(ch), naive(ch), rtol=1e-6)
+
+    # ragged rows take the fallback path (np.stack would raise only if the
+    # semantics were violated; equal-width check routes these to pandas)
+    ragged = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))
+    np.testing.assert_allclose(stack_list_column(ragged), naive(ragged))
+    assert stack_list_column(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)

@@ -488,10 +488,7 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
 
 # ------------------------------------------------------ embedding cosine
 
-def _stack_vecs(col) -> np.ndarray:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+from .veccol import stack_list_column as _stack_vecs
 
 
 def blockwise_pair_scores(embeddings, score_chunk_pair,

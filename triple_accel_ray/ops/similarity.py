@@ -18,10 +18,7 @@ import polars as pl
 import pyarrow as pa
 
 
-def _stack(col) -> np.ndarray:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+from .veccol import stack_list_column as _stack
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
