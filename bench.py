@@ -110,6 +110,9 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
     def _warm_worker(b):
         import polars  # noqa: F401
 
+        from triple_accel_ray.ops import (  # noqa: F401
+            dedup, text, windows,
+        )
         from triple_accel_ray.pipeline import (  # noqa: F401
             blocking, cluster, docs, pairs, score,
         )
