@@ -418,12 +418,26 @@ def main() -> int:
                 r_lo = run(lo)
                 p_hi = probe()
                 r_hi = run(hi)
+                # PHASE STABILITY: the gate checks host health only at
+                # launch, but hypervisor phases flip mid-pair (measured: a
+                # 16-CPU run 2.4x slower than its same-config neighbor two
+                # minutes later). Re-probe the parallel ceiling AFTER the
+                # pair; a sample is phase-stable only if the ceiling held
+                # within 15% — unstable samples measured the host, not the
+                # engine, in whichever side the flip hit.
+                agg_hi_after = _probe_host_parallel(hi)
+                host_eff_after = round(
+                    (agg_hi_after / agg_lo_c) / (hi / lo), 3)
+                phase_stable = bool(
+                    gate_ok and host_eff_after >= 0.85 * host_eff)
                 sf = r_lo["sf"]
                 t_lo, t_hi = r_lo["value"], r_hi["value"]
                 eff = round((t_lo / t_hi) / (hi / lo), 3)
                 row = {
                     "lo": lo, "hi": hi, "eff": eff,
                     "host_eff": host_eff,
+                    "host_eff_after": host_eff_after,
+                    "phase_stable": phase_stable,
                     "gate_ok": gate_ok, "gate_waited_sec": gate_waited,
                     f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
                     f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
@@ -438,7 +452,9 @@ def main() -> int:
                 # between the lo and hi runs
                 cur = per_pair_best.get(key)
                 better = cur is None or (
-                    (gate_ok, eff) > (cur["gate_ok"], cur["eff"])
+                    (phase_stable, gate_ok, eff)
+                    > (cur.get("phase_stable", False), cur["gate_ok"],
+                       cur["eff"])
                 )
                 if better:
                     per_pair_best[key] = row
