@@ -699,3 +699,223 @@ def embedding_dup_pairs_ivf(embeddings, threshold: float = 0.95,
         .groupby("bucket")
         .map_groups(_uniq, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------ embedding SRP-LSH
+
+_SRP_PLANES: dict = {}
+
+
+def srp_planes(dim: int, n_planes: int = 64, seed: int = 17) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes, cached per process. Every worker
+    derives the SAME (dim, n_planes) matrix from the seed — no broadcast,
+    no driver state, identical across partitionings and reruns."""
+    key = (dim, n_planes, seed)
+    got = _SRP_PLANES.get(key)
+    if got is None:
+        rng = np.random.default_rng(seed * 1_000_003 + dim * 101 + n_planes)
+        got = _SRP_PLANES[key] = rng.standard_normal((dim, n_planes))
+    return got
+
+
+def srp_signature_batch(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Packed sign bits of ``X @ planes`` — one uint64 per row
+    (``n_planes <= 64``). POSITIVE-SCALE-INVARIANT bit for bit:
+    ``sign((c*v) @ w) == sign(v @ w)`` for every c > 0 (the projection is
+    scaled by an exact positive factor, which preserves the sign including
+    exact zero), so scaled copies of a vector get IDENTICAL signatures with
+    probability 1 — not merely high probability."""
+    if planes.shape[1] > 64:
+        raise ValueError("srp signatures are packed into one uint64 word")
+    bits = (X @ planes) > 0.0
+    if planes.shape[1] == 64:
+        return np.packbits(
+            bits, axis=1, bitorder="little"
+        ).view(np.uint64).ravel()
+    out = np.zeros(len(X), dtype=np.uint64)
+    for b in range(planes.shape[1]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+class _VerifyCosineFromIndex:
+    """Exact-cosine verification of id pairs against a broadcast
+    (string ids, row-normalized float64 matrix) index: positions via
+    ``pc.index_in`` (C++ hash), one row-wise einsum per batch. Emits only
+    pairs with cosine >= threshold, ids cast back to int64 and
+    re-canonicalized NUMERICALLY (gen_pairs orders the STRING forms, where
+    "100" < "99")."""
+
+    def __init__(self, index_ref, threshold: float):
+        self.index_ref = index_ref
+        self.threshold = threshold
+        self._idx = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("cosine", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        if self._idx is None:
+            import ray
+
+            self._idx = ray.get(self.index_ref)
+        ids, V = self._idx
+        import pyarrow.compute as pc
+
+        pos_a = pc.index_in(t["a_id"], value_set=ids).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos_b = pc.index_in(t["b_id"], value_set=ids).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = np.einsum("ij,ij->i", V[pos_a], V[pos_b])
+        keep = s >= self.threshold
+        a = t["a_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        b = t["b_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"a_id": pa.array(np.minimum(a, b), pa.int64()),
+             "b_id": pa.array(np.maximum(a, b), pa.int64()),
+             "cosine": pa.array(s[keep], pa.float64())}
+        ).cast(schema)
+
+
+def embedding_dup_pairs_lsh(embeddings, threshold: float = 0.95,
+                            n_planes: int = 64, band_bits: int = 8,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            num_buckets: int = 32, hot_block_cap: int = 1024,
+                            hot_block_window: int = 16, seed: int = 17,
+                            broadcast_vec_max_bytes: int = 256 << 20):
+    """Sub-quadratic APPROXIMATE cosine near-dup pairs via random-hyperplane
+    (SRP) LSH bucketing — the "LSH-bucketed" scale path, sibling of
+    :func:`embedding_dup_pairs_ivf`.
+
+    Candidate generation: each vector's ``n_planes``-bit SRP signature is
+    cut into ``n_planes // band_bits`` bands; two vectors are candidates iff
+    they share at least one exact band value (pairs at cosine s agree per
+    plane with probability 1 - arccos(s)/pi, so the default 8x8 banding
+    catches a 0.95-cosine pair with ~99% probability, and a positively
+    SCALED copy with probability exactly 1 — see
+    :func:`srp_signature_batch`). Discipline mirrors ``minhash_dup_pairs``:
+    ID-ONLY band rows ride the block-key shuffle (the vector never does —
+    the signature itself travels in the doc_len slot so hot blocks'
+    sorted-neighborhood fallback puts identical signatures adjacent),
+    candidate pairs are globally deduped BEFORE verification (a true
+    near-dup collides in up to every band), and each unique pair is
+    verified ONCE with an exact float64 cosine — against a broadcast
+    row-normalized matrix under ``broadcast_vec_max_bytes``, else two
+    bucketed hash joins. Every emitted cosine is exact; approximation is
+    recall-only."""
+    from ..pipeline.pairs import gen_pairs
+
+    n_bands = max(1, n_planes // band_bits)
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def _keys(t: pa.Table) -> pa.Table:
+        X = _stack_vecs(t[vec_col])
+        sig = srp_signature_batch(X, srp_planes(X.shape[1], n_planes, seed))
+        ids = t[id_col].cast(pa.string())
+        rows = []
+        for band in range(n_bands):
+            band_val = (sig >> np.uint64(band * band_bits)) & mask
+            salt = ((band + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            key = _mix64(band_val ^ np.uint64(salt))
+            rows.append(
+                pa.table(
+                    {"block_key": pa.array(key, pa.uint64()),
+                     "conv_id": ids,
+                     "doc_len": pa.array(sig.view(np.int64), pa.int64())}
+                )
+            )
+        return pa.concat_tables(rows)
+
+    blocks = embeddings.map_batches(_keys, batch_format="pyarrow")
+    pairs = gen_pairs(
+        blocks, num_buckets=num_buckets, hot_block_cap=hot_block_cap,
+        hot_block_window=hot_block_window,
+    ).repartition(num_buckets)
+
+    out_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("cosine", pa.float64())]
+    )
+    size = embeddings.size_bytes() or (1 << 62)
+    if size <= broadcast_vec_max_bytes:
+        import ray
+
+        def _idvec(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"_id": t[id_col].cast(pa.string()), "_v": t[vec_col]}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                embeddings.map_batches(_idvec, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        tab = pa.concat_tables(parts)
+        ids_arr = tab["_id"].combine_chunks()
+        V = _stack_vecs(tab["_v"])
+        V = V / np.maximum(1e-12, np.linalg.norm(V, axis=1))[:, None]
+        index_ref = ray.put((ids_arr, V))
+        return pairs.map_batches(
+            _VerifyCosineFromIndex(index_ref, threshold),
+            batch_format="pyarrow",
+        )
+
+    # scale path: two bucketed hash joins attach the vectors once per
+    # unique pair (same shape as minhash's attach_pair_texts)
+    from ..pipeline.shuffle import bucket_join
+
+    vec_t = pa.list_(pa.float64())
+
+    def _a_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a_key": t[id_col].cast(pa.string()),
+             "a_vec": t[vec_col].cast(vec_t)}
+        )
+
+    def _b_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b_key": t[id_col].cast(pa.string()),
+             "b_vec": t[vec_col].cast(vec_t)}
+        )
+
+    pairs_schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()),
+         ("block_key", pa.uint64())]
+    )
+    j1 = bucket_join(
+        pairs, embeddings.map_batches(_a_side, batch_format="pyarrow"),
+        left_key="a_id", right_key="a_key", left_schema=pairs_schema,
+        right_schema=pa.schema([("a_key", pa.string()), ("a_vec", vec_t)]),
+        num_buckets=num_buckets,
+    )
+    j2 = bucket_join(
+        j1, embeddings.map_batches(_b_side, batch_format="pyarrow"),
+        left_key="b_id", right_key="b_key",
+        left_schema=pa.schema(list(pairs_schema) + [pa.field("a_vec", vec_t)]),
+        right_schema=pa.schema([("b_key", pa.string()), ("b_vec", vec_t)]),
+        num_buckets=num_buckets,
+    )
+
+    def _verify_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        A = _stack_vecs(t["a_vec"])
+        B = _stack_vecs(t["b_vec"])
+        A = A / np.maximum(1e-12, np.linalg.norm(A, axis=1))[:, None]
+        B = B / np.maximum(1e-12, np.linalg.norm(B, axis=1))[:, None]
+        s = np.einsum("ij,ij->i", A, B)
+        keep = s >= threshold
+        a = t["a_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        b = t["b_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"a_id": pa.array(np.minimum(a, b), pa.int64()),
+             "b_id": pa.array(np.maximum(a, b), pa.int64()),
+             "cosine": pa.array(s[keep], pa.float64())}
+        ).cast(out_schema)
+
+    return j2.map_batches(_verify_joined, batch_format="pyarrow")

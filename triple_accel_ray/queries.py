@@ -519,6 +519,39 @@ def build_queries() -> Dict[str, Callable]:
 
     q["knn_ivf_fullprobe_top5"] = knn_ivf_fullprobe_top5
 
+    def embed_near_dups_lsh(sf_dir):
+        """SRP-LSH near-dup pairs over a corpus with PLANTED duplicates:
+        every embedding also appears 2x-scaled under vec_id + 1_000_000.
+        Cosine is scale-invariant and SRP signatures are bit-identical
+        under positive scaling (ops.dedup.srp_signature_batch), so the LSH
+        path's recall on the planted pairs is exactly 1 BY CONSTRUCTION —
+        which is what makes a full SQL oracle sound for an approximate
+        operator (cf. knn_ivf_fullprobe_top5). Natural pairs top out near
+        cosine 0.51 on this corpus, far below the 0.95 threshold; only ids
+        are compared (float32-sourced cosines are never value-compared)."""
+        from .ops.dedup import embedding_dup_pairs_lsh as _lsh
+        from .ops.veccol import stack_list_column
+
+        def _aug(t: pa.Table) -> pa.Table:
+            X = stack_list_column(t["embedding"])
+            n, d = X.shape
+            M = np.vstack([X, X * 2.0])
+            off = pa.array(np.arange(0, (2 * n + 1) * d, d, dtype=np.int32))
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"vec_id": pa.array(
+                    np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+                 "embedding": pa.ListArray.from_arrays(
+                     off, pa.array(M.ravel(), pa.float64()))}
+            )
+
+        emb = read_parquet_clean(_t(sf_dir, "embeddings")).map_batches(
+            _aug, batch_format="pyarrow"
+        )
+        return _lsh(emb, threshold=0.95).select_columns(["a_id", "b_id"])
+
+    q["embed_near_dups_lsh"] = embed_near_dups_lsh
+
     # ---- text analysis --------------------------------------------------
     def token_count(sf_dir):
         docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1411,6 +1444,17 @@ ranked AS (
 SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5"""
 
     o["knn_ivf_fullprobe_top5"] = o["knn_top5"]
+
+    o["embed_near_dups_lsh"] = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2)
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95"""
 
     # Ground-truth oracle: the production pipeline's contract at these
     # settings is to recover the fixture's generating entities EXACTLY
