@@ -15,8 +15,14 @@ from ..kernels.types import EditCosts, LEVENSHTEIN_COSTS
 @dataclass
 class PipelineConfig:
     # --- doc building -----------------------------------------------------
-    # hash buckets for the conv_id groupby; scale ~ cluster cores × 4.
-    doc_buckets: int = 32
+    # CAP on hash buckets for the conv_id shuffle. Since the bucketed
+    # shuffles run as sort-with-explicit-boundaries
+    # (shuffle.bucket_partition), the bucket count is ALSO the
+    # reduce-partition count and therefore the task granularity of every
+    # stage fused after the shuffle, so run.py scales the effective count
+    # with the input (~8k turns per bucket, floor = cluster CPUs, this
+    # cap). At 100 TB raise the cap so buckets stay ~10k rows.
+    doc_buckets: int = 512
 
     # --- blocking ---------------------------------------------------------
     minhash_perms: int = 32
@@ -39,7 +45,16 @@ class PipelineConfig:
     block_batch_rows: int | None = None
 
     # --- pair generation --------------------------------------------------
-    pair_buckets: int = 32
+    # like doc_buckets, a CAP: the pair shuffles' reducer count is ALSO the
+    # scoring stage's task granularity (the scorer fuses onto the pair-
+    # dedup reduce partitions), and the scorer is the pipeline's compute
+    # peak. Measured both failure modes of a FIXED count: 32 buckets at
+    # sf0.4/16cpu ran the scorer as 15 tasks of 9-26 s (230 core-s total;
+    # stage wall = the longest task), while 128 buckets at sf0.1/32cpu
+    # added ~1.3 s of per-reducer overhead (300-row buckets). run.py
+    # scales the effective count: ~1.5k docs per bucket, floor = cluster
+    # CPUs, this cap.
+    pair_buckets: int = 512
     # blocks larger than this switch from all-pairs to sorted-neighborhood
     # (explicit skew control; a hot block of n docs emits O(n*window) pairs
     # instead of O(n^2))

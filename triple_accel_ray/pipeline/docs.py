@@ -72,14 +72,15 @@ def build_docs(transcripts, num_buckets: int = 64):
     per-bucket aggregation sees every turn of each of its conversations —
     the partitioning assumption this stage relies on.
     """
-    return (
+    from .shuffle import bucket_partition
+
+    return bucket_partition(
         transcripts.map_batches(
             _add_bucket,
             batch_format="pyarrow",
             fn_kwargs={"num_buckets": num_buckets},
-        )
-        .groupby("bucket")
-        .map_groups(_bucket_to_docs, batch_format="pyarrow")
+        ),
+        _bucket_to_docs, num_buckets,
     )
 
 

@@ -61,9 +61,17 @@ def run_er_incremental(
         len_band_width=cfg.len_band_width,
     )
 
-    # 1. docs + blocks for the appended conversations only
+    # 1. docs + blocks for the appended conversations only (appends are
+    # usually small — size the shuffle to the increment, not the cap)
+    from .run import _TURNS_PER_DOC_BUCKET, _effective_buckets
+    from .transcripts import count_rows
+
     new_docs = build_docs(
-        rd.read_parquet(new_transcripts_path), cfg.doc_buckets
+        rd.read_parquet(new_transcripts_path),
+        _effective_buckets(
+            cfg.doc_buckets, count_rows(new_transcripts_path),
+            _TURNS_PER_DOC_BUCKET,
+        ),
     ).materialize()
     if new_docs.count() == 0:
         out = {"increment": read_manifest(edges_dir).get("increments", 0),

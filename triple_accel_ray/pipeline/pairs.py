@@ -188,25 +188,24 @@ def gen_pairs(blocks, num_buckets: int = 64, hot_block_cap: int = 64,
     near-dup pair collides in MANY LSH bands (up to n_bands copies landing
     in different block buckets) — deduping before the expensive scoring
     stage is ~an order of magnitude cheaper than scoring every copy."""
-    return (
+    from .shuffle import bucket_partition
+
+    gen = bucket_partition(
         blocks.map_batches(
             _add_bucket,
             batch_format="pyarrow",
             fn_kwargs={"num_buckets": num_buckets},
-        )
-        .groupby("bucket")
-        .map_groups(
-            _bucket_to_pairs,
-            batch_format="pyarrow",
-            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
-        )
-        .map_batches(
+        ),
+        _bucket_to_pairs, num_buckets,
+        fn_kwargs={"cap": hot_block_cap, "window": hot_block_window},
+    )
+    return bucket_partition(
+        gen.map_batches(
             _pair_bucket,
             batch_format="pyarrow",
             fn_kwargs={"num_buckets": num_buckets},
-        )
-        .groupby("bucket")
-        .map_groups(_dedup_pairs, batch_format="pyarrow")
+        ),
+        _dedup_pairs, num_buckets,
     )
 
 

@@ -63,6 +63,35 @@ def _read_blocks() -> int:
         return 32
 
 
+def _effective_buckets(cap: int, n_rows: int, target_rows: int,
+                       ncpus: int | None = None) -> int:
+    """Bucket count for a shuffle feeding ~``n_rows`` rows. Because the
+    bucketed shuffles run as sort-with-boundaries (shuffle.bucket_partition),
+    the bucket count is ALSO the reduce-partition count and the task
+    granularity of whatever stage fuses after the shuffle, so it must scale
+    with the data: at least one bucket per cluster CPU (no idle cores), at
+    most ``cap``, otherwise ~``target_rows`` rows per bucket. Measured both
+    failure modes at sf0.4/16cpu vs sf0.1/32cpu: a fixed 32 makes the sf0.4
+    scorer 15 tasks of 9-26 s (wall = longest task); a fixed 128 adds ~1.3 s
+    of per-reducer overhead to the sf0.1 pairs stage (300-row buckets)."""
+    if ncpus is None:
+        import ray
+
+        try:
+            ncpus = int(ray.cluster_resources().get("CPU", 0)) or 32
+        except Exception:  # pragma: no cover - no session
+            ncpus = 32
+    return int(min(cap, max(ncpus, n_rows // target_rows)))
+
+
+# ~rows per bucket targets: sized so the sf0.1 headline keeps its measured
+# optimum (32 buckets at 266k turns / 44k docs / 32 CPUs) and larger inputs
+# grow toward cap. Pairs/doc ≈ 0.9 on transcript corpora, so doc count is
+# the pair-stage row estimate.
+_TURNS_PER_DOC_BUCKET = 8192
+_DOCS_PER_PAIR_BUCKET = 1500
+
+
 def _score_batch_size(cfg: PipelineConfig, n_pairs_est: int) -> int:
     """Scoring batch size for an (estimated) total pair count — grows
     toward cfg.score_batch_max while keeping >= 4 batches per cluster CPU
@@ -111,11 +140,15 @@ def run_er_pipeline_fused(
         phases[name] = round(now - t_ph, 3)
         t_ph = now
 
+    from .transcripts import count_rows
+
+    # parquet metadata only — no data read
+    n_turns = count_rows(transcripts_path)
     docs = build_docs(
         rd.read_parquet(
             transcripts_path, override_num_blocks=_read_blocks()
         ),
-        cfg.doc_buckets,
+        _effective_buckets(cfg.doc_buckets, n_turns, _TURNS_PER_DOC_BUCKET),
     ).materialize()
     _phase("docs_materialize")
     blocks = build_blocks(
@@ -130,9 +163,12 @@ def run_er_pipeline_fused(
         concurrency=cfg.block_concurrency,
         batch_rows=cfg.block_batch_rows,
     )
+    n_docs = docs.count()  # metadata only: docs is materialized
     pairs = gen_pairs(
         blocks,
-        num_buckets=cfg.pair_buckets,
+        num_buckets=_effective_buckets(
+            cfg.pair_buckets, n_docs, _DOCS_PER_PAIR_BUCKET
+        ),
         hot_block_cap=cfg.hot_block_cap,
         hot_block_window=cfg.hot_block_window,
     )
@@ -144,9 +180,9 @@ def run_er_pipeline_fused(
         min_similarity=cfg.min_similarity,
     )
     text_bytes = docs.size_bytes() or (1 << 62)
-    # docs is materialized, so count() is metadata; pairs/doc ≈ 0.9 on
-    # transcript corpora makes the doc count a fine batch-size estimate
-    score_bs = _score_batch_size(cfg, docs.count())
+    # pairs/doc ≈ 0.9 on transcript corpora makes the doc count a fine
+    # batch-size estimate
+    score_bs = _score_batch_size(cfg, n_docs)
     if text_bytes <= cfg.broadcast_text_max_bytes:
         # small-side broadcast: no join shuffles (see config threshold).
         # Index built in a REMOTE task (ref of a pending result): the
@@ -266,10 +302,18 @@ def run_er_pipeline(
     fp_docs = _fingerprint(base_fp, cfg.doc_buckets, "docs_v1")
 
     def _w_docs(tmp):
+        from .transcripts import count_rows
+
         ds = rd.read_parquet(
             transcripts_path, override_num_blocks=_read_blocks()
         )
-        build_docs(ds, cfg.doc_buckets).write_parquet(tmp)
+        build_docs(
+            ds,
+            _effective_buckets(
+                cfg.doc_buckets, count_rows(transcripts_path),
+                _TURNS_PER_DOC_BUCKET,
+            ),
+        ).write_parquet(tmp)
 
     docs_dir = run_stage(run_dir, "docs", fp_docs, _w_docs, resume)
 
@@ -304,7 +348,10 @@ def run_er_pipeline(
     def _w_pairs(tmp):
         gen_pairs(
             _read_dir(blocks_dir),
-            num_buckets=cfg.pair_buckets,
+            num_buckets=_effective_buckets(
+                cfg.pair_buckets, read_manifest(docs_dir)["rows"],
+                _DOCS_PER_PAIR_BUCKET,
+            ),
             hot_block_cap=cfg.hot_block_cap,
             hot_block_window=cfg.hot_block_window,
         ).write_parquet(tmp)

@@ -299,8 +299,9 @@ def dedup_edges(scored, num_buckets: int = 32):
             )
         )
 
-    return (
-        scored.map_batches(_filter_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_dedup, batch_format="pyarrow")
+    from .shuffle import bucket_partition
+
+    return bucket_partition(
+        scored.map_batches(_filter_bucket, batch_format="pyarrow"),
+        _dedup, num_buckets,
     )

@@ -16,6 +16,44 @@ import polars as pl
 import pyarrow as pa
 
 
+def bucket_partition(ds, fn, num_buckets: int, *, bucket_col: str = "bucket",
+                     fn_kwargs: dict | None = None):
+    """``groupby(bucket_col).map_groups(fn)`` expressed as a sort with
+    EXPLICIT boundaries at every bucket value, followed by whole-block
+    ``map_batches``. ``fn`` receives exactly the rows of one bucket per
+    call (each reduce partition is one bucket), so results are identical
+    to the groupby form — but two things change that matter at scale:
+
+    - reduce-partition BALANCE: the sort-based shuffle range-partitions
+      the key, and with only ~32 distinct bucket values and the reducer
+      count tied to the input block count, range boundaries quantize to
+      whole buckets — partitions get 1-4 buckets each (measured at sf0.4:
+      reduce blocks of 32k-100k rows from count-balanced buckets).
+      Boundaries at every bucket value pin each partition to one bucket.
+    - downstream task GRANULARITY: the reducer count becomes num_buckets
+      instead of len(input_blocks) (ray sort planner: ``num_outputs =
+      num_mappers`` unless boundaries are given — planner/sort.py), so a
+      map stage fused after the shuffle gets num_buckets tasks, sized by
+      config rather than by the upstream read parallelism. Measured at
+      sf0.4/16cpu: the scorer ran as 15 tasks of 8.9-26.4 s (230 core-s
+      total) — stage wall = the single longest task; one task per bucket
+      restores wall ≈ total/ncpus.
+
+    ``batch_size=None`` is load-bearing: the per-bucket bodies (pair
+    dedup, join, doc assembly) need the WHOLE bucket in one batch, and
+    whole-block batches never re-bundle (an explicit batch_size measured
+    5-8x slower on the blocking stage).
+    """
+    return ds.sort(
+        bucket_col, boundaries=list(range(1, num_buckets))
+    ).map_batches(
+        fn,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs=fn_kwargs or {},
+    )
+
+
 def bucket_join(
     left,
     right,
@@ -88,8 +126,7 @@ def bucket_join(
     tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
         right.map_batches(_tag_right, batch_format="pyarrow")
     )
-    return (
-        tagged.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(_join, batch_format="pyarrow")
+    return bucket_partition(
+        tagged.map_batches(_bucket, batch_format="pyarrow"),
+        _join, num_buckets, bucket_col="__bucket",
     )
