@@ -1,9 +1,10 @@
 """Stage 1: transcripts → one document row per conversation.
 
-Ray-Data shape: one hash-bucket shuffle (``groupby(bucket)``) followed by a
-*vectorized* per-bucket aggregation in polars — the per-conversation work is
-columnar inside each bucket task, so Python is invoked once per bucket, not
-once per conversation. This is the engine's first shuffle (key = conv_id
+Ray-Data shape: one hash-bucket shuffle (``shuffle.bucket_partition`` —
+sort with explicit per-bucket boundaries, one reduce partition per bucket)
+followed by a *vectorized* per-bucket aggregation in polars — the
+per-conversation work is columnar inside each bucket task, so Python is
+invoked once per bucket, not once per conversation. This is the engine's first shuffle (key = conv_id
 via bucket) and establishes the per-row invariant from BASELINE.json
 input_hint: doc_text = turn texts concatenated under stable turn_idx order.
 """

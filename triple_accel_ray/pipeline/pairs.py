@@ -1,9 +1,10 @@
 """Stage 3: block rows → candidate pairs (with both texts carried).
 
 Ray-Data shape: one hash-bucket shuffle keyed by block_key
-(``groupby(bucket)``), then vectorized per-bucket pair generation. A block
-always lands wholly inside one bucket, so pair generation never needs
-cross-task state.
+(``shuffle.bucket_partition`` — sort with explicit per-bucket boundaries,
+one reduce partition per bucket), then vectorized per-bucket pair
+generation. A block always lands wholly inside one bucket, so pair
+generation never needs cross-task state.
 
 Skew control (explicit, per north_rule): a block with more docs than
 ``hot_block_cap`` would emit O(n²) pairs; instead it is sorted by
