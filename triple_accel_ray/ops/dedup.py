@@ -75,10 +75,11 @@ def exact_dup_groups(docs, id_col: str = "doc_id", text_col: str = "text",
         )
         return out.to_arrow()
 
-    return (
-        docs.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_group, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    return bucket_partition(
+        docs.map_batches(_bucketize, batch_format="pyarrow"),
+        _group, num_buckets,
     )
 
 
@@ -275,13 +276,13 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         )
 
     blocks = docs.map_batches(_keys, batch_format="pyarrow", batch_size=2048)
-    # repartition after the dedup groupby: its reduce can emit very few
-    # blocks at small scale, which would serialize the (sort-bound)
-    # verification stage; pairs are id-only rows so this exchange is cheap
+    # gen_pairs' boundary-partitioned shuffles emit exactly num_buckets
+    # one-bucket blocks, so the verification stage gets num_buckets tasks
+    # already — no repartition needed
     pairs = gen_pairs(
         blocks, num_buckets=num_buckets, hot_block_cap=hot_block_cap,
         hot_block_window=hot_block_window,
-    ).repartition(num_buckets)
+    )
 
     size = docs.size_bytes() or (1 << 62)
     if size <= broadcast_text_max_bytes:
@@ -352,10 +353,11 @@ def _distinct_pairs(pairs, metric_field: tuple, num_buckets: int = 16):
         ).drop("bucket")
         return df.to_arrow().select(out_schema.names).cast(out_schema)
 
-    return (
-        pairs.map_batches(_bkt, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_uniq, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    return bucket_partition(
+        pairs.map_batches(_bkt, batch_format="pyarrow"),
+        _uniq, num_buckets,
     )
 
 
@@ -473,16 +475,14 @@ def simhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         )
         return out.filter(pa.compute.less_equal(out["hamming64"], max_hamming))
 
-    verified = (
-        docs.map_batches(_sim, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            _bucket_to_pairs, batch_format="pyarrow",
-            fn_kwargs={"cap": hot_block_cap, "window": hot_block_window,
-                       "carry_len": True},
-        )
-        .map_batches(_verify, batch_format="pyarrow")
-    )
+    from ..pipeline.shuffle import bucket_partition
+
+    verified = bucket_partition(
+        docs.map_batches(_sim, batch_format="pyarrow"),
+        _bucket_to_pairs, num_buckets,
+        fn_kwargs={"cap": hot_block_cap, "window": hot_block_window,
+                   "carry_len": True},
+    ).map_batches(_verify, batch_format="pyarrow")
     return _distinct_pairs(verified, ("hamming64", pa.int64()), num_buckets)
 
 
@@ -657,10 +657,11 @@ def embedding_dup_pairs_ivf(embeddings, threshold: float = 0.95,
             )
         return pa.concat_tables(outs)
 
-    pairs = (
-        embeddings.map_batches(_assign, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_cell_pairs, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    pairs = bucket_partition(
+        embeddings.map_batches(_assign, batch_format="pyarrow"),
+        _cell_pairs, num_buckets,
     )
 
     def _bkt(t: pa.Table) -> pa.Table:
@@ -694,10 +695,9 @@ def embedding_dup_pairs_ivf(embeddings, threshold: float = 0.95,
             .cast(schema)
         )
 
-    return (
-        pairs.map_batches(_bkt, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_uniq, batch_format="pyarrow")
+    return bucket_partition(
+        pairs.map_batches(_bkt, batch_format="pyarrow"),
+        _uniq, num_buckets,
     )
 
 
@@ -830,10 +830,11 @@ def embedding_dup_pairs_lsh(embeddings, threshold: float = 0.95,
         return pa.concat_tables(rows)
 
     blocks = embeddings.map_batches(_keys, batch_format="pyarrow")
+    # gen_pairs emits num_buckets one-bucket blocks (see minhash_dup_pairs)
     pairs = gen_pairs(
         blocks, num_buckets=num_buckets, hot_block_cap=hot_block_cap,
         hot_block_window=hot_block_window,
-    ).repartition(num_buckets)
+    )
 
     out_schema = pa.schema(
         [("a_id", pa.int64()), ("b_id", pa.int64()), ("cosine", pa.float64())]

@@ -76,10 +76,11 @@ def events_last_order(events, orders, num_buckets: int = 16):
     tagged = events.map_batches(_tag_events, batch_format="pyarrow").union(
         orders.map_batches(_tag_orders, batch_format="pyarrow")
     )
-    return (
-        tagged.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_asof, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    return bucket_partition(
+        tagged.map_batches(_bucket, batch_format="pyarrow"),
+        _asof, num_buckets,
     )
 
 

@@ -175,7 +175,9 @@ def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
 
     def _cell_topk(t: pa.Table) -> pa.Table:
         qids_, Q_, probe_ = ray.get(ref)
-        cell = int(t["cell"][0].as_py())
+        # one cell per batch (boundary-partitioned); empty partitions are
+        # possible when a centroid attracts no corpus rows
+        cell = int(t["cell"][0].as_py()) if t.num_rows else -1
         probe_mask = (probe_ == cell).any(axis=1)
         rows = np.nonzero(probe_mask)[0]
         if rows.size == 0 or t.num_rows == 0:
@@ -194,10 +196,11 @@ def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
              "cosine": pa.array(scol, pa.float64())}
         )
 
-    partials = (
-        corpus.map_batches(_assign, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(_cell_topk, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    partials = bucket_partition(
+        corpus.map_batches(_assign, batch_format="pyarrow"),
+        _cell_topk, n_centroids, bucket_col="cell",
     )
 
     def _merge(t: pa.Table) -> pa.Table:

@@ -145,10 +145,11 @@ def watermark_tumbling_windows(
         fb = (t["frame"].to_numpy() % 32).astype(np.int32)
         return t.append_column("fbucket", pa.array(fb, pa.int32()))
 
-    flagged = (
-        tagged.map_batches(_fbucket, batch_format="pyarrow")
-        .groupby("fbucket")
-        .map_groups(_flag, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    flagged = bucket_partition(
+        tagged.map_batches(_fbucket, batch_format="pyarrow"),
+        _flag, 32, bucket_col="fbucket",
     )
 
     from ray.data.aggregate import Sum

@@ -84,10 +84,11 @@ def sessionize(events, gap_sec: int = 1800, num_buckets: int = 32):
             )
         )
 
-    return (
-        events.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_sessions, batch_format="pyarrow")
+    from ..pipeline.shuffle import bucket_partition
+
+    return bucket_partition(
+        events.map_batches(_bucket, batch_format="pyarrow"),
+        _sessions, num_buckets,
     )
 
 
