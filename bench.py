@@ -484,6 +484,20 @@ def main() -> int:
                 for (lo, hi), r in per_pair_best.items()
             },
         }
+        # persist for the headline bench to attach (see scaling_recorded):
+        # the driver's per-round BENCH comes from `python bench.py`, so the
+        # scaling evidence must ride along as a labeled recorded artifact
+        try:
+            head_sha = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+                 "rev-parse", "--short", "HEAD"],
+                check=True, capture_output=True, text=True,
+            ).stdout.strip()
+        except Exception:
+            head_sha = None
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING_LATEST.json"), "w") as f:
+            json.dump({**out, "head_sha": head_sha}, f, indent=1)
         print(json.dumps(out))
         return 0
 
@@ -531,6 +545,21 @@ def main() -> int:
             k: ab.get(k)
             for k in ("value", "ref", "ref_sha", "head_sha",
                       "sec_head", "sec_ref", "sf")
+        }
+    # attach the latest recorded scaling campaign (`bench.py --scaling`):
+    # same rationale as ab_recorded — the per-round BENCH should carry the
+    # scaling-efficiency evidence (both throughputs + efficiency per
+    # pairing, phase-stability flags) without re-running the campaign.
+    sc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING_LATEST.json")
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            sc = json.load(f)
+        result["scaling_recorded"] = {
+            k: sc.get(k)
+            for k in ("value", "sf", "head_sha", "phase_stable",
+                      *[x for x in sc if x.startswith(("eff_", "sec_",
+                                                       "turns_per_sec_"))])
         }
     print(json.dumps(result))
     return 0

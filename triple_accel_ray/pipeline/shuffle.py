@@ -44,6 +44,14 @@ def bucket_partition(ds, fn, num_buckets: int, *, bucket_col: str = "bucket",
     whole-block batches never re-bundle (an explicit batch_size measured
     5-8x slower on the blocking stage).
     """
+    if num_buckets < 2:
+        # boundaries=[] would make the sort fall back to mapper-count
+        # partitioning, splitting the single bucket across blocks and
+        # handing ``fn`` PARTIAL buckets; one partition is exact here.
+        return ds.repartition(1).map_batches(
+            fn, batch_format="pyarrow", batch_size=None,
+            fn_kwargs=fn_kwargs or {},
+        )
     return ds.sort(
         bucket_col, boundaries=list(range(1, num_buckets))
     ).map_batches(
