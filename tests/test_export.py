@@ -1,0 +1,137 @@
+"""Training-data export operators (ops/export.py): deterministic
+shuffle-shard export, weighted source mixing, greedy sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from triple_accel_ray.ops.export import (
+    mixture_sample,
+    mixture_targets,
+    pack_greedy,
+    pack_sequences,
+    shuffle_shard_export,
+)
+
+
+def _docs_table(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "x"], rng.integers(0, 40)))
+        for _ in range(n)
+    ]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"src{i % 5}" for i in range(n)]),
+        "text": pa.array(texts),
+    })
+
+
+def _sorted_rows(out, cols):
+    rows = [tuple(r[c] for c in cols) for r in out]
+    return sorted(rows)
+
+
+def test_shuffle_export_deterministic_and_contiguous(ray_session):
+    t = _docs_table()
+    out1 = shuffle_shard_export(rd.from_arrow(t).repartition(7), 8).take_all()
+    # permuted input order + different partitioning -> identical assignment
+    perm = np.random.default_rng(9).permutation(len(t))
+    out2 = shuffle_shard_export(
+        rd.from_arrow(t.take(pa.array(perm))).repartition(3), 8
+    ).take_all()
+    assert _sorted_rows(out1, ("shard", "pos", "doc_id")) == _sorted_rows(
+        out2, ("shard", "pos", "doc_id"))
+    # every doc exactly once; per-shard positions are 0..n_s-1
+    assert sorted(r["doc_id"] for r in out1) == list(range(len(t)))
+    by_shard = {}
+    for r in out1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert 0 <= s < 8
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_mixture_targets_math():
+    counts = {"a": 1000, "b": 1000, "c": 50}
+    thr = mixture_targets(counts, {"a": 500, "b": 300, "c": 200})
+    # c is the binding source: T = 50*1000//200 = 250
+    # t_a=125, t_b=75, t_c=50 (keep-all)
+    assert thr["c"] == 1 << 64
+    assert thr["a"] == (125 << 64) // 1000
+    assert thr["b"] == (75 << 64) // 1000
+    # zero-weight / absent sources contribute nothing
+    thr2 = mixture_targets({"a": 10, "z": 99}, {"a": 1000, "z": 0})
+    assert set(thr2) == {"a"} and thr2["a"] == 1 << 64
+
+
+def test_mixture_sample_proportions_and_determinism(ray_session):
+    t = _docs_table(n=1000)
+    w = {"src0": 500, "src1": 300, "src2": 200}
+    out1 = mixture_sample(rd.from_arrow(t).repartition(5), w).take_all()
+    out2 = mixture_sample(rd.from_arrow(t).repartition(2), w).take_all()
+    assert _sorted_rows(out1, ("doc_id", "source")) == _sorted_rows(
+        out2, ("doc_id", "source"))
+    srcs = {r["source"] for r in out1}
+    assert srcs <= set(w)  # unweighted sources dropped
+    # 200 docs per source -> T = min(400, 666, 1000) = 400 (src0 binds):
+    # targets t = {src0: 200 keep-all EXACT, src1: 120, src2: 80}
+    n_by = {s: sum(1 for r in out1 if r["source"] == s) for s in srcs}
+    assert n_by["src0"] == 200
+    for s, target in (("src1", 120), ("src2", 80)):
+        # hash-threshold sampling is binomial around the target
+        assert abs(n_by[s] - target) <= 45, (s, n_by[s], target)
+
+
+def test_pack_greedy_matches_naive():
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        n = int(rng.integers(0, 60))
+        tc = rng.integers(0, 120, n).astype(np.int64)
+        budget = int(rng.integers(1, 200))
+        got = pack_greedy(tc, budget)
+        # naive sequential greedy
+        want, pid, acc = [], 0, 0
+        for v in tc:
+            if want and acc + v > budget:
+                pid += 1
+                acc = 0
+            # over-budget docs pack alone: if v > budget the NEXT doc opens
+            # a new pack via the same acc+v > budget rule
+            want.append(pid)
+            acc += v
+        assert got.tolist() == want, (tc, budget)
+
+
+def test_pack_greedy_edges():
+    assert pack_greedy(np.array([], dtype=np.int64), 10).size == 0
+    # over-budget docs are singletons (even a following zero-token doc
+    # starts the next pack — the running sum already exceeds the budget);
+    # zero-token docs otherwise pack with their neighbors
+    got = pack_greedy(np.array([50, 0, 7, 3, 99, 0], dtype=np.int64), 10)
+    assert got.tolist() == [0, 1, 1, 1, 2, 3]
+    got2 = pack_greedy(np.array([4, 0, 6, 0, 1], dtype=np.int64), 10)
+    assert got2.tolist() == [0, 0, 0, 0, 1]
+
+
+def test_pack_sequences_invariants(ray_session):
+    t = _docs_table(n=300)
+    out = pack_sequences(rd.from_arrow(t).repartition(6), budget=64,
+                         n_shards=4).take_all()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(t)))
+    sums = {}
+    counts = {}
+    for r in out:
+        key = (r["shard"], r["pack_id"])
+        sums[key] = sums.get(key, 0) + r["token_count"]
+        counts[key] = counts.get(key, 0) + 1
+    for key, s in sums.items():
+        assert s <= 64 or counts[key] == 1, (key, s, counts[key])
+    # pack ids are contiguous from 0 per shard
+    by_shard = {}
+    for sh, pid in sums:
+        by_shard.setdefault(sh, set()).add(pid)
+    for sh, pids in by_shard.items():
+        assert pids == set(range(len(pids)))

@@ -1,0 +1,249 @@
+"""Training-data export operators: deterministic shuffle-shard export,
+weighted source mixing, and greedy sequence packing.
+
+The three shapes that sit between a curated corpus and a training job:
+
+* ``shuffle_shard_export`` — a seeded GLOBAL shuffle expressed without a
+  ``random_shuffle`` all-to-all: every row gets a 64-bit pseudo-random
+  rank ``mix64(id ^ SHUFFLE_SALT)``; shard = rank % n_shards is a
+  stateless ``map_batches`` tag, and only the per-shard ORDER needs a
+  shuffle — one boundary-partitioned bucket shuffle carrying id-width
+  rows, then a local vectorized sort per shard.  The (shard, pos)
+  assignment depends only on ids, so reruns, resumed runs and different
+  partitionings produce byte-identical shards (resumable export — a
+  failed run re-writes only missing shards).
+* ``mixture_sample`` — compose a training mix to TARGET proportions
+  (e.g. 50% src0 / 30% src1 / 20% src2) without upsampling: the largest
+  total T with T*w_s <= n_s for every weighted source is computed from a
+  vocabulary-sized count aggregate, then each source keeps its target
+  count via the same salted-hash threshold rule as
+  ``curation.stratified_sample`` (zero shuffle, order-independent).  All
+  arithmetic is integer, so a DuckDB oracle replays it exactly.
+* ``pack_sequences`` — greedy first-fit-in-order packing of documents
+  into fixed token budgets (the classic LLM pretraining step): docs are
+  laid out in the seeded shuffle order, cut into shards, and each shard
+  packs independently — pack k ends at the last doc whose running token
+  sum still fits the budget (an over-budget doc gets a pack of its own).
+  The per-shard body loops over PACKS (one ``np.searchsorted`` into the
+  cumulative token sum each), never over rows; shards bound the
+  sequential span, so parallelism = n_shards regardless of corpus size.
+
+No counterpart in the reference repo (/root/reference is a pairwise
+string-distance library); these cover the export tail of the brief's
+training-data-pipeline list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..pipeline.blocking import _mix64
+from ..pipeline.shuffle import bucket_partition
+
+# public wyhash secret constants — decorrelated from every other salt in
+# the repo (curation.SAMPLE_SALT is 0xA0761D6478BD642F)
+SHUFFLE_SALT = np.uint64(0xE7037ED1A0B428DB)
+MIXTURE_SALT = np.uint64(0x8EBC6AF09C88C6E3)
+
+
+def _rank_of(ids: np.ndarray, salt: np.uint64) -> np.ndarray:
+    return _mix64(ids.astype(np.uint64) ^ salt)
+
+
+def shuffle_shard_export(docs, n_shards: int, id_col: str = "doc_id"):
+    """Deterministic global shuffle into ``n_shards`` ordered shards:
+    rank = mix64(id ^ SHUFFLE_SALT); shard = rank % n_shards; pos = the
+    row's 0-based position within its shard under (rank, id) order.
+
+    Output columns: (shard int64, pos int64, id_col).  Only id-width rows
+    ride the single bucket shuffle; at scale n_shards grows with the data
+    (target rows per shard), and each output shard is one write task —
+    the resumable-export layout.
+    """
+    n = int(n_shards)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = _rank_of(ids, SHUFFLE_SALT)
+        return pa.table({
+            "shard": pa.array((r % np.uint64(n)).astype(np.int64)),
+            "rank": pa.array(r),
+            id_col: t[id_col],
+        })
+
+    def _order(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                id_col: pa.array([], t.schema.field(id_col).type),
+            })
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, r))
+        return pa.table({
+            "shard": t["shard"].take(pa.array(order)),
+            "pos": pa.array(np.arange(len(r), dtype=np.int64)),
+            id_col: t[id_col].take(pa.array(order)),
+        })
+
+    tagged = docs.map_batches(_tag, batch_format="pyarrow")
+    return bucket_partition(tagged, _order, n, bucket_col="shard")
+
+
+def mixture_targets(counts: dict, weights_permille: dict) -> dict:
+    """Exact integer mixture math, shared with the SQL oracle: given
+    per-source row counts and target weights (permille), the largest
+    total ``T = min_s floor(n_s * 1000 / w_s)`` keeps every weighted
+    source fully proportional without upsampling; source s then targets
+    ``t_s = floor(T * w_s / 1000)`` rows via acceptance threshold
+    ``floor(t_s * 2^64 / n_s)`` on the salted hash rank."""
+    t_total = min(
+        (counts[s] * 1000) // w
+        for s, w in weights_permille.items()
+        if w > 0 and counts.get(s, 0) > 0
+    )
+    out = {}
+    for s, w in weights_permille.items():
+        n_s = counts.get(s, 0)
+        if n_s <= 0 or w <= 0:
+            continue
+        t_s = (t_total * w) // 1000
+        out[s] = ((t_s << 64) // n_s) if t_s < n_s else (1 << 64)
+    return out
+
+
+def mixture_sample(
+    docs,
+    weights_permille: dict,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+):
+    """Weighted source mixing to target proportions (downsampling only).
+
+    Two passes, no shuffle: (1) a vocabulary-sized per-source count
+    aggregate (per-block partial counts merged on the driver — the result
+    has one row per source, never per document); (2) a stateless
+    deterministic filter: keep iff ``mix64(id ^ MIXTURE_SALT) <
+    threshold(source)``.  Unweighted sources are dropped.  The keep
+    decision depends only on (id, source), so the mix is reproducible
+    across reruns and partitionings.
+    """
+
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        src = t[strat_col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table({
+            strat_col: pa.array(uniq),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    import ray
+
+    counts: dict = {}
+    for part in ray.get(
+        docs.map_batches(_partial_counts, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        for s, c in zip(part[strat_col].to_pylist(), part["n"].to_pylist()):
+            counts[s] = counts.get(s, 0) + c
+    thr = mixture_targets(counts, weights_permille)
+
+    def _flt(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _rank_of(ids, MIXTURE_SALT)
+        src = t[strat_col].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for s in np.unique(src):
+            lim = thr.get(s)
+            if lim is None:
+                continue
+            m = src == s
+            if lim >= (1 << 64):
+                keep |= m
+            else:
+                keep |= m & (h < np.uint64(lim))
+        return t.select([id_col, strat_col]).filter(pa.array(keep))
+
+    return docs.map_batches(_flt, batch_format="pyarrow")
+
+
+def pack_greedy(token_counts: np.ndarray, budget: int) -> np.ndarray:
+    """First-fit-in-order pack ids for an ordered token-count vector:
+    pack k ends at the last index whose running sum since the pack start
+    fits ``budget``; an over-budget document always advances by one (a
+    pack of its own).  Loops over packs, not rows: each boundary is one
+    ``np.searchsorted`` into the cumulative sum."""
+    n = len(token_counts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    cum = np.cumsum(token_counts.astype(np.int64))
+    sizes = []
+    start = 0
+    while start < n:
+        base = cum[start - 1] if start else 0
+        j = int(np.searchsorted(cum, base + budget, side="right")) - 1
+        j = max(j, start)  # force progress for over-budget docs
+        sizes.append(j - start + 1)
+        start = j + 1
+    return np.repeat(np.arange(len(sizes), dtype=np.int64),
+                     np.asarray(sizes))
+
+
+def pack_sequences(
+    docs,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Greedy sequence packing: documents in seeded shuffle order, cut
+    into ``n_shards`` independent shards (rank % n_shards), each shard
+    packed first-fit-in-order into ``budget``-token packs.
+
+    Token counts (whitespace rule, ``ops.text.token_count_batch``) are
+    computed BEFORE the shuffle so only (shard, rank, id, token_count)
+    rides it — text never does.  Output: (shard int64, pack_id int64,
+    id_col, token_count int64); pack_id is 0-based within its shard.
+    """
+    from .text import token_count_batch
+
+    n = int(n_shards)
+    b = int(budget)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        tc = token_count_batch(
+            t.select([id_col, text_col]), text_col)["token_count"]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = _rank_of(ids, SHUFFLE_SALT)
+        return pa.table({
+            "shard": pa.array((r % np.uint64(n)).astype(np.int64)),
+            "rank": pa.array(r),
+            id_col: t[id_col],
+            "token_count": tc,
+        })
+
+    def _pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "token_count": pa.array([], pa.int64()),
+            })
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tc = t["token_count"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, r))
+        packs = pack_greedy(tc[order], b)
+        idx = pa.array(order)
+        return pa.table({
+            "shard": t["shard"].take(idx),
+            "pack_id": pa.array(packs),
+            id_col: t[id_col].take(idx),
+            "token_count": t["token_count"].take(idx),
+        })
+
+    tagged = docs.map_batches(_tag, batch_format="pyarrow")
+    return bucket_partition(tagged, _pack, n, bucket_col="shard")

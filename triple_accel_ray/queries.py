@@ -987,6 +987,46 @@ def build_queries() -> Dict[str, Callable]:
 
     q["quantiles_value_cents"] = quantiles_value_cents
 
+    # ---- training-data export (ops/export.py) ---------------------------
+    def shuffle_export_shards(sf_dir):
+        """Deterministic global shuffle into 8 ordered shards: rank =
+        mix64(doc_id ^ SHUFFLE_SALT), shard = rank % 8, pos = row_number
+        within shard under (rank, id) order. Id-only rows ride one
+        boundary-partitioned bucket shuffle; byte-identical on rerun."""
+        from .ops.export import shuffle_shard_export
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+        return shuffle_shard_export(docs, n_shards=8)
+
+    q["shuffle_export_shards"] = shuffle_export_shards
+
+    def mixture_sample(sf_dir):
+        """Weighted source mixing to target proportions 50/30/20 across
+        src0/src1/src2 (downsampling only): vocabulary-sized count
+        aggregate -> exact integer thresholds -> stateless salted-hash
+        filter. Unweighted sources are dropped."""
+        from .ops.export import mixture_sample as _mixture
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "source"])
+        return _mixture(docs, {"src0": 500, "src1": 300, "src2": 200})
+
+    q["mixture_sample"] = mixture_sample
+
+    def packed_sequences(sf_dir):
+        """Greedy first-fit sequence packing into 256-token packs, docs
+        in seeded shuffle order cut into 4 independent shards; token
+        counts (whitespace rule) computed before the shuffle so text
+        never rides it. Per-shard body loops over packs (searchsorted
+        into the token cumsum), never over rows."""
+        from .ops.export import pack_sequences
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return pack_sequences(docs, budget=256, n_shards=4)
+
+    q["packed_sequences"] = packed_sequences
+
     return q
 
 
@@ -1935,5 +1975,99 @@ SELECT qp::BIGINT AS q_permille,
        (SELECT min(v) FROM cum, t
          WHERE cum.cn >= (qs.qp * t.total + 999) // 1000) AS value_cents
 FROM qs"""
+
+    # --- training-data export (ops/export.py) ---
+    from .ops.export import MIXTURE_SALT, SHUFFLE_SALT
+
+    _se_sql, _se_f = _mix64_chain_sql("se0", "doc_id", "se")
+    o["shuffle_export_shards"] = f"""
+WITH se0 AS (
+  SELECT doc_id,
+         CAST(xor(CAST(doc_id AS UBIGINT), {int(SHUFFLE_SALT)}::UBIGINT) AS HUGEINT) AS h
+  FROM documents
+),
+{_se_sql}
+SELECT CAST(h % 8 AS BIGINT) AS shard,
+       (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos,
+       doc_id
+FROM {_se_f}"""
+
+    # exact HUGEINT twin of export.mixture_targets: T = min_s floor(n_s *
+    # 1000 / w_s); t_s = floor(T * w_s / 1000); threshold floor(t_s * 2^64
+    # / n_s), keep-all encoded as 2^64 (h < 2^64 always)
+    _mx_sql, _mx_f = _mix64_chain_sql("mx0", "doc_id, source", "mx")
+    _P2_64 = 1 << 64
+    o["mixture_sample"] = f"""
+WITH w(source, wt) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
+cnt AS (SELECT source, count(*)::HUGEINT AS n FROM documents GROUP BY 1),
+tt AS (SELECT min((c.n * 1000) // w.wt) AS t_total
+       FROM cnt c JOIN w ON c.source = w.source WHERE c.n > 0),
+thr AS (
+  SELECT c.source,
+         CASE WHEN ((SELECT t_total FROM tt) * w.wt) // 1000 >= c.n
+              THEN {_P2_64}::HUGEINT
+              ELSE ((((SELECT t_total FROM tt) * w.wt) // 1000)
+                    * {_P2_64}::HUGEINT) // c.n
+         END AS lim
+  FROM cnt c JOIN w ON c.source = w.source WHERE c.n > 0
+),
+mx0 AS (
+  SELECT doc_id, source,
+         CAST(xor(CAST(doc_id AS UBIGINT), {int(MIXTURE_SALT)}::UBIGINT) AS HUGEINT) AS h
+  FROM documents
+),
+{_mx_sql}
+SELECT m.doc_id, m.source
+FROM {_mx_f} m JOIN thr t ON m.source = t.source
+WHERE m.h < t.lim"""
+
+    # greedy first-fit packing replayed in SQL: per shard, pack boundary
+    # b_{{k+1}} = max rn with cum(rn) - cum(b_k) <= budget (at least b_k+1 —
+    # an over-budget doc packs alone); recursion steps = packs per shard.
+    # pack_id of a doc = completed boundaries strictly before its rn.
+    _ps_sql, _ps_f = _mix64_chain_sql("ps0", "doc_id", "ps")
+    o["packed_sequences"] = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+'))
+         END::BIGINT AS tc
+  FROM documents
+),
+ps0 AS (
+  SELECT doc_id,
+         CAST(xor(CAST(doc_id AS UBIGINT), {int(SHUFFLE_SALT)}::UBIGINT) AS HUGEINT) AS h
+  FROM documents
+),
+{_ps_sql},
+x AS (SELECT p.doc_id, CAST(p.h % 4 AS BIGINT) AS shard, p.h, t.tc
+      FROM {_ps_f} p JOIN tok t USING (doc_id)),
+ord AS (SELECT shard, doc_id, tc,
+               row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        FROM x),
+c AS (SELECT shard, doc_id, tc, rn,
+             sum(tc) OVER (PARTITION BY shard ORDER BY rn) AS cum
+      FROM ord),
+maxrn AS (SELECT shard, max(rn) AS mr FROM c GROUP BY 1),
+b(shard, k, b_end) AS (
+  SELECT shard, 0::BIGINT, 0::BIGINT FROM maxrn
+  UNION ALL
+  SELECT b.shard, b.k + 1,
+         greatest(coalesce((
+             SELECT max(c2.rn) FROM c c2
+             WHERE c2.shard = b.shard AND c2.rn > b.b_end
+               AND c2.cum - coalesce((SELECT c3.cum FROM c c3
+                                      WHERE c3.shard = b.shard
+                                        AND c3.rn = b.b_end), 0) <= 256
+           ), b.b_end + 1), b.b_end + 1)
+  FROM b WHERE b.b_end < (SELECT mr FROM maxrn m WHERE m.shard = b.shard)
+)
+SELECT c.shard,
+       (SELECT count(*) FROM b
+         WHERE b.shard = c.shard AND b.k >= 1 AND b.b_end < c.rn)::BIGINT
+         AS pack_id,
+       c.doc_id, c.tc AS token_count
+FROM c"""
 
     return o
