@@ -135,3 +135,43 @@ def test_pack_sequences_invariants(ray_session):
         by_shard.setdefault(sh, set()).add(pid)
     for sh, pids in by_shard.items():
         assert pids == set(range(len(pids)))
+
+
+def test_curation_pipeline_stages(ray_session):
+    from triple_accel_ray.ops.export import curation_pipeline
+
+    t = _docs_table(n=400)
+    # plant: an exact duplicate pair (keep-first must drop id 351),
+    # a low-quality doc (digits only), and an empty doc
+    texts = t["text"].to_pylist()
+    texts[351] = texts[350] = "alpha beta gamma alpha beta gamma delta"
+    texts[352] = "123 456 789 012 345 678"   # fails alpha ratio
+    texts[353] = ""                          # fails min_tokens
+    t = t.set_column(2, "text", pa.array(texts))
+    w = {"src0": 400, "src1": 300, "src2": 300}
+    out = curation_pipeline(
+        rd.from_arrow(t).repartition(5), w, budget=64, n_shards=4,
+        min_tokens=5, min_alpha_permille=400, dedup_buckets=8,
+    ).take_all()
+    ids = {r["doc_id"] for r in out}
+    assert 351 not in ids          # duplicate dropped (keep-first)
+    assert 352 not in ids and 353 not in ids  # quality-filtered
+    # 350 survives dedup; mixture may or may not keep it (hash decides),
+    # but sources must all be weighted ones
+    srcs = {f"src{i % 5}" for i in ids}
+    assert srcs <= set(w)
+    # pack invariants on the composed output
+    sums, counts = {}, {}
+    for r in out:
+        key = (r["shard"], r["pack_id"])
+        sums[key] = sums.get(key, 0) + r["token_count"]
+        counts[key] = counts.get(key, 0) + 1
+    for key, s in sums.items():
+        assert s <= 64 or counts[key] == 1
+    # determinism under different partitioning
+    out2 = curation_pipeline(
+        rd.from_arrow(t).repartition(2), w, budget=64, n_shards=4,
+        min_tokens=5, min_alpha_permille=400, dedup_buckets=8,
+    ).take_all()
+    key = lambda r: (r["shard"], r["pack_id"], r["doc_id"], r["token_count"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))

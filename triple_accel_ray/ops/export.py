@@ -197,6 +197,7 @@ def pack_sequences(
     n_shards: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_col: str | None = None,
 ):
     """Greedy sequence packing: documents in seeded shuffle order, cut
     into ``n_shards`` independent shards (rank % n_shards), each shard
@@ -204,8 +205,10 @@ def pack_sequences(
 
     Token counts (whitespace rule, ``ops.text.token_count_batch``) are
     computed BEFORE the shuffle so only (shard, rank, id, token_count)
-    rides it — text never does.  Output: (shard int64, pack_id int64,
-    id_col, token_count int64); pack_id is 0-based within its shard.
+    rides it — text never does.  Pass ``token_col`` to reuse counts a
+    prior stage already computed (``text_col`` is then ignored).
+    Output: (shard int64, pack_id int64, id_col, token_count int64);
+    pack_id is 0-based within its shard.
     """
     from .text import token_count_batch
 
@@ -213,8 +216,11 @@ def pack_sequences(
     b = int(budget)
 
     def _tag(t: pa.Table) -> pa.Table:
-        tc = token_count_batch(
-            t.select([id_col, text_col]), text_col)["token_count"]
+        if token_col is not None:
+            tc = t[token_col].cast(pa.int64())
+        else:
+            tc = token_count_batch(
+                t.select([id_col, text_col]), text_col)["token_count"]
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         r = _rank_of(ids, SHUFFLE_SALT)
         return pa.table({
@@ -247,3 +253,126 @@ def pack_sequences(
 
     tagged = docs.map_batches(_tag, batch_format="pyarrow")
     return bucket_partition(tagged, _pack, n, bucket_col="shard")
+
+
+def curation_pipeline(
+    docs,
+    weights_permille: dict,
+    budget: int,
+    n_shards: int,
+    min_tokens: int = 5,
+    min_alpha_permille: int = 400,
+    dedup_buckets: int = 32,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    text_col: str = "text",
+):
+    """The composed curation flagship: quality filter -> exact dedup
+    (keep-first) -> weighted source mixing -> greedy sequence packing,
+    end to end as one lazy Ray pipeline.
+
+    Stage shapes (each the same discipline as its standalone operator):
+
+    1. quality filter — stateless ``map_batches``: integer token count
+       (whitespace rule) + byte-class counts; keep iff ``token_count >=
+       min_tokens`` and ``alpha_count * 1000 >= n_bytes *
+       min_alpha_permille``.  Text survives this stage only to feed the
+       dedup shuffle.
+    2. exact dedup keep-first — one text-wide bucketed shuffle keyed by
+       the 2x64-bit content hash; group membership decided on the actual
+       bytes (``ops.dedup`` discipline), survivors keep (id, source,
+       token_count) and DROP the text.
+    3. survivors materialize — id-width rows only (~24 B/row, object
+       store, spillable): the mixture stage needs a count aggregate AND
+       a filter pass over the same rows; materializing here prevents the
+       dedup shuffle from executing twice.
+    4. mixture — exact integer thresholds from ``mixture_targets`` over
+       the survivor counts, stateless salted-hash filter.
+    5. packing — ``pack_sequences`` on the precomputed token counts
+       (id-width bucket shuffle, per-shard searchsorted greedy).
+
+    Output: (shard int64, pack_id int64, id_col, token_count int64).
+    """
+    import ray
+
+    from ..pipeline.shuffle import bucket_partition
+    from .dedup import add_content_hash
+    from .text import _byte_class_counts, token_count_batch
+
+    def _quality(t: pa.Table) -> pa.Table:
+        tc = token_count_batch(
+            t.select([id_col, text_col]), text_col)["token_count"]
+        bc = _byte_class_counts(t[text_col])
+        tc_np = tc.to_numpy(zero_copy_only=False)
+        keep = (tc_np >= min_tokens) & (
+            bc["alpha_count"] * 1000 >= bc["n_bytes"] * min_alpha_permille
+        )
+        return pa.table({
+            id_col: t[id_col],
+            strat_col: t[strat_col],
+            text_col: t[text_col],
+            "token_count": tc,
+        }).filter(pa.array(keep))
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col)
+        bucket = (
+            t["content_h1"].to_numpy() % np.uint64(dedup_buckets)
+        ).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def _keep_first(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = df.filter(
+            pl.col(id_col)
+            == pl.col(id_col).min().over(
+                ["content_h1", "content_h2", text_col])
+        ).select([id_col, strat_col, "token_count"])
+        return out.to_arrow()
+
+    survivors = bucket_partition(
+        docs.map_batches(_quality, batch_format="pyarrow")
+        .map_batches(_bucketize, batch_format="pyarrow"),
+        _keep_first, dedup_buckets,
+    ).materialize()
+
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        src = t[strat_col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table({
+            strat_col: pa.array(uniq),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    counts: dict = {}
+    for part in ray.get(
+        survivors.map_batches(_partial_counts, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        for s, c in zip(part[strat_col].to_pylist(), part["n"].to_pylist()):
+            counts[s] = counts.get(s, 0) + c
+    thr = mixture_targets(counts, weights_permille)
+
+    def _mix_flt(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _rank_of(ids, MIXTURE_SALT)
+        src = t[strat_col].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for s in np.unique(src):
+            lim = thr.get(s)
+            if lim is None:
+                continue
+            m = src == s
+            if lim >= (1 << 64):
+                keep |= m
+            else:
+                keep |= m & (h < np.uint64(lim))
+        return t.filter(pa.array(keep))
+
+    mixed = survivors.map_batches(_mix_flt, batch_format="pyarrow")
+    return pack_sequences(
+        mixed, budget=budget, n_shards=n_shards,
+        id_col=id_col, token_col="token_count",
+    )

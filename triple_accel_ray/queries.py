@@ -1027,6 +1027,24 @@ def build_queries() -> Dict[str, Callable]:
 
     q["packed_sequences"] = packed_sequences
 
+    def curated_packed(sf_dir):
+        """The composed curation flagship (ops/export.curation_pipeline):
+        quality filter (>=5 tokens, >=40% alpha bytes) -> exact dedup
+        keep-first (text-wide bucket shuffle, byte-verified groups) ->
+        50/30/20 source mixing (integer thresholds over survivor counts)
+        -> 256-token greedy packing in 4 shards. One lazy pipeline; the
+        only materialize is the id-width survivor set."""
+        from .ops.export import curation_pipeline
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+        return curation_pipeline(
+            docs, {"src0": 500, "src1": 300, "src2": 200},
+            budget=256, n_shards=4, min_tokens=5, min_alpha_permille=400,
+            dedup_buckets=16)
+
+    q["curated_packed"] = curated_packed
+
     return q
 
 
@@ -2043,6 +2061,86 @@ ps0 AS (
 {_ps_sql},
 x AS (SELECT p.doc_id, CAST(p.h % 4 AS BIGINT) AS shard, p.h, t.tc
       FROM {_ps_f} p JOIN tok t USING (doc_id)),
+ord AS (SELECT shard, doc_id, tc,
+               row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        FROM x),
+c AS (SELECT shard, doc_id, tc, rn,
+             sum(tc) OVER (PARTITION BY shard ORDER BY rn) AS cum
+      FROM ord),
+maxrn AS (SELECT shard, max(rn) AS mr FROM c GROUP BY 1),
+b(shard, k, b_end) AS (
+  SELECT shard, 0::BIGINT, 0::BIGINT FROM maxrn
+  UNION ALL
+  SELECT b.shard, b.k + 1,
+         greatest(coalesce((
+             SELECT max(c2.rn) FROM c c2
+             WHERE c2.shard = b.shard AND c2.rn > b.b_end
+               AND c2.cum - coalesce((SELECT c3.cum FROM c c3
+                                      WHERE c3.shard = b.shard
+                                        AND c3.rn = b.b_end), 0) <= 256
+           ), b.b_end + 1), b.b_end + 1)
+  FROM b WHERE b.b_end < (SELECT mr FROM maxrn m WHERE m.shard = b.shard)
+)
+SELECT c.shard,
+       (SELECT count(*) FROM b
+         WHERE b.shard = c.shard AND b.k >= 1 AND b.b_end < c.rn)::BIGINT
+         AS pack_id,
+       c.doc_id, c.tc AS token_count
+FROM c"""
+
+    # chained twin of ops/export.curation_pipeline: quality -> keep-first
+    # dedup (PARTITION BY text == the engine's (h1,h2,text) groups, since
+    # identical texts always share hashes and bucket) -> mixture thresholds
+    # over SURVIVOR counts -> the packed_sequences recursion over the mix.
+    _cm_sql, _cm_f = _mix64_chain_sql("cm0x", "doc_id, source, tc", "cmx")
+    _cp_sql, _cp_f = _mix64_chain_sql("cp0", "doc_id, tc", "cp")
+    o["curated_packed"] = f"""
+WITH RECURSIVE tokq AS (
+  SELECT doc_id, source, text,
+         strlen(text)::BIGINT AS n_bytes,
+         (strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS alpha_count,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+'))
+         END::BIGINT AS tc
+  FROM documents
+),
+qual AS (SELECT doc_id, source, text, tc FROM tokq
+         WHERE tc >= 5 AND alpha_count * 1000 >= n_bytes * 400),
+ded AS (SELECT doc_id, source, tc FROM (
+          SELECT doc_id, source, tc,
+                 min(doc_id) OVER (PARTITION BY text) AS g
+          FROM qual)
+        WHERE doc_id = g),
+w(source, wt) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
+cnt AS (SELECT source, count(*)::HUGEINT AS n FROM ded GROUP BY 1),
+tt AS (SELECT min((c.n * 1000) // w.wt) AS t_total
+       FROM cnt c JOIN w ON c.source = w.source WHERE c.n > 0),
+thr AS (
+  SELECT c.source,
+         CASE WHEN ((SELECT t_total FROM tt) * w.wt) // 1000 >= c.n
+              THEN {_P2_64}::HUGEINT
+              ELSE ((((SELECT t_total FROM tt) * w.wt) // 1000)
+                    * {_P2_64}::HUGEINT) // c.n
+         END AS lim
+  FROM cnt c JOIN w ON c.source = w.source WHERE c.n > 0
+),
+cm0x AS (
+  SELECT doc_id, source, tc,
+         CAST(xor(CAST(doc_id AS UBIGINT), {int(MIXTURE_SALT)}::UBIGINT) AS HUGEINT) AS h
+  FROM ded
+),
+{_cm_sql},
+mixed AS (SELECT m.doc_id, m.tc
+          FROM {_cm_f} m JOIN thr t ON m.source = t.source
+          WHERE m.h < t.lim),
+cp0 AS (
+  SELECT doc_id, tc,
+         CAST(xor(CAST(doc_id AS UBIGINT), {int(SHUFFLE_SALT)}::UBIGINT) AS HUGEINT) AS h
+  FROM mixed
+),
+{_cp_sql},
+x AS (SELECT doc_id, CAST(h % 4 AS BIGINT) AS shard, h, tc FROM {_cp_f}),
 ord AS (SELECT shard, doc_id, tc,
                row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
         FROM x),
