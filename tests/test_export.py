@@ -175,3 +175,42 @@ def test_curation_pipeline_stages(ray_session):
     ).take_all()
     key = lambda r: (r["shard"], r["pack_id"], r["doc_id"], r["token_count"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_write_packed_shards_resumable(ray_session, tmp_path):
+    import json
+    import os
+    import pyarrow.parquet as pq
+    from triple_accel_ray.ops.export import write_packed_shards
+
+    t = _docs_table(n=200)
+    out = str(tmp_path / "packed")
+    s1 = write_packed_shards(rd.from_arrow(t).repartition(4), out,
+                             budget=64, n_shards=4).take_all()
+    assert sorted(r["shard"] for r in s1) == [0, 1, 2, 3]
+    assert not any(r["skipped"] for r in s1)
+    first = {
+        k: pq.read_table(os.path.join(out, f"shard={k}", "part.parquet"))
+        for k in range(4)
+    }
+    assert sum(tt.num_rows for tt in first.values()) == 200
+    # simulate a partial failure: shard 2 lost its manifest + data
+    os.remove(os.path.join(out, "shard=2", "MANIFEST.json"))
+    os.remove(os.path.join(out, "shard=2", "part.parquet"))
+    mtimes = {
+        k: os.path.getmtime(os.path.join(out, f"shard={k}", "part.parquet"))
+        for k in (0, 1, 3)
+    }
+    s2 = write_packed_shards(rd.from_arrow(t).repartition(2), out,
+                             budget=64, n_shards=4).take_all()
+    skipped = {r["shard"]: r["skipped"] for r in s2}
+    assert skipped == {0: True, 1: True, 2: False, 3: True}
+    # finished shards untouched; the missing shard regenerated identically
+    for k in (0, 1, 3):
+        assert os.path.getmtime(
+            os.path.join(out, f"shard={k}", "part.parquet")) == mtimes[k]
+    re2 = pq.read_table(os.path.join(out, "shard=2", "part.parquet"))
+    assert re2.equals(first[2])
+    # manifests carry exact totals
+    m = json.load(open(os.path.join(out, "shard=2", "MANIFEST.json")))
+    assert m["rows"] == first[2].num_rows

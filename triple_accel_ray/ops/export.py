@@ -376,3 +376,94 @@ def curation_pipeline(
         mixed, budget=budget, n_shards=n_shards,
         id_col=id_col, token_col="token_count",
     )
+
+
+def write_packed_shards(
+    docs,
+    out_dir: str,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+):
+    """Resumable sharded export of ``pack_sequences``: each shard writes
+    its pack table to ``out_dir/shard=K/part.parquet`` plus a MANIFEST
+    written only after the data file is in place (write-temp + atomic
+    rename).  A rerun SKIPS every shard whose manifest exists — and
+    because shard contents are deterministic functions of the ids, the
+    rerun regenerates byte-identical rows for only the missing shards.
+
+    The write happens INSIDE the per-shard task (workers write in
+    parallel, nothing funnels through the driver); the returned Dataset
+    is the vocabulary-sized summary (shard, rows, tokens, skipped).
+    """
+    import json
+    import os
+
+    from .text import token_count_batch
+
+    n = int(n_shards)
+    b = int(budget)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        if token_col is not None:
+            tc = t[token_col].cast(pa.int64())
+        else:
+            tc = token_count_batch(
+                t.select([id_col, text_col]), text_col)["token_count"]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = _rank_of(ids, SHUFFLE_SALT)
+        return pa.table({
+            "shard": pa.array((r % np.uint64(n)).astype(np.int64)),
+            "rank": pa.array(r),
+            id_col: t[id_col],
+            "token_count": tc,
+        })
+
+    def _summary(shard: int, rows: int, tokens: int, skipped: bool):
+        return pa.table({
+            "shard": pa.array([shard], pa.int64()),
+            "rows": pa.array([rows], pa.int64()),
+            "tokens": pa.array([tokens], pa.int64()),
+            "skipped": pa.array([skipped], pa.bool_()),
+        })
+
+    def _pack_write(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _summary(-1, 0, 0, False).slice(0, 0)
+        shard = int(t["shard"][0].as_py())
+        sdir = os.path.join(out_dir, f"shard={shard}")
+        manifest = os.path.join(sdir, "MANIFEST.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                m = json.load(f)
+            return _summary(shard, m["rows"], m["tokens"], True)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tc = t["token_count"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, r))
+        packs = pack_greedy(tc[order], b)
+        idx = pa.array(order)
+        table = pa.table({
+            "pack_id": pa.array(packs),
+            id_col: t[id_col].take(idx),
+            "token_count": t["token_count"].take(idx),
+        })
+        import pyarrow.parquet as pq
+
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, "part.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(sdir, "part.parquet"))
+        tokens = int(tc.sum())
+        tmp_m = manifest + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump({"shard": shard, "rows": t.num_rows,
+                       "tokens": tokens, "budget": b}, f)
+        os.replace(tmp_m, manifest)
+        return _summary(shard, t.num_rows, tokens, False)
+
+    tagged = docs.map_batches(_tag, batch_format="pyarrow")
+    return bucket_partition(tagged, _pack_write, n, bucket_col="shard")
