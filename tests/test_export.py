@@ -214,3 +214,34 @@ def test_write_packed_shards_resumable(ray_session, tmp_path):
     # manifests carry exact totals
     m = json.load(open(os.path.join(out, "shard=2", "MANIFEST.json")))
     assert m["rows"] == first[2].num_rows
+
+
+def test_mixture_empty_and_null_sources(ray_session):
+    # no weighted source has rows -> empty result, not ValueError
+    assert mixture_targets({}, {"a": 500}) == {}
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["other", None, "other"]),
+    })
+    out = mixture_sample(rd.from_arrow(t), {"src0": 500}).take_all()
+    assert out == []
+    # null sources are dropped, weighted rows survive
+    t2 = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "source": pa.array(["a"] * 10 + [None] * 10),
+    })
+    out2 = mixture_sample(rd.from_arrow(t2), {"a": 1000}).take_all()
+    assert sorted(r["doc_id"] for r in out2) == list(range(10))
+
+
+def test_write_packed_shards_param_mismatch(ray_session, tmp_path):
+    from triple_accel_ray.ops.export import write_packed_shards
+
+    t = _docs_table(n=100)
+    out = str(tmp_path / "packed")
+    write_packed_shards(rd.from_arrow(t), out, budget=64,
+                        n_shards=2).take_all()
+    with pytest.raises(Exception) as ei:
+        write_packed_shards(rd.from_arrow(t), out, budget=128,
+                            n_shards=2).take_all()
+    assert "refusing to mix parameters" in str(ei.value)

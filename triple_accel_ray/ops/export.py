@@ -51,6 +51,34 @@ def _rank_of(ids: np.ndarray, salt: np.uint64) -> np.ndarray:
     return _mix64(ids.astype(np.uint64) ^ salt)
 
 
+def _tag_ranked(n_shards: int, id_col: str, text_col: str,
+                token_col: str | None, with_tokens: bool):
+    """Shared shuffle-tag stage: (shard, rank[, id, token_count]) from the
+    seeded rank ``mix64(id ^ SHUFFLE_SALT)``.  One definition so every
+    export entry point shards and orders identically (reruns across entry
+    points stay byte-compatible)."""
+    from .text import token_count_batch
+
+    n = np.uint64(n_shards)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        cols = {}
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = _rank_of(ids, SHUFFLE_SALT)
+        cols["shard"] = pa.array((r % n).astype(np.int64))
+        cols["rank"] = pa.array(r)
+        cols[id_col] = t[id_col]
+        if with_tokens:
+            if token_col is not None:
+                cols["token_count"] = t[token_col].cast(pa.int64())
+            else:
+                cols["token_count"] = token_count_batch(
+                    t.select([id_col, text_col]), text_col)["token_count"]
+        return pa.table(cols)
+
+    return _tag
+
+
 def shuffle_shard_export(docs, n_shards: int, id_col: str = "doc_id"):
     """Deterministic global shuffle into ``n_shards`` ordered shards:
     rank = mix64(id ^ SHUFFLE_SALT); shard = rank % n_shards; pos = the
@@ -62,15 +90,7 @@ def shuffle_shard_export(docs, n_shards: int, id_col: str = "doc_id"):
     the resumable-export layout.
     """
     n = int(n_shards)
-
-    def _tag(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        r = _rank_of(ids, SHUFFLE_SALT)
-        return pa.table({
-            "shard": pa.array((r % np.uint64(n)).astype(np.int64)),
-            "rank": pa.array(r),
-            id_col: t[id_col],
-        })
+    _tag = _tag_ranked(n, id_col, "", None, with_tokens=False)
 
     def _order(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -98,12 +118,16 @@ def mixture_targets(counts: dict, weights_permille: dict) -> dict:
     total ``T = min_s floor(n_s * 1000 / w_s)`` keeps every weighted
     source fully proportional without upsampling; source s then targets
     ``t_s = floor(T * w_s / 1000)`` rows via acceptance threshold
-    ``floor(t_s * 2^64 / n_s)`` on the salted hash rank."""
-    t_total = min(
+    ``floor(t_s * 2^64 / n_s)`` on the salted hash rank.  Empty when no
+    weighted source has rows (the mix is then empty, not an error)."""
+    eligible = [
         (counts[s] * 1000) // w
         for s, w in weights_permille.items()
         if w > 0 and counts.get(s, 0) > 0
-    )
+    ]
+    if not eligible:
+        return {}
+    t_total = min(eligible)
     out = {}
     for s, w in weights_permille.items():
         n_s = counts.get(s, 0)
@@ -112,6 +136,67 @@ def mixture_targets(counts: dict, weights_permille: dict) -> dict:
         t_s = (t_total * w) // 1000
         out[s] = ((t_s << 64) // n_s) if t_s < n_s else (1 << 64)
     return out
+
+
+def _source_counts(docs, strat_col: str) -> dict:
+    """Vocabulary-sized per-source count aggregate: per-block partial
+    counts merged on the driver (one row per source, never per document).
+    Null sources are counted under ``None`` (never weighted -> dropped by
+    the mixture filter rather than crashing the job).
+
+    NOTE: consuming the counts executes the upstream pipeline once; the
+    later filter pass executes it again.  Callers whose upstream is more
+    than a column-pruned read should ``materialize()`` first (see
+    ``curation_pipeline``, which materializes its id-width survivors)."""
+    import ray
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[strat_col]
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        src = col.to_numpy(zero_copy_only=False)[valid]
+        uniq, cnt = np.unique(src, return_counts=True)
+        n_null = int((~valid).sum())
+        if n_null:
+            uniq = np.concatenate([uniq, [None]])
+            cnt = np.concatenate([cnt, [n_null]])
+        return pa.table({
+            strat_col: pa.array(uniq),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    counts: dict = {}
+    for part in ray.get(
+        docs.map_batches(_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        for s, c in zip(part[strat_col].to_pylist(), part["n"].to_pylist()):
+            counts[s] = counts.get(s, 0) + c
+    return counts
+
+
+def _mixture_filter(thr: dict, id_col: str, strat_col: str,
+                    keep_cols: list | None):
+    """Stateless keep-iff-``mix64(id ^ MIXTURE_SALT) < thr[source]``
+    batch filter; rows with null or unweighted sources are dropped."""
+    def _flt(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _rank_of(ids, MIXTURE_SALT)
+        col = t[strat_col]
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        src = col.to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for s in np.unique(src[valid]) if valid.any() else ():
+            lim = thr.get(s)
+            if lim is None:
+                continue
+            m = valid & (src == s)
+            if lim >= (1 << 64):
+                keep |= m
+            else:
+                keep |= m & (h < np.uint64(lim))
+        out = t if keep_cols is None else t.select(keep_cols)
+        return out.filter(pa.array(keep))
+
+    return _flt
 
 
 def mixture_sample(
@@ -123,50 +208,19 @@ def mixture_sample(
     """Weighted source mixing to target proportions (downsampling only).
 
     Two passes, no shuffle: (1) a vocabulary-sized per-source count
-    aggregate (per-block partial counts merged on the driver — the result
-    has one row per source, never per document); (2) a stateless
-    deterministic filter: keep iff ``mix64(id ^ MIXTURE_SALT) <
-    threshold(source)``.  Unweighted sources are dropped.  The keep
-    decision depends only on (id, source), so the mix is reproducible
-    across reruns and partitionings.
+    aggregate; (2) a stateless deterministic filter: keep iff
+    ``mix64(id ^ MIXTURE_SALT) < threshold(source)``.  Unweighted (and
+    null) sources are dropped.  The keep decision depends only on
+    (id, source), so the mix is reproducible across reruns and
+    partitionings.  Both passes execute the upstream pipeline — pass a
+    materialized dataset when the upstream is expensive (see
+    ``_source_counts``).
     """
-
-    def _partial_counts(t: pa.Table) -> pa.Table:
-        src = t[strat_col].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(src, return_counts=True)
-        return pa.table({
-            strat_col: pa.array(uniq),
-            "n": pa.array(cnt.astype(np.int64)),
-        })
-
-    import ray
-
-    counts: dict = {}
-    for part in ray.get(
-        docs.map_batches(_partial_counts, batch_format="pyarrow")
-        .to_arrow_refs()
-    ):
-        for s, c in zip(part[strat_col].to_pylist(), part["n"].to_pylist()):
-            counts[s] = counts.get(s, 0) + c
-    thr = mixture_targets(counts, weights_permille)
-
-    def _flt(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = _rank_of(ids, MIXTURE_SALT)
-        src = t[strat_col].to_numpy(zero_copy_only=False)
-        keep = np.zeros(len(t), dtype=bool)
-        for s in np.unique(src):
-            lim = thr.get(s)
-            if lim is None:
-                continue
-            m = src == s
-            if lim >= (1 << 64):
-                keep |= m
-            else:
-                keep |= m & (h < np.uint64(lim))
-        return t.select([id_col, strat_col]).filter(pa.array(keep))
-
-    return docs.map_batches(_flt, batch_format="pyarrow")
+    thr = mixture_targets(_source_counts(docs, strat_col), weights_permille)
+    return docs.map_batches(
+        _mixture_filter(thr, id_col, strat_col, [id_col, strat_col]),
+        batch_format="pyarrow",
+    )
 
 
 def pack_greedy(token_counts: np.ndarray, budget: int) -> np.ndarray:
@@ -210,25 +264,9 @@ def pack_sequences(
     Output: (shard int64, pack_id int64, id_col, token_count int64);
     pack_id is 0-based within its shard.
     """
-    from .text import token_count_batch
-
     n = int(n_shards)
     b = int(budget)
-
-    def _tag(t: pa.Table) -> pa.Table:
-        if token_col is not None:
-            tc = t[token_col].cast(pa.int64())
-        else:
-            tc = token_count_batch(
-                t.select([id_col, text_col]), text_col)["token_count"]
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        r = _rank_of(ids, SHUFFLE_SALT)
-        return pa.table({
-            "shard": pa.array((r % np.uint64(n)).astype(np.int64)),
-            "rank": pa.array(r),
-            id_col: t[id_col],
-            "token_count": tc,
-        })
+    _tag = _tag_ranked(n, id_col, text_col, token_col, with_tokens=True)
 
     def _pack(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -293,9 +331,6 @@ def curation_pipeline(
 
     Output: (shard int64, pack_id int64, id_col, token_count int64).
     """
-    import ray
-
-    from ..pipeline.shuffle import bucket_partition
     from .dedup import add_content_hash
     from .text import _byte_class_counts, token_count_batch
 
@@ -338,40 +373,12 @@ def curation_pipeline(
         _keep_first, dedup_buckets,
     ).materialize()
 
-    def _partial_counts(t: pa.Table) -> pa.Table:
-        src = t[strat_col].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(src, return_counts=True)
-        return pa.table({
-            strat_col: pa.array(uniq),
-            "n": pa.array(cnt.astype(np.int64)),
-        })
-
-    counts: dict = {}
-    for part in ray.get(
-        survivors.map_batches(_partial_counts, batch_format="pyarrow")
-        .to_arrow_refs()
-    ):
-        for s, c in zip(part[strat_col].to_pylist(), part["n"].to_pylist()):
-            counts[s] = counts.get(s, 0) + c
-    thr = mixture_targets(counts, weights_permille)
-
-    def _mix_flt(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = _rank_of(ids, MIXTURE_SALT)
-        src = t[strat_col].to_numpy(zero_copy_only=False)
-        keep = np.zeros(len(t), dtype=bool)
-        for s in np.unique(src):
-            lim = thr.get(s)
-            if lim is None:
-                continue
-            m = src == s
-            if lim >= (1 << 64):
-                keep |= m
-            else:
-                keep |= m & (h < np.uint64(lim))
-        return t.filter(pa.array(keep))
-
-    mixed = survivors.map_batches(_mix_flt, batch_format="pyarrow")
+    thr = mixture_targets(
+        _source_counts(survivors, strat_col), weights_permille)
+    mixed = survivors.map_batches(
+        _mixture_filter(thr, id_col, strat_col, None),
+        batch_format="pyarrow",
+    )
     return pack_sequences(
         mixed, budget=budget, n_shards=n_shards,
         id_col=id_col, token_col="token_count",
@@ -394,33 +401,30 @@ def write_packed_shards(
     because shard contents are deterministic functions of the ids, the
     rerun regenerates byte-identical rows for only the missing shards.
 
+    Manifests are VALIDATED on the skip path: a manifest recording a
+    different (budget, n_shards) aborts the run (silently keeping shards
+    packed under other parameters would corrupt the export), and a
+    manifest written by THIS run for the same shard aborts too — it means
+    the shard's reduce partition arrived split across blocks (the
+    one-block-per-bucket contract of ``bucket_partition`` broke, e.g. a
+    shard outgrew the dynamic block-split threshold; use more shards).
+
     The write happens INSIDE the per-shard task (workers write in
     parallel, nothing funnels through the driver); the returned Dataset
     is the vocabulary-sized summary (shard, rows, tokens, skipped).
+    Shards that received zero rows write nothing and emit no summary row
+    — a rerun re-derives them for free (zero rows), so absence from the
+    summary means "empty", not "failed".
     """
     import json
     import os
-
-    from .text import token_count_batch
+    import uuid
 
     n = int(n_shards)
     b = int(budget)
     os.makedirs(out_dir, exist_ok=True)
-
-    def _tag(t: pa.Table) -> pa.Table:
-        if token_col is not None:
-            tc = t[token_col].cast(pa.int64())
-        else:
-            tc = token_count_batch(
-                t.select([id_col, text_col]), text_col)["token_count"]
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        r = _rank_of(ids, SHUFFLE_SALT)
-        return pa.table({
-            "shard": pa.array((r % np.uint64(n)).astype(np.int64)),
-            "rank": pa.array(r),
-            id_col: t[id_col],
-            "token_count": tc,
-        })
+    _tag = _tag_ranked(n, id_col, text_col, token_col, with_tokens=True)
+    run_nonce = uuid.uuid4().hex
 
     def _summary(shard: int, rows: int, tokens: int, skipped: bool):
         return pa.table({
@@ -439,6 +443,18 @@ def write_packed_shards(
         if os.path.exists(manifest):
             with open(manifest) as f:
                 m = json.load(f)
+            if m.get("budget") != b or m.get("n_shards") != n:
+                raise ValueError(
+                    f"{manifest} was written with budget="
+                    f"{m.get('budget')}, n_shards={m.get('n_shards')} — "
+                    f"this run uses budget={b}, n_shards={n}; refusing to "
+                    f"mix parameters in one export dir")
+            if m.get("run_nonce") == run_nonce:
+                raise RuntimeError(
+                    f"shard {shard} arrived split across blocks in one "
+                    f"run (bucket_partition's one-block-per-bucket "
+                    f"contract broke — shard too large?); rows would be "
+                    f"silently lost. Increase n_shards.")
             return _summary(shard, m["rows"], m["tokens"], True)
         r = t["rank"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -461,7 +477,8 @@ def write_packed_shards(
         tmp_m = manifest + ".tmp"
         with open(tmp_m, "w") as f:
             json.dump({"shard": shard, "rows": t.num_rows,
-                       "tokens": tokens, "budget": b}, f)
+                       "tokens": tokens, "budget": b, "n_shards": n,
+                       "run_nonce": run_nonce}, f)
         os.replace(tmp_m, manifest)
         return _summary(shard, t.num_rows, tokens, False)
 
