@@ -529,3 +529,33 @@ def test_stack_list_column_layouts():
     ragged = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))
     np.testing.assert_allclose(stack_list_column(ragged), naive(ragged))
     assert stack_list_column(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
+
+
+def test_decontaminate_ngrams(ray_session):
+    import ray.data as rd
+    from triple_accel_ray.ops.curation import decontaminate_ngrams
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["ref", "ref", "x", "x", "x"]),
+        "text": pa.array([
+            "the quick brown fox",
+            "hello world padding",
+            "a QUICK BROWN cow",          # no shared 8-gram (case differs)
+            "xx the quick dog",   # shares "the quic","he quick","e quick "
+            "short",                      # < 8 bytes: no grams at all
+        ]),
+    })
+    out = decontaminate_ngrams(
+        rd.from_arrow(t).repartition(3), ref_source="ref").take_all()
+    got = {r["doc_id"]: r["n_overlap"] for r in out}
+    assert got == {3: 3}
+    # naive cross-check of the count: distinct 8-grams of doc3 in refs
+    refs = {"the quick brown fox"[i:i+8] for i in range(12)} | {
+        "hello world padding"[i:i+8] for i in range(12)}
+    d3 = "xx the quick dog"
+    assert sum(1 for i in range(len(d3) - 7) if d3[i:i+8] in refs) == got[3]
+    # empty reference side: no hits, no crash
+    t2 = t.set_column(1, "source", pa.array(["x"] * 5))
+    assert decontaminate_ngrams(
+        rd.from_arrow(t2), ref_source="ref").take_all() == []

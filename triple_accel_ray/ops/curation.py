@@ -207,3 +207,91 @@ def anti_join_texts(
             return t.select([id_col, strat_col]).filter(pa.array(~cand))
 
     return docs.map_batches(_Filter(ref_ref), batch_format="pyarrow")
+
+
+def decontaminate_ngrams(
+    docs,
+    ref_source: str = "src0",
+    gram: int = 8,
+    text_col: str = "text",
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Eval-set decontamination: for every document OUTSIDE ``ref_source``,
+    count its distinct ``gram``-byte character n-grams that also appear
+    anywhere in the ``ref_source`` corpus; emit (id, n_overlap) for docs
+    with at least one hit — the "training doc leaks eval data" filter,
+    the n-gram generalization of ``anti_join_texts``' verbatim rule.
+
+    Scale shape: the eval/reference side is small by construction — its
+    DISTINCT packed windows (injective uint64, ``kernels.vhash``) are
+    collected once and broadcast via ``ray.put``; the training side
+    streams through a stateless filter (per-row distinct windows via one
+    lexsort, membership via ``np.searchsorted`` against the sorted
+    broadcast array, per-row hit counts via ``np.bincount``).  If the
+    reference gram set outgrew the broadcast budget, the same uint64
+    windows support a bucketed semi-join instead.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.batch import to_byte_rows
+    from ..kernels.vhash import packed_windows
+    from .dedup import _distinct_per_row
+
+    def _ref_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t[strat_col], ref_source))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        data, offsets = to_byte_rows(t[text_col])
+        v, _ = packed_windows(data, offsets, gram)
+        return pa.table({"g": pa.array(np.unique(v), pa.uint64())})
+
+    parts = [
+        p["g"].to_numpy()
+        for p in ray.get(
+            docs.map_batches(_ref_grams, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if len(p)
+    ]
+    ref = (
+        np.unique(np.concatenate(parts))
+        if parts else np.empty(0, np.uint64)
+    )
+    ref_ref = ray.put(ref)
+
+    class _Flag:
+        """Stateless-task callable; the broadcast gram set is ray.get()
+        once per worker (zero-copy plasma read), cached on the instance."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self._grams = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._grams is None:
+                self._grams = ray.get(self.ref)
+            grams = self._grams
+            t = t.filter(pc.not_equal(t[strat_col], ref_source))
+            empty = pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "n_overlap": pa.array([], pa.int64()),
+            })
+            if t.num_rows == 0 or len(grams) == 0:
+                return empty
+            data, offsets = to_byte_rows(t[text_col])
+            v, r = packed_windows(data, offsets, gram)
+            v, r, _ = _distinct_per_row(v, r, t.num_rows)
+            if not len(v):
+                return empty
+            pos = np.searchsorted(grams, v)
+            pos[pos >= len(grams)] = 0
+            hit = grams[pos] == v
+            n_overlap = np.bincount(r[hit], minlength=t.num_rows)
+            rows = n_overlap > 0
+            return pa.table({
+                id_col: t[id_col].filter(pa.array(rows)),
+                "n_overlap": pa.array(n_overlap[rows].astype(np.int64)),
+            })
+
+    return docs.map_batches(_Flag(ref_ref), batch_format="pyarrow")

@@ -1045,6 +1045,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["curated_packed"] = curated_packed
 
+    def decontam_hits(sf_dir):
+        """Eval-set decontamination (ops/curation.decontaminate_ngrams):
+        docs outside src0 sharing any 8-byte character n-gram with the
+        src0 corpus, with the DISTINCT overlapping-gram count. Reference
+        grams broadcast once; training side streams (per-row distinct
+        windows + searchsorted membership, no shuffle)."""
+        from .ops.curation import decontaminate_ngrams
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+        return decontaminate_ngrams(docs, ref_source="src0", gram=8)
+
+    q["decontam_hits"] = decontam_hits
+
     return q
 
 
@@ -2087,6 +2101,25 @@ SELECT c.shard,
          AS pack_id,
        c.doc_id, c.tc AS token_count
 FROM c"""
+
+    # byte n-grams == char n-grams on the ASCII fixture (same caveat as
+    # the fingerprints oracle); distinct-per-side before the join mirrors
+    # the engine's per-row distinct + set membership exactly
+    o["decontam_hits"] = """
+WITH refg AS (
+  SELECT DISTINCT substr(text, s + 1, 8) AS g
+  FROM (SELECT text, unnest(range(0, greatest(strlen(text) - 7, 0))) AS s
+        FROM documents WHERE source = 'src0')
+),
+dg AS (
+  SELECT DISTINCT doc_id, substr(text, s + 1, 8) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(0, greatest(strlen(text) - 7, 0))) AS s
+        FROM documents WHERE source <> 'src0')
+)
+SELECT d.doc_id, count(*)::BIGINT AS n_overlap
+FROM dg d JOIN refg r ON d.g = r.g
+GROUP BY 1"""
 
     # chained twin of ops/export.curation_pipeline: quality -> keep-first
     # dedup (PARTITION BY text == the engine's (h1,h2,text) groups, since
