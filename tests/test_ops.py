@@ -559,3 +559,23 @@ def test_decontaminate_ngrams(ray_session):
     t2 = t.set_column(1, "source", pa.array(["x"] * 5))
     assert decontaminate_ngrams(
         rd.from_arrow(t2), ref_source="ref").take_all() == []
+
+
+def test_repetition_scores():
+    from triple_accel_ray.ops.text import repetition_score_batch
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b\na b\nc d", "x y x y x y", "", "solo"]})
+    out = repetition_score_batch(t).to_pydict()
+    # doc1: 3 lines, "a b" twice (dup chars = 2*3); bigrams
+    # [a b, b a, a b, b c, c d] -> top "a b"=2
+    # doc2: one line; bigrams [x y, y x, x y, y x, x y] -> top 3
+    # doc3 empty: one empty line, no bigrams; doc4: 1 token -> no bigrams
+    assert out == {
+        "doc_id": [1, 2, 3, 4],
+        "n_lines": [3, 1, 1, 1],
+        "dup_line_count": [1, 0, 0, 0],
+        "dup_line_chars": [6, 0, 0, 0],
+        "n_bigrams": [5, 5, 0, 0],
+        "top_bigram_count": [2, 3, 0, 0],
+    }

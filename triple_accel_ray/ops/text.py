@@ -271,3 +271,78 @@ def heavy_hitter_tokens(docs, min_count: int = 200, text_col: str = "text"):
             batch_format="pyarrow",
         )
     )
+
+
+def repetition_score_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Within-document repetition statistics — the duplicate-line and
+    repeated-bigram heuristics large-corpus quality filters use (boiler-
+    plate, templated spam and degenerate generations all score high).
+
+    All outputs are integers so a DuckDB oracle reproduces them exactly;
+    callers derive ratios with the same two-integer division on both
+    sides:
+
+    - ``n_lines`` / ``dup_line_count``: lines split on ``\\n`` (empty text
+      is one empty line); dup count = lines minus distinct lines.
+    - ``dup_line_chars``: total BYTES across every line instance whose
+      value occurs more than once in the doc.
+    - ``n_bigrams`` / ``top_bigram_count``: word bigrams over whitespace
+      tokens (non-space runs); top count = the most frequent bigram's
+      occurrences (0 when fewer than 2 tokens).
+
+    Stateless per-document ``map_batches`` — no shuffle at any scale.
+    """
+    df = pl.from_arrow(batch.select([id_col, text_col]))
+
+    lines = (
+        df.with_columns(l=pl.col(text_col).str.split("\n"))
+        .explode("l")
+        .group_by([id_col, "l"])
+        .agg(n=pl.len())
+        .group_by(id_col)
+        .agg(
+            n_lines=pl.col("n").sum(),
+            dup_line_count=(pl.col("n") - 1).sum(),
+            dup_line_chars=(
+                pl.when(pl.col("n") > 1)
+                .then(pl.col("n") * pl.col("l").str.len_bytes())
+                .otherwise(0)
+            ).sum(),
+        )
+    )
+
+    toks = df.with_columns(tk=pl.col(text_col).str.extract_all(r"\S+"))
+    bigrams = (
+        toks.select(
+            id_col,
+            a=pl.col("tk").list.slice(0, pl.col("tk").list.len() - 1),
+            b=pl.col("tk").list.slice(1),
+        )
+        .explode(["a", "b"])
+        .filter(pl.col("a").is_not_null())
+        .with_columns(bg=pl.col("a") + " " + pl.col("b"))
+        .group_by([id_col, "bg"])
+        .agg(n=pl.len())
+        .group_by(id_col)
+        .agg(n_bigrams=pl.col("n").sum(),
+             top_bigram_count=pl.col("n").max())
+    )
+
+    out = (
+        df.select(id_col)
+        .join(lines, on=id_col, how="left")
+        .join(bigrams, on=id_col, how="left")
+        .with_columns(
+            pl.col("n_bigrams").fill_null(0),
+            pl.col("top_bigram_count").fill_null(0),
+        )
+    )
+    return out.to_arrow().cast(pa.schema([
+        (id_col, batch.schema.field(id_col).type),
+        ("n_lines", pa.int64()),
+        ("dup_line_count", pa.int64()),
+        ("dup_line_chars", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("top_bigram_count", pa.int64()),
+    ]))

@@ -1059,6 +1059,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["decontam_hits"] = decontam_hits
 
+    def repetition_scores(sf_dir):
+        """Within-doc repetition stats (ops/text.repetition_score_batch):
+        duplicate-line counts/bytes + word-bigram repetition — the
+        Gopher-style quality heuristics, integer-exact. Stateless
+        map_batches, no shuffle."""
+        from .ops.text import repetition_score_batch
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(repetition_score_batch,
+                                batch_format="pyarrow")
+
+    q["repetition_scores"] = repetition_scores
+
     return q
 
 
@@ -2120,6 +2134,36 @@ dg AS (
 SELECT d.doc_id, count(*)::BIGINT AS n_overlap
 FROM dg d JOIN refg r ON d.g = r.g
 GROUP BY 1"""
+
+    o["repetition_scores"] = r"""
+WITH lines AS (
+  SELECT doc_id, l, count(*)::BIGINT AS n, strlen(l)::BIGINT AS len
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  GROUP BY doc_id, l
+),
+lstats AS (
+  SELECT doc_id, sum(n)::BIGINT AS n_lines,
+         sum(n - 1)::BIGINT AS dup_line_count,
+         sum(CASE WHEN n > 1 THEN n * len ELSE 0 END)::BIGINT
+           AS dup_line_chars
+  FROM lines GROUP BY doc_id
+),
+tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+       FROM documents),
+bg AS (
+  SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS b
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS s FROM tk)
+),
+bcnt AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM bg GROUP BY doc_id, b),
+bstats AS (SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+                  max(n)::BIGINT AS top_bigram_count
+           FROM bcnt GROUP BY doc_id)
+SELECT d.doc_id, l.n_lines, l.dup_line_count, l.dup_line_chars,
+       coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(b.top_bigram_count, 0)::BIGINT AS top_bigram_count
+FROM documents d JOIN lstats l USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)"""
 
     # chained twin of ops/export.curation_pipeline: quality -> keep-first
     # dedup (PARTITION BY text == the engine's (h1,h2,text) groups, since
