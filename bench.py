@@ -219,6 +219,18 @@ def _run_benches(sf_dir: str, ncpus: int) -> dict:
             .map_batches(quality_score_batch, batch_format="pyarrow")
             .count(),
         )
+        from triple_accel_ray.ops.export import curation_pipeline
+
+        timed(
+            "curated_packed",
+            lambda: curation_pipeline(
+                read_parquet_clean(
+                    docs_path, columns=["doc_id", "source", "text"]),
+                {"src0": 500, "src1": 300, "src2": 200},
+                budget=256, n_shards=max(4, ncpus),
+                dedup_buckets=32,
+            ).count(),
+        )
 
     ev_path = os.path.join(sf_dir, "events.parquet")
     if os.path.exists(ev_path):
