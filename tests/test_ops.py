@@ -579,3 +579,24 @@ def test_repetition_scores():
         "n_bigrams": [5, 5, 0, 0],
         "top_bigram_count": [2, 3, 0, 0],
     }
+
+
+def test_near_dup_survivors_transitive(ray_session):
+    import ray.data as rd
+    from triple_accel_ray.ops.dedup import minhash_dup_pairs, near_dup_survivors
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    near1 = base.replace("quick", "quickk")
+    near2 = near1.replace("lazy", "lazzy")  # chain: base~near1~near2
+    other = "totally different content about compilers and parsers " * 6
+    t = pa.table({"doc_id": [9, 10, 11, 12],
+                  "text": [base, near1, near2, other]})
+    ds = rd.from_arrow(t)
+    # the chain collapses to ONE survivor by transitivity even if the
+    # (base, near2) pair itself scores below threshold
+    out = sorted(r["doc_id"] for r in near_dup_survivors(
+        ds, threshold=0.6, num_buckets=4).take_all())
+    # min STRING id of {"9","10","11"} is "10"
+    assert out == ["10", "12"]
+    pairs = minhash_dup_pairs(ds, threshold=0.6, num_buckets=4).take_all()
+    assert len(pairs) >= 2  # at least the two chain edges

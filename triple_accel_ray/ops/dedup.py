@@ -920,3 +920,40 @@ def embedding_dup_pairs_lsh(embeddings, threshold: float = 0.95,
         ).cast(out_schema)
 
     return j2.map_batches(_verify_joined, batch_format="pyarrow")
+
+
+def near_dup_survivors(docs, threshold: float = 0.5, num_buckets: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """The dedup ACTION the pair ops feed: MinHash-LSH near-dup pairs ->
+    distributed connected components -> keep ONE representative per
+    component (the min STRING id — the same deterministic label rule as
+    the ER pipeline's clustering), singletons survive untouched.
+
+    Output: one string column ``id_col`` of surviving ids.  Reuses
+    ``pipeline.cluster.connected_components`` (iterative min-label
+    propagation, no driver-held graph) over ``minhash_dup_pairs``'s
+    verified pair stream, so both building blocks keep their own tests
+    and oracles; this operator contributes only the composition.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipeline.cluster import connected_components
+
+    pairs = minhash_dup_pairs(
+        docs, id_col=id_col, text_col=text_col,
+        threshold=threshold, num_buckets=num_buckets,
+    )
+    nodes = docs.map_batches(
+        lambda t: pa.table({"conv_id": pc.cast(t[id_col], pa.string())}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components(
+        pairs.select_columns(["a_id", "b_id"]), nodes,
+        num_partitions=num_buckets,
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        k = pc.equal(t["conv_id"], t["cluster_id"])
+        return pa.table({id_col: t["conv_id"].filter(k)})
+
+    return cc.map_batches(_keep, batch_format="pyarrow")

@@ -1073,6 +1073,26 @@ def build_queries() -> Dict[str, Callable]:
 
     q["repetition_scores"] = repetition_scores
 
+    def dedup_minhash_survivors(sf_dir):
+        """The dedup ACTION (ops/dedup.near_dup_survivors): minhash pairs
+        -> distributed connected components -> keep the min-string-id
+        representative per component; singletons survive. Output cast to
+        int64 for the oracle."""
+        import pyarrow.compute as pc
+
+        from .ops.dedup import near_dup_survivors
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        surv = near_dup_survivors(docs, threshold=0.5, num_buckets=16)
+        return surv.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    q["dedup_minhash_survivors"] = dedup_minhash_survivors
+
     return q
 
 
@@ -2134,6 +2154,44 @@ dg AS (
 SELECT d.doc_id, count(*)::BIGINT AS n_overlap
 FROM dg d JOIN refg r ON d.g = r.g
 GROUP BY 1"""
+
+    # survivors = transitive closure over the SAME verified pair SQL as
+    # dedup_minhash_pairs (exact-Jaccard join; LSH recall is 1 at oracle
+    # scales), min label as STRING min — mirroring the engine's
+    # connected_components label rule
+    o["dedup_minhash_survivors"] = """
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, substr(text, s + 1, 5) AS g
+  FROM (SELECT doc_id, text, unnest(range(0, greatest(0, strlen(text) - 4))) AS s
+        FROM documents)
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM grams ga JOIN grams gb ON gb.g = ga.g
+   AND ga.doc_id::VARCHAR < gb.doc_id::VARCHAR
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT i.a_id::VARCHAR AS a_id, i.b_id::VARCHAR AS b_id
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a_id
+  JOIN cnt cb ON cb.doc_id = i.b_id
+  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+),
+und AS (SELECT a_id AS x, b_id AS y FROM prs
+        UNION ALL SELECT b_id, a_id FROM prs),
+cc(id, label) AS (
+  SELECT DISTINCT x, x FROM und
+  UNION
+  SELECT u.x, c.label FROM und u JOIN cc c ON c.id = u.y
+),
+dropped AS (
+  SELECT id FROM (SELECT id, min(label) AS label FROM cc GROUP BY id)
+  WHERE id <> label
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id::VARCHAR NOT IN (SELECT id FROM dropped)"""
 
     o["repetition_scores"] = r"""
 WITH lines AS (
