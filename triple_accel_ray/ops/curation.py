@@ -42,6 +42,36 @@ from ..pipeline.blocking import _mix64
 SAMPLE_SALT = np.uint64(0xA0761D6478BD642F)
 
 
+def _collect_ref_parts(docs, ref_fn) -> list:
+    """Collect the (small-by-construction) reference side of a broadcast
+    op: map ``ref_fn`` over batches, gather the non-empty arrow tables on
+    the driver. Shared by ``anti_join_texts`` and
+    ``decontaminate_ngrams``."""
+    return [
+        t
+        for t in ray.get(
+            docs.map_batches(ref_fn, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t)
+    ]
+
+
+class _BroadcastUDF:
+    """Base for stateless-task callables holding a ``ray.put`` broadcast:
+    the object is ``ray.get()`` once per worker process (a zero-copy
+    plasma read) and cached on the serialized instance — no actor pool to
+    ramp, no per-batch re-ship."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._state = None
+
+    def state(self):
+        if self._state is None:
+            self._state = ray.get(self.ref)
+        return self._state
+
+
 def _sample_threshold(permille: int) -> int:
     """Exact integer acceptance threshold: keep iff h < permille/1000 * 2^64."""
     p = max(0, int(permille))
@@ -159,13 +189,7 @@ def anti_join_texts(
 
         return t.filter(pc.equal(t[strat_col], ref_source)).select([text_col])
 
-    parts = [
-        t
-        for t in ray.get(
-            docs.map_batches(_ref_only, batch_format="pyarrow").to_arrow_refs()
-        )
-        if len(t)
-    ]
+    parts = _collect_ref_parts(docs, _ref_only)
     ref = (
         pa.concat_tables(parts)
         if parts
@@ -178,21 +202,11 @@ def anti_join_texts(
         by_hash.setdefault(h, []).append(s)
     ref_ref = ray.put((np.unique(ref_h), by_hash))
 
-    class _Filter:
-        """Callable instance (stateless tasks — no actor pool to ramp);
-        the broadcast index is ray.get() once per worker process, a
-        zero-copy plasma read, and cached on the serialized instance."""
-
-        def __init__(self, ref):
-            self.ref = ref
-            self._idx = None
-
+    class _Filter(_BroadcastUDF):
         def __call__(self, t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            if self._idx is None:
-                self._idx = ray.get(self.ref)
-            hashes, by_hash = self._idx
+            hashes, by_hash = self.state()
             t = t.filter(pc.not_equal(t[strat_col], ref_source))
             if len(t) == 0:
                 return t.select([id_col, strat_col])
@@ -246,32 +260,16 @@ def decontaminate_ngrams(
         v, _ = packed_windows(data, offsets, gram)
         return pa.table({"g": pa.array(np.unique(v), pa.uint64())})
 
-    parts = [
-        p["g"].to_numpy()
-        for p in ray.get(
-            docs.map_batches(_ref_grams, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if len(p)
-    ]
+    parts = [p["g"].to_numpy() for p in _collect_ref_parts(docs, _ref_grams)]
     ref = (
         np.unique(np.concatenate(parts))
         if parts else np.empty(0, np.uint64)
     )
     ref_ref = ray.put(ref)
 
-    class _Flag:
-        """Stateless-task callable; the broadcast gram set is ray.get()
-        once per worker (zero-copy plasma read), cached on the instance."""
-
-        def __init__(self, ref):
-            self.ref = ref
-            self._grams = None
-
+    class _Flag(_BroadcastUDF):
         def __call__(self, t: pa.Table) -> pa.Table:
-            if self._grams is None:
-                self._grams = ray.get(self.ref)
-            grams = self._grams
+            grams = self.state()
             t = t.filter(pc.not_equal(t[strat_col], ref_source))
             empty = pa.table({
                 id_col: pa.array([], t.schema.field(id_col).type),

@@ -923,7 +923,8 @@ def embedding_dup_pairs_lsh(embeddings, threshold: float = 0.95,
 
 
 def near_dup_survivors(docs, threshold: float = 0.5, num_buckets: int = 32,
-                       id_col: str = "doc_id", text_col: str = "text"):
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_iters: int = 50):
     """The dedup ACTION the pair ops feed: MinHash-LSH near-dup pairs ->
     distributed connected components -> keep ONE representative per
     component (the min STRING id — the same deterministic label rule as
@@ -947,9 +948,13 @@ def near_dup_survivors(docs, threshold: float = 0.5, num_buckets: int = 32,
         lambda t: pa.table({"conv_id": pc.cast(t[id_col], pa.string())}),
         batch_format="pyarrow",
     )
+    # exact transitive collapse is this operator's CONTRACT, so a
+    # non-converged fixpoint (component diameter > max_iters) must raise,
+    # not silently under-dedupe
     cc = connected_components(
         pairs.select_columns(["a_id", "b_id"]), nodes,
-        num_partitions=num_buckets,
+        num_partitions=num_buckets, max_iters=max_iters,
+        on_nonconverge="raise",
     )
 
     def _keep(t: pa.Table) -> pa.Table:

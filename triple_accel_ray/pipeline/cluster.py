@@ -47,10 +47,18 @@ def connected_components(
     nodes,
     num_partitions: int = 32,
     max_iters: int = 25,
+    on_nonconverge: str = "warn",
 ):
     """edges (a_id, b_id) + nodes (conv_id) → (conv_id, cluster_id).
 
     ``nodes`` must contain every conv_id (singletons keep their own id).
+
+    Labels propagate one hop per iteration, so convergence needs up to
+    the component diameter iterations; if the fixpoint is NOT reached in
+    ``max_iters`` the labels are stale (a component can keep >1 label).
+    ``on_nonconverge``: "warn" (default — print and return the stale
+    labels, the ER pipeline's historical behavior) or "raise" for callers
+    whose contract is exact transitive collapse (e.g. dedup survivors).
     """
     import ray
 
@@ -72,6 +80,7 @@ def connected_components(
     sym_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
     lab_schema = pa.schema([("lnode", pa.string()), ("label", pa.string())])
 
+    converged = False
     prev_sum = _checksum(labels)
     for it in range(max_iters):
         # neighbor labels: bucket_join sym.nbr == labels.node — the same
@@ -100,8 +109,20 @@ def connected_components(
         new_sum = _checksum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        msg = (f"connected_components: no fixpoint after {max_iters} "
+               f"iterations — a component's diameter exceeds the bound "
+               f"and its labels are stale (multiple labels may remain); "
+               f"raise max_iters")
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import sys
+
+        print(f"[cluster] WARNING: {msg}", file=sys.stderr)
 
     return labels.map_batches(
         lambda t: pa.table({"conv_id": t["node"], "cluster_id": t["label"]}),

@@ -1114,6 +1114,32 @@ def _mulmod_sql(m: int) -> str:
     )
 
 
+# The minhash pair definition in SQL — grams/cnt/inter/prs CTEs shared by
+# the dedup_minhash_pairs and dedup_minhash_survivors oracles so the gram
+# size (5), Jaccard threshold (0.5) and VARCHAR id ordering can never
+# diverge between them.
+_MINHASH_PAIR_CTES = """grams AS (
+  SELECT DISTINCT doc_id, substr(text, s + 1, 5) AS g
+  FROM (SELECT doc_id, text, unnest(range(0, greatest(0, strlen(text) - 4))) AS s
+        FROM documents)
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM grams ga JOIN grams gb ON gb.g = ga.g
+   AND ga.doc_id::VARCHAR < gb.doc_id::VARCHAR
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT i.a_id::VARCHAR AS a_id, i.b_id::VARCHAR AS b_id,
+         CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.a_id
+  JOIN cnt cb ON cb.doc_id = i.b_id
+  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+)"""
+
+
 def _mix64_chain_sql(src: str, id_cols: str, prefix: str) -> tuple:
     """splitmix64 finalizer as 5 chained CTEs over column ``h``; returns
     (sql fragment, final CTE name). Matches kernels.vhash/_mix64 exactly."""
@@ -1495,26 +1521,12 @@ FROM documents"""
     # corpus (verified pair-for-pair at sf0.01 AND sf0.1: near-dups here
     # have Jaccard far above the 16-band/4-row S-curve threshold). The
     # verification stage makes precision exact by construction, so the
-    # oracle reduces to the brute-force pair scan.
-    o["dedup_minhash_pairs"] = """
-WITH grams AS (
-  SELECT DISTINCT doc_id, substr(text, s + 1, 5) AS g
-  FROM (SELECT doc_id, text, unnest(range(0, greatest(0, strlen(text) - 4))) AS s
-        FROM documents)
-),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, count(*)::BIGINT AS i
-  FROM grams ga JOIN grams gb ON gb.g = ga.g
-   AND ga.doc_id::VARCHAR < gb.doc_id::VARCHAR
-  GROUP BY 1, 2
-)
-SELECT i.a_id::VARCHAR AS a_id, i.b_id::VARCHAR AS b_id,
-       CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
-FROM inter i
-JOIN cnt ca ON ca.doc_id = i.a_id
-JOIN cnt cb ON cb.doc_id = i.b_id
-WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5"""
+    # oracle reduces to the brute-force pair scan. ONE definition of the
+    # pair CTEs, shared with the survivors oracle below (the gram size,
+    # threshold and id ordering must never diverge between the two).
+    o["dedup_minhash_pairs"] = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT a_id, b_id, jaccard FROM prs"""
 
     o["dedup_simhash_pairs"] = _simhash_oracle(max_hamming=6)
 
@@ -2155,30 +2167,12 @@ SELECT d.doc_id, count(*)::BIGINT AS n_overlap
 FROM dg d JOIN refg r ON d.g = r.g
 GROUP BY 1"""
 
-    # survivors = transitive closure over the SAME verified pair SQL as
-    # dedup_minhash_pairs (exact-Jaccard join; LSH recall is 1 at oracle
-    # scales), min label as STRING min — mirroring the engine's
-    # connected_components label rule
-    o["dedup_minhash_survivors"] = """
-WITH RECURSIVE grams AS (
-  SELECT DISTINCT doc_id, substr(text, s + 1, 5) AS g
-  FROM (SELECT doc_id, text, unnest(range(0, greatest(0, strlen(text) - 4))) AS s
-        FROM documents)
-),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, count(*)::BIGINT AS i
-  FROM grams ga JOIN grams gb ON gb.g = ga.g
-   AND ga.doc_id::VARCHAR < gb.doc_id::VARCHAR
-  GROUP BY 1, 2
-),
-prs AS (
-  SELECT i.a_id::VARCHAR AS a_id, i.b_id::VARCHAR AS b_id
-  FROM inter i
-  JOIN cnt ca ON ca.doc_id = i.a_id
-  JOIN cnt cb ON cb.doc_id = i.b_id
-  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
-),
+    # survivors = transitive closure over the SAME pair CTEs as
+    # dedup_minhash_pairs (_MINHASH_PAIR_CTES — one definition), min
+    # label as STRING min, mirroring the engine's connected_components
+    # label rule
+    o["dedup_minhash_survivors"] = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
 und AS (SELECT a_id AS x, b_id AS y FROM prs
         UNION ALL SELECT b_id, a_id FROM prs),
 cc(id, label) AS (
