@@ -245,3 +245,53 @@ def test_write_packed_shards_param_mismatch(ray_session, tmp_path):
         write_packed_shards(rd.from_arrow(t), out, budget=128,
                             n_shards=2).take_all()
     assert "refusing to mix parameters" in str(ei.value)
+
+
+# ---- property tests (pure math, no ray) --------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 500), max_size=200), st.integers(1, 600))
+def test_pack_greedy_property(tc_list, budget):
+    tc = np.asarray(tc_list, dtype=np.int64)
+    got = pack_greedy(tc, budget)
+    # differential vs the sequential reference
+    want, pid, acc = [], 0, 0
+    for v in tc_list:
+        if want and acc + v > budget:
+            pid += 1
+            acc = 0
+        want.append(pid)
+        acc += v
+    assert got.tolist() == want
+    if len(tc):
+        # pack ids are 0-based, contiguous, non-decreasing
+        assert got[0] == 0
+        d = np.diff(got)
+        assert ((d == 0) | (d == 1)).all()
+        # every pack fits the budget unless it is a singleton
+        for p in range(int(got[-1]) + 1):
+            m = got == p
+            assert tc[m].sum() <= budget or m.sum() == 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(st.sampled_from("abcdef"), st.integers(0, 10_000),
+                    max_size=6),
+    st.dictionaries(st.sampled_from("abcdef"), st.integers(0, 1000),
+                    max_size=6),
+)
+def test_mixture_targets_property(counts, weights):
+    thr = mixture_targets(counts, weights)
+    for s, lim in thr.items():
+        assert 0 <= lim <= (1 << 64)
+        assert weights[s] > 0 and counts.get(s, 0) > 0
+    # exactly-proportional counts -> every weighted source keeps all
+    pos = {s: w for s, w in weights.items() if w > 0}
+    if pos:
+        prop_counts = {s: 3 * w for s, w in pos.items()}
+        assert all(v == 1 << 64
+                   for v in mixture_targets(prop_counts, pos).values())
