@@ -600,3 +600,61 @@ def test_near_dup_survivors_transitive(ray_session):
     assert out == ["10", "12"]
     pairs = minhash_dup_pairs(ds, threshold=0.6, num_buckets=4).take_all()
     assert len(pairs) >= 2  # at least the two chain edges
+
+
+def test_pii_scrub_three_engine_agreement():
+    """pii_scrub_batch (polars/rust-regex) must agree with Python `re`
+    and DuckDB (RE2) on counts AND the sequentially-redacted text for
+    adversarial inputs: adjacent spans, boundary digits, dotted near-IPs,
+    multi-@ strings, unicode neighbours."""
+    import re
+
+    import duckdb
+
+    from triple_accel_ray.ops.text import (
+        PII_DIGITRUN_RE, PII_EMAIL_RE, PII_IPV4_RE, pii_scrub_batch)
+
+    texts = [
+        "write a.b+c_d%e@ex-am.co.uk now",
+        "ips 10.0.0.1 999.999.999.999 1.2.3.4.5 and 1234.1.1.1",
+        "tel 5551234567, card 4111111111111111; short 123456",
+        "a@b.co x@y.io back-to-back a@b.co",
+        "no pii at all",
+        "",
+        "email@dom.com5551234567 glued",
+        "naïve café 10.1.2.3 — unicode neighbours",
+        "@@@ not@an@email@ trailing@dots. user@host.museum",
+        "0.0.0.0 255.255.255.255 256.1.1.1",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = pii_scrub_batch(t).to_pydict()
+
+    def redact(s):
+        s = re.sub(PII_EMAIL_RE, "<EMAIL>", s)
+        s = re.sub(PII_IPV4_RE, "<IP>", s)
+        return re.sub(PII_DIGITRUN_RE, "<NUM>", s)
+
+    assert out["n_email"] == [len(re.findall(PII_EMAIL_RE, s)) for s in texts]
+    assert out["n_ipv4"] == [len(re.findall(PII_IPV4_RE, s)) for s in texts]
+    assert out["n_digitrun"] == [
+        len(re.findall(PII_DIGITRUN_RE, s)) for s in texts]
+    assert out["text_redacted"] == [redact(s) for s in texts]
+    assert out["n_chars_redacted"] == [
+        len(redact(s).encode()) for s in texts]
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = (
+        "SELECT len(regexp_extract_all(text, '@E@'))::BIGINT,"
+        " len(regexp_extract_all(text, '@I@'))::BIGINT,"
+        " len(regexp_extract_all(text, '@D@'))::BIGINT,"
+        " regexp_replace(regexp_replace(regexp_replace(text,"
+        " '@E@', '<EMAIL>', 'g'), '@I@', '<IP>', 'g'),"
+        " '@D@', '<NUM>', 'g') FROM documents ORDER BY doc_id"
+    ).replace("@E@", PII_EMAIL_RE).replace("@I@", PII_IPV4_RE).replace(
+        "@D@", PII_DIGITRUN_RE)
+    rows = con.sql(sql).fetchall()
+    assert out["n_email"] == [r[0] for r in rows]
+    assert out["n_ipv4"] == [r[1] for r in rows]
+    assert out["n_digitrun"] == [r[2] for r in rows]
+    assert out["text_redacted"] == [r[3] for r in rows]

@@ -346,3 +346,56 @@ def repetition_score_batch(batch: pa.Table, text_col: str = "text",
         ("n_bigrams", pa.int64()),
         ("top_bigram_count", pa.int64()),
     ]))
+
+
+# PII scrubbing — the privacy filter a training-data pipeline runs before
+# export. Patterns are deliberately restricted to syntax that matches
+# identically in rust regex (polars), RE2 (DuckDB) and Python `re` — all
+# three are leftmost-first with greedy quantifiers and support \b / \d
+# character classes, so counts and redactions are engine-exact (the same
+# three-engine-agreement discipline as bpe_token_count_batch).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITRUN_RE = r"\d{7,}"
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Detect and redact PII-shaped spans: emails, dotted-quad IPv4
+    addresses, and long digit runs (phone/account numbers, >= 7 digits).
+
+    Counts are measured on the ORIGINAL text (independent per pattern);
+    redaction is sequential email -> ipv4 -> digit-run, so an email's
+    local-part digits can never double-redact as a number. Outputs:
+
+    - ``n_email`` / ``n_ipv4`` / ``n_digitrun``: non-overlapping match
+      counts per document (int64).
+    - ``text_redacted``: the text with each span replaced by ``<EMAIL>``
+      / ``<IP>`` / ``<NUM>``.
+    - ``n_chars_redacted``: byte length of the redacted text.
+
+    Stateless vectorized ``map_batches`` (polars/rust-regex kernels) —
+    zero shuffle at any scale; the DuckDB oracle replays the same
+    patterns with regexp_extract_all / nested regexp_replace(..., 'g').
+    """
+    df = pl.from_arrow(batch.select([id_col, text_col]))
+    t = pl.col(text_col)
+    out = df.select(
+        id_col,
+        n_email=t.str.count_matches(PII_EMAIL_RE).cast(pl.Int64),
+        n_ipv4=t.str.count_matches(PII_IPV4_RE).cast(pl.Int64),
+        n_digitrun=t.str.count_matches(PII_DIGITRUN_RE).cast(pl.Int64),
+        text_redacted=t.str.replace_all(PII_EMAIL_RE, "<EMAIL>")
+        .str.replace_all(PII_IPV4_RE, "<IP>")
+        .str.replace_all(PII_DIGITRUN_RE, "<NUM>"),
+    ).with_columns(
+        n_chars_redacted=pl.col("text_redacted").str.len_bytes().cast(pl.Int64)
+    )
+    return out.to_arrow().cast(pa.schema([
+        (id_col, batch.schema.field(id_col).type),
+        ("n_email", pa.int64()),
+        ("n_ipv4", pa.int64()),
+        ("n_digitrun", pa.int64()),
+        ("text_redacted", pa.string()),
+        ("n_chars_redacted", pa.int64()),
+    ]))

@@ -1093,6 +1093,36 @@ def build_queries() -> Dict[str, Callable]:
 
     q["dedup_minhash_survivors"] = dedup_minhash_survivors
 
+    def pii_scrub(sf_dir):
+        """PII detection + redaction (ops/text.pii_scrub_batch) over the
+        documents table with deterministically PLANTED spans: every
+        doc_id % 5 == 0 gains a contact tail derived from doc_id (email,
+        dotted-quad IP, 10-digit account number) — the fixture text has
+        no natural PII, and the SQL oracle replays the identical
+        augmentation, so detection AND redaction are value-checked, not
+        just plumbing. Stateless map_batches, zero shuffle."""
+        from .ops.text import pii_scrub_batch
+
+        def _plant(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(t)
+            d = pl.col("doc_id")
+            aug = pl.format(
+                "{} contact user{}@example.com ip 10.{}.{}.{} tel {}",
+                pl.col("text"), d, d % 256, (d // 7) % 256, d % 250,
+                d + 5550000000)
+            df = df.with_columns(
+                text=pl.when(d % 5 == 0).then(aug).otherwise(pl.col("text")))
+            return df.to_arrow()
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return docs.map_batches(_plant, batch_format="pyarrow").map_batches(
+            pii_scrub_batch, batch_format="pyarrow")
+
+    q["pii_scrub"] = pii_scrub
+
     return q
 
 
@@ -2296,5 +2326,36 @@ SELECT c.shard,
          AS pack_id,
        c.doc_id, c.tc AS token_count
 FROM c"""
+
+    # PII scrub: replay the planted augmentation (pure doc_id arithmetic),
+    # then the same three regexes. Patterns restricted to syntax where
+    # RE2 (DuckDB), rust regex (polars) and Python `re` agree exactly —
+    # leftmost-first, greedy, \b/\d supported (see ops/text.py).
+    from .ops.text import PII_DIGITRUN_RE, PII_EMAIL_RE, PII_IPV4_RE
+
+    o["pii_scrub"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com ip 10.' ||
+           (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' ||
+           (doc_id % 250) || ' tel ' || (doc_id + 5550000000)
+         ELSE text END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '@E@'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '@I@'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '@D@'))::BIGINT AS n_digitrun,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '@E@', '<EMAIL>', 'g'), '@I@', '<IP>', 'g'),
+           '@D@', '<NUM>', 'g') AS text_redacted
+  FROM aug
+)
+SELECT doc_id, n_email, n_ipv4, n_digitrun, text_redacted,
+       strlen(text_redacted)::BIGINT AS n_chars_redacted
+FROM red""".replace("@E@", PII_EMAIL_RE).replace(
+        "@I@", PII_IPV4_RE).replace("@D@", PII_DIGITRUN_RE)
 
     return o
