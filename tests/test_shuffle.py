@@ -78,3 +78,37 @@ def test_bucket_partition_empty_buckets_ok(ray_session):
     ).take_all()
     got = {r["bucket"]: (r["n"], r["vsum"]) for r in out}
     assert got == {0: (2, 3), 5: (3, 12)}
+
+
+def test_jsonl_csv_source_roundtrip(ray_session, tmp_path):
+    """read_jsonl / read_csv must reproduce a parquet table byte-exactly,
+    including adversarial strings: embedded newlines, quotes, commas,
+    unicode, empty strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from triple_accel_ray.io import (
+        parquet_to_csv, parquet_to_jsonl, read_csv, read_jsonl)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            'line one\nline "two", with comma',
+            "unicode: naïve café — ☃",
+            "",
+            "trailing space ",
+            "tab\tseparated",
+        ],
+        "lang": ["en", "fr", "en", "en", "de"],
+        "n_chars": pa.array([10, 20, 0, 15, 13], pa.int64()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    schema = pq.read_schema(src).remove_metadata()
+
+    for conv, rdr in [(parquet_to_jsonl, read_jsonl),
+                      (parquet_to_csv, read_csv)]:
+        got = pa.Table.from_pandas(
+            rdr(conv(src), schema=schema).to_pandas(), schema=schema)
+        assert got.sort_by("doc_id").equals(
+            t.cast(schema).sort_by("doc_id")), conv.__name__

@@ -1123,6 +1123,36 @@ def build_queries() -> Dict[str, Callable]:
 
     q["pii_scrub"] = pii_scrub
 
+    def _docs_roundtrip(sf_dir, conv, rdr):
+        import pyarrow.parquet as pq
+
+        src = _t(sf_dir, "documents")
+        schema = pq.read_schema(src).remove_metadata()
+        return rdr(conv(src), schema=schema)
+
+    def docs_from_jsonl(sf_dir):
+        """Source-format parity: the documents table converted to NDJSON
+        (deterministic, cached) and read back via ray.data.read_json with
+        schema coercion (io.read_jsonl) — the oracle reads the parquet
+        view, so every value including full text must survive the JSON
+        encode/decode byte-exactly. At scale NDJSON shards parallelize
+        per file exactly like parquet."""
+        from .io import parquet_to_jsonl, read_jsonl
+
+        return _docs_roundtrip(sf_dir, parquet_to_jsonl, read_jsonl)
+
+    q["docs_from_jsonl"] = docs_from_jsonl
+
+    def docs_from_csv(sf_dir):
+        """Source-format parity for CSV (io.read_csv: RFC-4180 quoting,
+        empty strings preserved, schema-coerced); oracle = the parquet
+        view."""
+        from .io import parquet_to_csv, read_csv
+
+        return _docs_roundtrip(sf_dir, parquet_to_csv, read_csv)
+
+    q["docs_from_csv"] = docs_from_csv
+
     return q
 
 
@@ -2357,5 +2387,13 @@ SELECT doc_id, n_email, n_ipv4, n_digitrun, text_redacted,
        strlen(text_redacted)::BIGINT AS n_chars_redacted
 FROM red""".replace("@E@", PII_EMAIL_RE).replace(
         "@I@", PII_IPV4_RE).replace("@D@", PII_DIGITRUN_RE)
+
+    # source-format parity: the Ray side reads an NDJSON / CSV conversion
+    # of the documents fixture; the oracle reads the parquet view — every
+    # column (including full text) must match byte-exactly.
+    o["docs_from_jsonl"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents")
+    o["docs_from_csv"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents")
 
     return o
