@@ -658,3 +658,39 @@ def test_pii_scrub_three_engine_agreement():
     assert out["n_ipv4"] == [r[1] for r in rows]
     assert out["n_digitrun"] == [r[2] for r in rows]
     assert out["text_redacted"] == [r[3] for r in rows]
+
+
+def test_conv_stats(ray_session):
+    """Per-conversation transcript stats: 1-turn conv gets max_step_us=0;
+    non-monotone ts yields a negative-capable step; tool counts filter
+    empty strings."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.transcripts import conv_stats
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    tbl = pa.table({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+        "role": ["user", "assistant", "tool", "user"],
+        "text": ["hi", "hello!", "ok", "solo"],
+        "tool": ["", "calc", "calc", ""],
+        "ts": pa.array([t(0), t(100), t(40)], pa.timestamp("us")).to_pylist()
+        + [t(5)],
+    })
+    tbl = tbl.set_column(5, "ts", pa.array(tbl["ts"].to_pylist(),
+                                           pa.timestamp("us")))
+    out = {r["conv_id"]: r for r in conv_stats(
+        rd.from_arrow(tbl), num_buckets=2).take_all()}
+    a, b = out["a"], out["b"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"]) == (3, 1, 1)
+    assert (a["n_tool_calls"], a["n_distinct_tools"]) == (2, 1)
+    assert a["text_bytes"] == len("hihello!ok")
+    assert a["span_us"] == 100_000_000
+    # steps in turn order: +100s, -60s -> max = +100s
+    assert a["max_step_us"] == 100_000_000
+    assert (b["n_turns"], b["max_step_us"], b["span_us"]) == (1, 0, 0)

@@ -1,0 +1,75 @@
+"""Transcript-native analytics: per-conversation structure/timing stats
+straight over the raw turns table (conv_id, turn_idx, role, text, tool,
+ts) — the profiling pass an agent-transcript pipeline runs before any
+document build (role mix, tool-call density, wall-clock span, step gaps).
+
+Ray-Data shape: identical to the docs-build stage — one hash-bucket
+shuffle keyed by conv_id (the pipeline's single partitioning key, reused
+across every stage) via ``shuffle.bucket_partition``, then a vectorized
+per-bucket polars aggregation: Python runs once per bucket, never per
+conversation. All outputs are integers (timestamps as epoch
+microseconds) so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+
+_STATS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("n_turns", pa.int64()),
+    ("n_user", pa.int64()),
+    ("n_assistant", pa.int64()),
+    ("n_tool_calls", pa.int64()),
+    ("n_distinct_tools", pa.int64()),
+    ("text_bytes", pa.int64()),
+    ("span_us", pa.int64()),
+    ("max_step_us", pa.int64()),
+])
+
+
+def _bucket_to_stats(batch: pa.Table) -> pa.Table:
+    df = pl.from_arrow(batch)
+    ep = pl.col("ts").cast(pl.Int64)  # Datetime('us') -> epoch microseconds
+    out = (
+        df.sort(["conv_id", "turn_idx"])
+        .group_by("conv_id", maintain_order=True)
+        .agg(
+            n_turns=pl.len().cast(pl.Int64),
+            n_user=(pl.col("role") == "user").sum().cast(pl.Int64),
+            n_assistant=(pl.col("role") == "assistant").sum().cast(pl.Int64),
+            n_tool_calls=(pl.col("tool") != "").sum().cast(pl.Int64),
+            n_distinct_tools=pl.col("tool")
+            .filter(pl.col("tool") != "")
+            .n_unique()
+            .cast(pl.Int64),
+            text_bytes=pl.col("text").str.len_bytes().sum().cast(pl.Int64),
+            span_us=(ep.max() - ep.min()).cast(pl.Int64),
+            # step = ts delta between consecutive turns in turn_idx order
+            # (the fixture's ts are NOT monotone in turn_idx, so steps can
+            # be negative; max is still well-defined). 0 for 1-turn convs.
+            max_step_us=ep.diff().max().fill_null(0).cast(pl.Int64),
+        )
+    )
+    return out.to_arrow().select(_STATS_SCHEMA.names).cast(_STATS_SCHEMA)
+
+
+def conv_stats(transcripts, num_buckets: int = 64):
+    """transcripts Dataset -> one stats row per conv_id.
+
+    Partitioning assumption (same as the docs build): every turn of a
+    conversation lands in one bucket (hash(conv_id)), so each per-bucket
+    aggregation sees whole conversations.
+    """
+    from ..pipeline.docs import _add_bucket
+    from ..pipeline.shuffle import bucket_partition
+
+    return bucket_partition(
+        transcripts.map_batches(
+            _add_bucket,
+            batch_format="pyarrow",
+            fn_kwargs={"num_buckets": num_buckets},
+        ),
+        _bucket_to_stats, num_buckets,
+    )

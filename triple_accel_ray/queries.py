@@ -1153,6 +1153,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["docs_from_csv"] = docs_from_csv
 
+    def conv_turn_stats(sf_dir):
+        """Transcript-native profiling (ops/transcripts.conv_stats): per-
+        conversation role mix, tool-call density, text bytes, wall-clock
+        span and max step gap (epoch-µs integers) — one conv_id-bucketed
+        shuffle + vectorized per-bucket polars aggregation, the same
+        partitioning key as every other pipeline stage."""
+        from .ops.transcripts import conv_stats
+        from .pipeline.transcripts import ensure_fixture
+
+        tp, _ = ensure_fixture(sf_dir)
+        return conv_stats(read_parquet_clean(tp), num_buckets=16)
+
+    q["conv_turn_stats"] = conv_turn_stats
+
     return q
 
 
@@ -2395,5 +2409,34 @@ FROM red""".replace("@E@", PII_EMAIL_RE).replace(
         "SELECT doc_id, text, lang, source, n_chars FROM documents")
     o["docs_from_csv"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents")
+
+    # transcript profiling: all-integer aggregates (epoch µs); steps are
+    # consecutive-turn ts deltas in turn_idx order (can be negative — the
+    # fixture's ts are not monotone in turn_idx); 1-turn convs get 0.
+    o["conv_turn_stats"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS e
+  FROM read_parquet('{fx}')
+),
+d AS (
+  SELECT conv_id,
+         e - lag(e) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS step
+  FROM t
+),
+g AS (SELECT conv_id, coalesce(max(step), 0)::BIGINT AS max_step_us
+      FROM d GROUP BY conv_id)
+SELECT t.conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS n_assistant,
+       sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       count(DISTINCT CASE WHEN tool <> '' THEN tool END)::BIGINT
+         AS n_distinct_tools,
+       sum(strlen(text))::BIGINT AS text_bytes,
+       (max(e) - min(e))::BIGINT AS span_us,
+       any_value(g.max_step_us) AS max_step_us
+FROM t JOIN g ON t.conv_id = g.conv_id
+GROUP BY t.conv_id"""
 
     return o
