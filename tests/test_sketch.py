@@ -105,3 +105,61 @@ def test_exact_quantiles_single_value(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([42] * 100, pa.int64())}))
     got = exact_quantiles(ds, "x", (500,)).to_pandas()
     assert list(got["x"]) == [42]
+
+
+def test_cms_partial_merge_and_overestimate():
+    """Partials from split batches sum to the whole-batch sketch
+    (mergeability); estimates are >= true counts even with a tiny width
+    that forces collisions; and the sketch is permutation-invariant."""
+    import numpy as np
+    import pyarrow as pa
+
+    from triple_accel_ray.ops.sketch import cms_estimate, cms_partial
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 200, size=5000, dtype=np.int64)
+
+    def dense(tbl, w):
+        reg = np.zeros((4, w), dtype=np.int64)
+        reg[tbl["row"].to_numpy(), tbl["cell"].to_numpy()] += (
+            tbl["cnt"].to_numpy())
+        return reg
+
+    for w in (16, 1024):  # w=16 forces heavy collisions
+        whole = dense(cms_partial(vals, w=w), w)
+        merged = dense(cms_partial(vals[:1700], w=w), w) + dense(
+            cms_partial(vals[1700:], w=w), w)
+        assert (whole == merged).all()
+        perm = dense(cms_partial(rng.permutation(vals), w=w), w)
+        assert (whole == perm).all()
+
+        uniq, true = np.unique(vals, return_counts=True)
+        nz = np.flatnonzero(whole)
+        tbl = pa.table({
+            "row": (nz // w).astype(np.int64),
+            "cell": (nz % w).astype(np.int64),
+            "cnt": whole.ravel()[nz],
+        })
+        est = cms_estimate(tbl, uniq, w=w)
+        assert (est >= true).all()
+        if w == 1024:
+            assert (est == true).mean() > 0.95  # near-exact at low load
+
+
+def test_cms_registers_distributed(ray_session):
+    """The distributed build (grouped SUM merge) equals the single-batch
+    sketch regardless of block count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import cms_partial, cms_registers
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 500, size=8000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"u": vals})).repartition(7)
+    got = cms_registers(ds, "u").to_pandas().sort_values(
+        ["row", "cell"]).reset_index(drop=True)
+    want = cms_partial(vals).to_pandas().sort_values(
+        ["row", "cell"]).reset_index(drop=True)
+    assert got.equals(want)

@@ -177,3 +177,90 @@ def exact_quantiles(ds, col: str, q_permille=(500, 900, 990)):
     return hist.repartition(1).map_batches(
         _select, batch_format="pyarrow", batch_size=None
     )
+
+
+# --------------------------------------------------------- Count-Min Sketch
+# The frequency twin of the HLL: mergeable by elementwise SUM, point
+# estimates are guaranteed overestimates (est >= true count). Same
+# replayability discipline — fixed public salts + the shared splitmix64
+# finalizer, so the DuckDB oracle reproduces the full register table in
+# HUGEINT integer SQL.
+CMS_D, CMS_W = 4, 1024
+CMS_SALTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def cms_partial(values: np.ndarray, w: int = CMS_W,
+                salts=CMS_SALTS) -> pa.Table:
+    """Sparse (row, cell, cnt) partial CMS for one batch: for each sketch
+    row r, cell = mix64(v ^ salt_r) % w, cnt = occurrences (NOT distinct —
+    CMS counts frequency). One bincount per row, no Python per value."""
+    v = np.asarray(values)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64).view(np.uint64)
+    rows, cells, cnts = [], [], []
+    for r, s in enumerate(salts):
+        h = _mix64(v ^ np.uint64(s))
+        cell = (h % np.uint64(w)).astype(np.int64)
+        reg = np.bincount(cell, minlength=w)
+        nz = np.flatnonzero(reg)
+        rows.append(np.full(nz.size, r, dtype=np.int64))
+        cells.append(nz.astype(np.int64))
+        cnts.append(reg[nz].astype(np.int64))
+    return pa.table({
+        "row": np.concatenate(rows),
+        "cell": np.concatenate(cells),
+        "cnt": np.concatenate(cnts),
+    })
+
+
+def cms_registers(ds, col: str, w: int = CMS_W, salts=CMS_SALTS):
+    """Distributed CMS build: per-block sparse partials merged by an
+    elementwise SUM. The grouped shuffle carries <= d*w integer rows per
+    block regardless of input size; the key is packed (row*w + cell) so
+    the merge is a single-key groupby, unpacked after."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        p = cms_partial(t[col].to_numpy(), w=w, salts=salts)
+        rc = p["row"].to_numpy() * w + p["cell"].to_numpy()
+        return pa.table({"rc": rc, "cnt": p["cnt"]})
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        rc = t["rc"].to_numpy()
+        return pa.table({
+            "row": (rc // w).astype(np.int64),
+            "cell": (rc % w).astype(np.int64),
+            "cnt": t["cnt_sum"].to_numpy().astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("rc")
+        .aggregate(Sum("cnt", alias_name="cnt_sum"))
+        .map_batches(_unpack, batch_format="pyarrow")
+    )
+
+
+def cms_estimate(registers: pa.Table, values: np.ndarray, w: int = CMS_W,
+                 salts=CMS_SALTS) -> np.ndarray:
+    """Point-frequency estimates: min over sketch rows of the value's
+    cell count. Registers are tiny (<= d*w rows — broadcastable at any
+    scale); the min over d rows is vectorized over the query values."""
+    d = len(salts)
+    reg = np.zeros((d, w), dtype=np.int64)
+    reg[registers["row"].to_numpy(), registers["cell"].to_numpy()] = (
+        registers["cnt"].to_numpy()
+    )
+    v = np.asarray(values)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64).view(np.uint64)
+    est = np.full(v.shape, np.iinfo(np.int64).max, dtype=np.int64)
+    for r, s in enumerate(salts):
+        cell = (_mix64(v ^ np.uint64(s)) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, reg[r, cell])
+    return est

@@ -1167,6 +1167,45 @@ def build_queries() -> Dict[str, Callable]:
 
     q["conv_turn_stats"] = conv_turn_stats
 
+    def cms_user_registers(sf_dir):
+        """Count-Min Sketch register table over events.user_id (d=4,
+        w=1024): per-block sparse partials merged by an elementwise SUM —
+        the frequency twin of the HLL. The shuffle carries <= d*w integer
+        rows per block; the oracle replays the full salted splitmix64
+        chain in HUGEINT SQL, so the SKETCH is value-checked."""
+        from .ops.sketch import cms_registers
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        return cms_registers(ev, "user_id")
+
+    q["cms_user_registers"] = cms_user_registers
+
+    def cms_user_estimates(sf_dir):
+        """Per-user CMS point estimates NEXT TO exact counts (est >= exact
+        always; equality whenever the user's 4 cells are collision-free).
+        Registers are <= d*w rows — broadcast into the estimate stage;
+        exact counts come from the standard grouped count."""
+        import numpy as np
+
+        from .ops.sketch import cms_estimate, cms_registers
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        reg = pa.Table.from_pandas(
+            cms_registers(ev, "user_id").to_pandas())
+
+        def _est(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy()
+            return pa.table({
+                "user_id": uid,
+                "n_exact": t["count()"].to_numpy().astype(np.int64),
+                "n_est": cms_estimate(reg, uid),
+            })
+
+        return ev.groupby("user_id").count().map_batches(
+            _est, batch_format="pyarrow")
+
+    q["cms_user_estimates"] = cms_user_estimates
+
     return q
 
 
@@ -2438,5 +2477,54 @@ SELECT t.conv_id,
        any_value(g.max_step_us) AS max_step_us
 FROM t JOIN g ON t.conv_id = g.conv_id
 GROUP BY t.conv_id"""
+
+    # Count-Min Sketch: replay the salted splitmix64 chain per sketch row
+    # (d=4 salts via a VALUES cross join), cell = h % w, counts summed —
+    # the full register table is integer-SQL-exact, like the HLL's.
+    from .ops.sketch import CMS_SALTS, CMS_W
+
+    _cms_vals = ", ".join(
+        f"({r}, {s}::UBIGINT)" for r, s in enumerate(CMS_SALTS))
+    _cms_sql, _cms_f = _mix64_chain_sql("cms0", "r", "cmsk")
+    o["cms_user_registers"] = f"""
+WITH cms0 AS (
+  SELECT ss.r,
+         CAST(xor(CAST(e.user_id AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM events e, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_cms_sql}
+SELECT r::BIGINT AS row, CAST(h % {CMS_W} AS BIGINT) AS cell,
+       count(*)::BIGINT AS cnt
+FROM {_cms_f} GROUP BY 1, 2"""
+
+    _cmu_sql, _cmu_f = _mix64_chain_sql("cmu0", "user_id, r", "cmuk")
+    o["cms_user_estimates"] = f"""
+WITH cms0 AS (
+  SELECT ss.r,
+         CAST(xor(CAST(e.user_id AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM events e, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_cms_sql},
+regs AS (
+  SELECT r, CAST(h % {CMS_W} AS BIGINT) AS cell, count(*)::BIGINT AS cnt
+  FROM {_cms_f} GROUP BY 1, 2
+),
+u AS (SELECT DISTINCT user_id FROM events),
+cmu0 AS (
+  SELECT u.user_id, ss.r,
+         CAST(xor(CAST(u.user_id AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM u, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_cmu_sql},
+ucell AS (
+  SELECT user_id, r, CAST(h % {CMS_W} AS BIGINT) AS cell FROM {_cmu_f}
+),
+est AS (
+  SELECT user_id, min(cnt)::BIGINT AS n_est
+  FROM ucell JOIN regs USING (r, cell) GROUP BY 1
+),
+ex AS (SELECT user_id, count(*)::BIGINT AS n_exact FROM events GROUP BY 1)
+SELECT ex.user_id, ex.n_exact, est.n_est
+FROM ex JOIN est USING (user_id)"""
 
     return o
