@@ -163,3 +163,33 @@ def test_cms_registers_distributed(ray_session):
     want = cms_partial(vals).to_pandas().sort_values(
         ["row", "cell"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    """Per-group exact quantiles equal a direct numpy computation of the
+    shared integer rank rule, across uneven group sizes, ties and
+    single-row groups."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    gs = ["a"] * 1000 + ["b"] * 37 + ["c"] * 1
+    vs = np.concatenate([
+        rng.integers(0, 50, 1000),  # heavy ties
+        rng.integers(-100, 100, 37),
+        np.array([42]),
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": gs, "v": vs})).repartition(5)
+    got = {(r["g"], r["q_permille"]): r["v"]
+           for r in grouped_quantiles(ds, "g", "v").take_all()}
+
+    garr = np.array(gs)
+    for g in ("a", "b", "c"):
+        sub = np.sort(vs[garr == g])
+        for qp in (500, 900, 990):
+            rank = (qp * len(sub) + 999) // 1000
+            assert got[(g, qp)] == sub[rank - 1], (g, qp)
+    assert len(got) == 9

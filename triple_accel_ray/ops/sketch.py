@@ -264,3 +264,69 @@ def cms_estimate(registers: pa.Table, values: np.ndarray, w: int = CMS_W,
         cell = (_mix64(v ^ np.uint64(s)) % np.uint64(w)).astype(np.int64)
         est = np.minimum(est, reg[r, cell])
     return est
+
+
+def grouped_quantiles(ds, group_col: str, col: str,
+                      q_permille=(500, 900, 990), num_buckets: int = 8):
+    """Exact per-group quantiles over an integer column: one row per
+    (group, q_permille) with the same integer rank rule as
+    ``exact_quantiles`` ((q*n + 999) // 1000, smallest value whose
+    cumulative count reaches the rank).
+
+    Scale shape: per-block partial histograms keyed by (group, value) —
+    domain-bounded per block, never row-bounded — then ONE bucketed
+    shuffle on hash(group) so each reduce task owns whole groups and
+    merges partials + runs the cumulative selection locally. The
+    per-group loop inside a bucket is over the group VOCABULARY (e.g.
+    event types), not the data."""
+    from ..pipeline.shuffle import bucket_partition
+
+    qs = sorted(int(x) for x in q_permille)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([group_col, col]))
+        out = (
+            df.group_by([group_col, col])
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(
+                (pl.col(group_col).hash(seed=0)
+                 % np.uint64(num_buckets)).cast(pl.Int32).alias("bucket"))
+        )
+        return out.to_arrow().cast(pa.schema([
+            (group_col, pa.string()), (col, pa.int64()),
+            ("n", pa.int64()), ("bucket", pa.int32())]))
+
+    def _select(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([group_col, col, "n"]))
+            .group_by([group_col, col])
+            .agg(n=pl.col("n").sum())
+            .sort([group_col, col])
+        )
+        groups, values, counts = (
+            df[group_col].to_numpy(), df[col].to_numpy(),
+            df["n"].to_numpy())
+        out_g, out_q, out_v = [], [], []
+        # boundaries of each group's run in the (group, value) sort
+        starts = np.flatnonzero(
+            np.r_[True, groups[1:] != groups[:-1]]) if len(groups) else []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(groups)
+            cum = np.cumsum(counts[s:e])
+            total = int(cum[-1])
+            ranks = np.array(
+                [(qp * total + 999) // 1000 for qp in qs], np.int64)
+            idx = np.searchsorted(cum, ranks, side="left")
+            out_g.extend([groups[s]] * len(qs))
+            out_q.extend(qs)
+            out_v.extend(values[s:e][idx].tolist())
+        return pa.table({
+            group_col: pa.array(out_g, pa.string()),
+            "q_permille": pa.array(out_q, pa.int64()),
+            col: pa.array(out_v, pa.int64()),
+        })
+
+    return bucket_partition(
+        ds.map_batches(_hist, batch_format="pyarrow"),
+        _select, num_buckets,
+    )

@@ -1206,6 +1206,29 @@ def build_queries() -> Dict[str, Callable]:
 
     q["cms_user_estimates"] = cms_user_estimates
 
+    def quantiles_by_event_type(sf_dir):
+        """Exact per-group quantiles (ops/sketch.grouped_quantiles):
+        p50/p90/p99 of value-cents per event_type. Partial (group, value)
+        histograms per block, one hash(group)-bucketed shuffle, per-group
+        cumulative selection inside the bucket task."""
+        from .ops.sketch import grouped_quantiles
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["event_type", "value"])
+
+        def _cents(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy()
+            return pa.table({
+                "event_type": t["event_type"],
+                "value_cents": np.floor(v * 100.0 + 0.5).astype(np.int64),
+            })
+
+        return grouped_quantiles(
+            ev.map_batches(_cents, batch_format="pyarrow"),
+            "event_type", "value_cents", (500, 900, 990))
+
+    q["quantiles_by_event_type"] = quantiles_by_event_type
+
     return q
 
 
@@ -2526,5 +2549,25 @@ est AS (
 ex AS (SELECT user_id, count(*)::BIGINT AS n_exact FROM events GROUP BY 1)
 SELECT ex.user_id, ex.n_exact, est.n_est
 FROM ex JOIN est USING (user_id)"""
+
+    # per-group exact quantiles: same integer rank rule as
+    # quantiles_value_cents, partitioned by event_type.
+    o["quantiles_by_event_type"] = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(n)::BIGINT AS total FROM c GROUP BY 1),
+cum AS (SELECT event_type, v,
+               sum(n) OVER (PARTITION BY event_type ORDER BY v)::BIGINT
+                 AS cn
+        FROM c),
+qs AS (SELECT * FROM (VALUES (500), (900), (990)) AS q(qp))
+SELECT t.event_type, qp::BIGINT AS q_permille,
+       (SELECT min(v) FROM cum
+         WHERE cum.event_type = t.event_type
+           AND cum.cn >= (qs.qp * t.total + 999) // 1000) AS value_cents
+FROM t, qs"""
 
     return o
