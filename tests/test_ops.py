@@ -694,3 +694,31 @@ def test_conv_stats(ray_session):
     # steps in turn order: +100s, -60s -> max = +100s
     assert a["max_step_us"] == 100_000_000
     assert (b["n_turns"], b["max_step_us"], b["span_us"]) == (1, 0, 0)
+
+
+def test_windowed_top_k_ties(ray_session):
+    """Heavy hitters per tumbling hour: ties break by category ASC, rank
+    is dense-free row_number, k bounds output per window."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import windowed_top_k
+
+    rows = []
+    for h in range(2):
+        for c, n in [("a", 5), ("b", 3), ("c", 3), ("d", 1)]:
+            rows += [(dt.datetime(2024, 1, 1, h, 10), c)] * n
+    t = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": [r[1] for r in rows],
+    })
+    out = windowed_top_k(
+        rd.from_arrow(t).repartition(3), k=3, num_buckets=2).take_all()
+    assert len(out) == 6
+    by_w = {}
+    for r in out:
+        by_w.setdefault(r["window_start"].hour, []).append(
+            (r["rank"], r["event_type"], r["n"]))
+    for h in (0, 1):
+        assert sorted(by_w[h]) == [(1, "a", 5), (2, "b", 3), (3, "c", 3)]

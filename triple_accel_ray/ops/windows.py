@@ -136,3 +136,58 @@ def sliding_window_agg(events, window_sec: int = 3600, slide_sec: int = 900):
             Sum("cents", alias_name="sum_cents"),
         )
     )
+
+
+def windowed_top_k(events, ts_col: str = "ts", cat_col: str = "event_type",
+                   k: int = 3, window_sec: int = 3600,
+                   num_buckets: int = 8):
+    """Top-k categories per tumbling window by count — the composed
+    "heavy hitters per hour" shape (windowed aggregate × per-group
+    top-k). Deterministic total order (count DESC, category ASC) so the
+    oracle is a SQL row_number().
+
+    Scale shape: per-block partial (window, category) counts — bounded
+    by windows × category vocabulary per block, never rows — then ONE
+    hash(window) bucketed shuffle; each bucket task merges partials and
+    ranks locally. Rows out: k per window."""
+    from ..pipeline.shuffle import bucket_partition
+
+    us = window_sec * 1_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([ts_col, cat_col]))
+        df = df.with_columns(
+            window_start=((pl.col(ts_col).cast(pl.Int64) // us) * us)
+            .cast(pl.Datetime("us"))
+        )
+        out = (
+            df.group_by(["window_start", cat_col])
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(
+                bucket=(pl.col("window_start").hash(seed=0)
+                        % np.uint64(num_buckets)).cast(pl.Int32))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("window_start", pa.timestamp("us")), (cat_col, pa.string()),
+            ("n", pa.int64()), ("bucket", pa.int32())]))
+
+    def _select(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["window_start", cat_col, "n"]))
+            .group_by(["window_start", cat_col])
+            .agg(n=pl.col("n").sum())
+            .sort(["window_start", "n", cat_col],
+                  descending=[False, True, False])
+            .with_columns(
+                rank=pl.col("n").cum_count().over("window_start")
+                .cast(pl.Int64))
+            .filter(pl.col("rank") <= k)
+        )
+        return df.to_arrow().cast(pa.schema([
+            ("window_start", pa.timestamp("us")), (cat_col, pa.string()),
+            ("n", pa.int64()), ("rank", pa.int64())]))
+
+    return bucket_partition(
+        events.map_batches(_partial, batch_format="pyarrow"),
+        _select, num_buckets,
+    )

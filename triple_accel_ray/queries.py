@@ -1229,6 +1229,19 @@ def build_queries() -> Dict[str, Callable]:
 
     q["quantiles_by_event_type"] = quantiles_by_event_type
 
+    def hourly_top_event_types(sf_dir):
+        """Composed heavy-hitters-per-window (ops/windows.windowed_top_k):
+        top-3 event types per tumbling hour by count, deterministic tie
+        break (count DESC, type ASC). Partial (window, type) counts per
+        block, one hash(window) bucketed shuffle, local rank."""
+        from .ops.windows import windowed_top_k
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["ts", "event_type"])
+        return windowed_top_k(ev, k=3)
+
+    q["hourly_top_event_types"] = hourly_top_event_types
+
     return q
 
 
@@ -2569,5 +2582,22 @@ SELECT t.event_type, qp::BIGINT AS q_permille,
          WHERE cum.event_type = t.event_type
            AND cum.cn >= (qs.qp * t.total + 999) // 1000) AS value_cents
 FROM t, qs"""
+
+    # composed heavy hitters per tumbling hour; rank = row_number under
+    # the same deterministic order (count DESC, type ASC).
+    o["hourly_top_event_types"] = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (
+           PARTITION BY window_start ORDER BY n DESC, event_type
+         )::BIGINT AS rank
+  FROM c
+)
+SELECT window_start, event_type, n, rank FROM r WHERE rank <= 3"""
 
     return o
