@@ -165,6 +165,48 @@ def test_cms_registers_distributed(ray_session):
     assert got.equals(want)
 
 
+def test_bloom_no_false_negatives_and_merge():
+    """Every inserted value hits; partials from split/permuted batches
+    union to the same set-bit table; a tiny m forces false positives but
+    never false negatives."""
+    from triple_accel_ray.ops.sketch import bloom_contains, bloom_partial
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 1 << 40, size=4000, dtype=np.int64)
+    absent = vals + (1 << 41)
+
+    for m in (256, 1 << 15):  # m=256 at n=4000 saturates -> collisions
+        whole = set(bloom_partial(vals, m=m)["bit"].to_numpy().tolist())
+        merged = (
+            set(bloom_partial(vals[:1500], m=m)["bit"].to_numpy().tolist())
+            | set(bloom_partial(vals[1500:], m=m)["bit"].to_numpy().tolist())
+        )
+        perm = set(bloom_partial(
+            rng.permutation(vals), m=m)["bit"].to_numpy().tolist())
+        assert whole == merged == perm
+        reg = pa.table({"bit": sorted(whole)})
+        assert bloom_contains(reg, vals, m=m).all()  # no false negatives
+        fp = bloom_contains(reg, absent, m=m)
+        if m == 1 << 15:
+            # load factor ~ 16000/32768 set bits -> fp ~ (0.39)^4 ~ 2.3%
+            assert fp.mean() < 0.05
+
+
+def test_bloom_registers_distributed(ray_session):
+    """Distributed build (grouped-distinct merge) equals the single-batch
+    set-bit table regardless of block count."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import bloom_partial, bloom_registers
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 1 << 30, size=6000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"u": vals})).repartition(7)
+    got = sorted(bloom_registers(ds, "u").to_pandas()["bit"].tolist())
+    want = bloom_partial(vals)["bit"].to_numpy().tolist()
+    assert got == want
+
+
 def test_grouped_quantiles_matches_numpy(ray_session):
     """Per-group exact quantiles equal a direct numpy computation of the
     shared integer rank rule, across uneven group sizes, ties and

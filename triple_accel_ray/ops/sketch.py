@@ -330,3 +330,57 @@ def grouped_quantiles(ds, group_col: str, col: str,
         ds.map_batches(_hist, batch_format="pyarrow"),
         _select, num_buckets,
     )
+
+
+# -------------------------------------------------------------- Bloom filter
+# The membership twin: k salted positions per value, registers merged by
+# OR (a grouped MAX over set bits). A query value is "possibly present"
+# iff all k of its bits are set — no false negatives ever; false-positive
+# rate ~ (set_frac)^k. Same replayability discipline as HLL/CMS.
+BLOOM_M, BLOOM_K = 1 << 15, 4  # 32768 bits, 4 probes
+BLOOM_SALTS = CMS_SALTS  # reuse the public salt set (k = 4)
+
+
+def bloom_partial(values: np.ndarray, m: int = BLOOM_M,
+                  salts=BLOOM_SALTS) -> pa.Table:
+    """Sparse set-bit table for one batch: bit = mix64(v ^ salt_r) % m
+    for each of the k salts. Distinctness is free (set semantics)."""
+    v = np.asarray(values)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64).view(np.uint64)
+    bits = np.concatenate([
+        (_mix64(v ^ np.uint64(s)) % np.uint64(m)).astype(np.int64)
+        for s in salts
+    ])
+    return pa.table({"bit": np.unique(bits)})
+
+
+def bloom_registers(ds, col: str, m: int = BLOOM_M, salts=BLOOM_SALTS):
+    """Distributed Bloom build: per-block sparse set-bit partials merged
+    by a grouped distinct (OR). The shuffle carries <= m one-column
+    integer rows per block regardless of input size."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return bloom_partial(t[col].to_numpy(), m=m, salts=salts)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bit")
+        .count()
+        .select_columns(["bit"])
+    )
+
+
+def bloom_contains(registers: pa.Table, values: np.ndarray,
+                   m: int = BLOOM_M, salts=BLOOM_SALTS) -> np.ndarray:
+    """Membership test: True iff all k bits are set. Registers are tiny
+    (<= m rows) — broadcastable at any scale."""
+    dense = np.zeros(m, dtype=bool)
+    dense[registers["bit"].to_numpy()] = True
+    v = np.asarray(values)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64).view(np.uint64)
+    ok = np.ones(v.shape, dtype=bool)
+    for s in salts:
+        ok &= dense[(_mix64(v ^ np.uint64(s)) % np.uint64(m)).astype(np.int64)]
+    return ok

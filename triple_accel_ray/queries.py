@@ -1242,6 +1242,45 @@ def build_queries() -> Dict[str, Callable]:
 
     q["hourly_top_event_types"] = hourly_top_event_types
 
+    def bloom_user_bits(sf_dir):
+        """Bloom-filter set-bit table over events.user_id (m=2^15, k=4):
+        per-block sparse partials merged by a grouped distinct (OR) — the
+        membership twin of the HLL/CMS sketches, same salted-splitmix64
+        replayability."""
+        from .ops.sketch import bloom_registers
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        return bloom_registers(ev, "user_id")
+
+    q["bloom_user_bits"] = bloom_user_bits
+
+    def bloom_membership(sf_dir):
+        """Membership probes against the user Bloom filter: every present
+        user_id plus a planted absent set (user_id + 10^9). `hit` is what
+        the sketch answers (deterministic — the oracle replays the same
+        bits, so even false positives match exactly); `present` is ground
+        truth. No false negatives by construction."""
+        from .ops.sketch import bloom_contains, bloom_registers
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        reg = pa.Table.from_pandas(bloom_registers(ev, "user_id").to_pandas())
+
+        def _probe(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy().astype(np.int64)
+            probes = np.concatenate([uid, uid + 1_000_000_000])
+            present = np.concatenate(
+                [np.ones(len(uid), bool), np.zeros(len(uid), bool)])
+            return pa.table({
+                "probe_id": probes,
+                "hit": bloom_contains(reg, probes),
+                "present": present,
+            })
+
+        distinct = ev.groupby("user_id").count().select_columns(["user_id"])
+        return distinct.map_batches(_probe, batch_format="pyarrow")
+
+    q["bloom_membership"] = bloom_membership
+
     return q
 
 
@@ -2599,5 +2638,48 @@ r AS (
   FROM c
 )
 SELECT window_start, event_type, n, rank FROM r WHERE rank <= 3"""
+
+    # Bloom filter: same salted splitmix64 replay as the CMS (the salt set
+    # is shared), bit = h % m, merged by DISTINCT — the full set-bit table
+    # is integer-SQL-exact.
+    from .ops.sketch import BLOOM_M
+
+    _blb_sql, _blb_f = _mix64_chain_sql("bl0", "r", "blb")
+    _bloom_bits_ctes = f"""bl0 AS (
+  SELECT ss.r,
+         CAST(xor(CAST(e.user_id AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM events e, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_blb_sql},
+bits AS (SELECT DISTINCT CAST(h % {BLOOM_M} AS BIGINT) AS bit FROM {_blb_f})"""
+
+    o["bloom_user_bits"] = f"WITH {_bloom_bits_ctes}\nSELECT bit FROM bits"
+
+    # Membership probes: every distinct user_id (present) plus a planted
+    # absent twin (+10^9). hit = all 4 salted bits set; the oracle replays
+    # the exact same bits, so even a false positive must match.
+    _blp_sql, _blp_f = _mix64_chain_sql("pb0", "probe_id, present, r", "blp")
+    o["bloom_membership"] = f"""
+WITH {_bloom_bits_ctes},
+u AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id AS probe_id, TRUE AS present FROM u
+  UNION ALL
+  SELECT user_id + 1000000000, FALSE FROM u
+),
+pb0 AS (
+  SELECT p.probe_id, p.present, ss.r,
+         CAST(xor(CAST(p.probe_id AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM probes p, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_blp_sql},
+pbits AS (
+  SELECT probe_id, present, CAST(h % {BLOOM_M} AS BIGINT) AS bit FROM {_blp_f}
+)
+SELECT p.probe_id,
+       bool_and(b.bit IS NOT NULL) AS hit,
+       any_value(p.present) AS present
+FROM pbits p LEFT JOIN bits b ON b.bit = p.bit
+GROUP BY p.probe_id"""
 
     return o
