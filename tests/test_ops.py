@@ -722,3 +722,140 @@ def test_windowed_top_k_ties(ray_session):
             (r["rank"], r["event_type"], r["n"]))
     for h in (0, 1):
         assert sorted(by_w[h]) == [(1, "a", 5), (2, "b", 3), (3, "c", 3)]
+
+
+def test_running_totals_vs_pandas(ray_session):
+    """Per-user cumulative totals equal a direct pandas groupby-cumsum
+    under the same (ts, event_id) order, with duplicate timestamps."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import running_totals
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 500, n) * 1_000_000, unit="us"),  # many ties
+        "value": rng.uniform(0, 50, n).round(2),
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False).cast(pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value", pa.float64())]))
+    got = (
+        running_totals(rd.from_arrow(t).repartition(6), num_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["cents"] = np.floor(ref["value"] * 100.0 + 0.5).astype(np.int64)
+    ref["cum_n"] = ref.groupby("user_id").cumcount() + 1
+    ref["cum_cents"] = ref.groupby("user_id")["cents"].cumsum()
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (got["cum_n"].to_numpy() == ref["cum_n"].to_numpy()).all()
+    assert (got["cum_cents"].to_numpy() == ref["cum_cents"].to_numpy()).all()
+    assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+
+
+def test_funnel_conversions_edges(ray_session):
+    """Funnel semantics pinned on adversarial cases: equal timestamps
+    never convert, the window boundary is inclusive, a purchase before
+    any click doesn't convert, users missing a step still get a row."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import funnel_conversions
+
+    T0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: click then purchase inside window (+1 purchase too late)
+        (1, 1, T0, "click"), (2, 1, T0 + 10 * s, "purchase"),
+        (3, 1, T0 + 5000 * s, "purchase"),
+        # u2: purchase at SAME ts as click (no conversion), then one
+        # exactly at the 3600 s boundary (inclusive -> converts)
+        (4, 2, T0, "click"), (5, 2, T0, "purchase"),
+        (6, 2, T0 + 3600 * s, "purchase"),
+        # u3: purchase before its only click
+        (7, 3, T0 + 10 * s, "purchase"), (8, 3, T0 + 20 * s, "click"),
+        # u4: clicks only; u5: purchases only
+        (9, 4, T0, "click"), (10, 5, T0, "purchase"),
+        # noise event types are filtered before the shuffle
+        (11, 1, T0 + 1 * s, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": [r[3] for r in rows],
+    })
+    out = {r["user_id"]: r for r in funnel_conversions(
+        rd.from_arrow(t).repartition(4), num_buckets=3).take_all()}
+    assert len(out) == 5
+    assert (out[1]["n_a"], out[1]["n_b"], out[1]["n_conversions"]) == (1, 2, 1)
+    assert out[1]["first_conversion_ts"] == T0 + 10 * s
+    assert (out[2]["n_conversions"], out[2]["first_conversion_ts"]) == (
+        1, T0 + 3600 * s)
+    assert out[3]["n_conversions"] == 0 and out[3]["first_conversion_ts"] is None
+    assert (out[4]["n_a"], out[4]["n_b"], out[4]["n_conversions"]) == (1, 0, 0)
+    assert (out[5]["n_a"], out[5]["n_b"], out[5]["n_conversions"]) == (0, 1, 0)
+
+
+def test_triangle_counts_vs_bruteforce(ray_session):
+    """Degree-oriented distributed triangle counting equals a brute-force
+    enumeration on a random graph with a planted 6-clique and a degree-60
+    hub (the skew case the orientation bounds)."""
+    import collections
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from triple_accel_ray.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(5)
+    n = 120
+    nodes = [f"c{i:03d}" for i in range(n)]
+    edges = set()
+    while len(edges) < 500:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    for a, b in itertools.combinations(range(6), 2):
+        edges.add((nodes[a], nodes[b]))
+    for b in range(1, 60):
+        edges.add((min(nodes[0], nodes[b]), max(nodes[0], nodes[b])))
+    edges = sorted(edges)
+    eset = set(edges)
+
+    want = collections.Counter()
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+
+    ds = rd.from_arrow(pa.table({
+        "a_id": [e[0] for e in edges],
+        "b_id": [e[1] for e in edges],
+    })).repartition(5)
+    got = {r["conv_id"]: r["n_triangles"]
+           for r in triangle_counts(ds, num_buckets=8).take_all()}
+    assert got == dict(want)
+    assert sum(want.values()) % 3 == 0 and len(want) > 0
+
+
+def test_triangle_counts_triangle_free(ray_session):
+    """A path graph has no triangles -> empty output, no errors."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.graph import triangle_counts
+
+    ds = rd.from_arrow(pa.table({
+        "a_id": ["a", "b", "c"], "b_id": ["b", "c", "d"]}))
+    assert triangle_counts(ds, num_buckets=2).count() == 0

@@ -138,6 +138,137 @@ def sliding_window_agg(events, window_sec: int = 3600, slide_sec: int = 900):
     )
 
 
+def running_totals(events, num_buckets: int = 32):
+    """→ (event_id, user_id, cum_n, cum_cents): per-user cumulative event
+    count and value-cents in event-time order — the cumulative
+    window-function shape (``SUM(...) OVER (PARTITION BY user ORDER BY ts
+    ROWS UNBOUNDED PRECEDING)``). Tie-break (ts, event_id) is total
+    because event_id is unique, so the result is deterministic.
+
+    Scale shape: ONE hash(user_id)-bucketed shuffle carrying only
+    (event_id, user_id, ts, cents); each bucket task owns whole users and
+    runs a vectorized sorted cum_sum. Monetary doubles go through integer
+    cents (module float policy); output keys by event_id so row identity
+    is partitioning-independent."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_id", "user_id", "ts", "value"]))
+        df = df.with_columns(
+            cents=(pl.col("value") * 100.0 + 0.5).floor().cast(pl.Int64),
+            bucket=(pl.col("user_id").hash(seed=33) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).drop("value")
+        return df.to_arrow()
+
+    def _cum(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["event_id", "user_id", "ts", "cents"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                cum_n=pl.int_range(1, pl.len() + 1).over("user_id")
+                .cast(pl.Int64),
+                cum_cents=pl.col("cents").cum_sum().over("user_id")
+                .cast(pl.Int64),
+            )
+        )
+        return df.select(
+            ["event_id", "user_id", "cum_n", "cum_cents"]
+        ).to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("cum_n", pa.int64()), ("cum_cents", pa.int64())]))
+
+    return bucket_partition(
+        events.map_batches(_bucket, batch_format="pyarrow"),
+        _cum, num_buckets,
+    )
+
+
+def funnel_conversions(events, step_a: str = "click",
+                       step_b: str = "purchase",
+                       within_sec: int = 3600, num_buckets: int = 32):
+    """→ (user_id, n_a, n_b, n_conversions, first_conversion_ts): the
+    sequential-pattern / funnel shape. A ``step_b`` event CONVERTS iff
+    some ``step_a`` event of the same user STRICTLY precedes it by at
+    most ``within_sec`` (equal timestamps don't convert, so the rule
+    needs no tie-breaking and each b event's verdict is independent —
+    the semantics SQL states as an EXISTS join). One output row per user
+    having at least one step event.
+
+    Scale shape: events are pre-filtered to the two step types before
+    the ONE hash(user_id)-bucketed shuffle (id-width rows); the
+    per-bucket body is fully vectorized over the whole bucket — a
+    per-user-segment running "timestamp of the most recent a" via
+    maximum.accumulate, reset at user boundaries, then one comparison
+    per b event and a segmented aggregate. No per-user Python loop."""
+    from ..pipeline.shuffle import bucket_partition
+
+    w_us = np.int64(within_sec) * 1_000_000
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_id", "user_id", "ts",
+                                     "event_type"]))
+        df = df.filter(
+            pl.col("event_type").is_in([step_a, step_b])
+        ).with_columns(
+            bucket=(pl.col("user_id").hash(seed=45) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        )
+        return df.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+            ("bucket", pa.int32())]))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        # sort order at equal (user, ts) is irrelevant: a conversion
+        # requires a STRICTLY earlier a, and "most recent a at an earlier
+        # position with the same ts" still fails the gap > 0 test.
+        df = (
+            pl.from_arrow(t.select(["event_id", "user_id", "ts",
+                                    "event_type"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                # sentinel, not null: polars cum_max leaves nulls null
+                # instead of carrying the running max through them
+                a_ts=pl.when(pl.col("event_type") == step_a)
+                .then(pl.col("ts").cast(pl.Int64))
+                .otherwise(-(1 << 62))
+            )
+            .with_columns(
+                # ts of the most recent a event strictly above this row
+                # within the user segment (sentinel until the first a)
+                prev_a=pl.col("a_ts").cum_max().shift(1, fill_value=-(1 << 62))
+                .over("user_id")
+            )
+            .with_columns(
+                conv=(pl.col("event_type") == step_b)
+                & (pl.col("prev_a") > -(1 << 61))
+                & ((pl.col("ts").cast(pl.Int64) - pl.col("prev_a")) > 0)
+                & ((pl.col("ts").cast(pl.Int64) - pl.col("prev_a"))
+                   <= int(w_us))
+            )
+        )
+        out = (
+            df.group_by("user_id", maintain_order=True)
+            .agg(
+                n_a=(pl.col("event_type") == step_a).sum().cast(pl.Int64),
+                n_b=(pl.col("event_type") == step_b).sum().cast(pl.Int64),
+                n_conversions=pl.col("conv").sum().cast(pl.Int64),
+                first_conversion_ts=pl.col("ts").filter(pl.col("conv"))
+                .min(),
+            )
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("n_a", pa.int64()),
+            ("n_b", pa.int64()), ("n_conversions", pa.int64()),
+            ("first_conversion_ts", pa.timestamp("us"))]))
+
+    return bucket_partition(
+        events.map_batches(_bucket, batch_format="pyarrow"),
+        _scan, num_buckets,
+    )
+
+
 def windowed_top_k(events, ts_col: str = "ts", cat_col: str = "event_type",
                    k: int = 3, window_sec: int = 3600,
                    num_buckets: int = 8):

@@ -1281,6 +1281,50 @@ def build_queries() -> Dict[str, Callable]:
 
     q["bloom_membership"] = bloom_membership
 
+    def running_user_totals(sf_dir):
+        """Per-user cumulative event count / value-cents in event-time
+        order (ops/windows.running_totals) — the cumulative
+        window-function shape (SUM OVER ... ROWS UNBOUNDED PRECEDING).
+        One hash(user_id) bucket shuffle of id-width rows; vectorized
+        per-bucket sorted cum_sum."""
+        from .ops.windows import running_totals
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "value"])
+        return running_totals(ev)
+
+    q["running_user_totals"] = running_user_totals
+
+    def funnel_click_purchase(sf_dir):
+        """Funnel / sequential-pattern op (ops/windows.funnel_conversions):
+        a purchase converts iff some click of the same user strictly
+        precedes it within 1 h. Events pre-filtered to the two step types
+        before the one user-bucket shuffle; per-bucket body is a
+        vectorized polars cum_max window — no per-user Python."""
+        from .ops.windows import funnel_conversions
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "event_type"])
+        return funnel_conversions(ev)
+
+    q["funnel_click_purchase"] = funnel_click_purchase
+
+    def er_edge_triangles(sf_dir):
+        """Per-vertex triangle counts over the ER match-edge graph
+        (ops/graph.triangle_counts) — degree-oriented distributed
+        triangle counting (wedges bounded O(m^1.5) under any skew),
+        wedge<->edge pair join, 3 vertex mentions per triangle merged by
+        a grouped sum."""
+        from .ops.graph import triangle_counts
+
+        return triangle_counts(
+            _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
+            num_buckets=8)
+
+    q["er_edge_triangles"] = er_edge_triangles
+
     return q
 
 
@@ -2681,5 +2725,64 @@ SELECT p.probe_id,
        any_value(p.present) AS present
 FROM pbits p LEFT JOIN bits b ON b.bit = p.bit
 GROUP BY p.probe_id"""
+
+    # cumulative window function: same integer-cents rule as the engine
+    o["running_user_totals"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS cum_n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)"""
+
+    # funnel: conversion = EXISTS a strictly-earlier click within 1 h,
+    # stated as the distinct-purchase join the engine's cum_max window
+    # computes.
+    o["funnel_click_purchase"] = """
+WITH fe AS (SELECT event_id, user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')),
+b AS (SELECT event_id, user_id, ts FROM fe WHERE event_type = 'purchase'),
+a AS (SELECT user_id, ts FROM fe WHERE event_type = 'click'),
+conv AS (
+  SELECT DISTINCT b.event_id, b.user_id, b.ts
+  FROM b JOIN a ON a.user_id = b.user_id
+   AND date_diff('microsecond', a.ts, b.ts) > 0
+   AND date_diff('microsecond', a.ts, b.ts) <= 3600000000
+),
+agg AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS n_a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_b
+  FROM fe GROUP BY user_id
+),
+cagg AS (
+  SELECT user_id, count(*)::BIGINT AS n_conversions,
+         min(ts) AS first_conversion_ts
+  FROM conv GROUP BY user_id
+)
+SELECT agg.user_id, n_a, n_b,
+       coalesce(cagg.n_conversions, 0)::BIGINT AS n_conversions,
+       cagg.first_conversion_ts
+FROM agg LEFT JOIN cagg USING (user_id)"""
+
+    # triangles over the match graph: canonical a<b edges make the 3-way
+    # self-join count each triangle x<y<z exactly once.
+    o["er_edge_triangles"] = f"""
+WITH {docs_cte}, {sig_pairs_cte}, {scored_cte},
+e AS (SELECT a_id, b_id FROM edges),
+tri AS (
+  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+  FROM e e1
+  JOIN e e2 ON e2.a_id = e1.b_id
+  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+verts AS (
+  SELECT x AS conv_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT conv_id, count(*)::BIGINT AS n_triangles FROM verts GROUP BY conv_id"""
 
     return o
