@@ -859,3 +859,36 @@ def test_triangle_counts_triangle_free(ray_session):
     ds = rd.from_arrow(pa.table({
         "a_id": ["a", "b", "c"], "b_id": ["b", "c", "d"]}))
     assert triangle_counts(ds, num_buckets=2).count() == 0
+
+
+def test_rollup_counts_vs_direct(ray_session):
+    """All three grouping levels equal direct pandas aggregation; level
+    disambiguates a literal 'ALL' dimension value."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import rollup_counts
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "source": rng.choice(["s1", "s2", "ALL"], 500),  # adversarial 'ALL'
+        "lang": rng.choice(["en", "de"], 500),
+        "n_chars": rng.integers(1, 100, 500).astype("int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = rollup_counts(ds.repartition(5), "source", "lang", "n_chars")
+    rows = {(r["source"], r["lang"], r["level"]):
+            (r["n_rows"], r["sum_val"]) for r in got.take_all()}
+
+    fine = df.groupby(["source", "lang"]).agg(
+        n=("n_chars", "size"), s=("n_chars", "sum"))
+    for (src, lg), r in fine.iterrows():
+        assert rows[(src, lg, 0)] == (r["n"], r["s"])
+    mid = df.groupby("source").agg(n=("n_chars", "size"), s=("n_chars", "sum"))
+    for src, r in mid.iterrows():
+        assert rows[(src, "ALL", 1)] == (r["n"], r["s"])
+    assert rows[("ALL", "ALL", 2)] == (500, int(df["n_chars"].sum()))
+    # the literal 'ALL' source appears at level 0/1 AND as the rollup
+    # label at level 2 — the level column keeps them distinct
+    assert ("ALL", "en", 0) in rows and ("ALL", "ALL", 1) in rows

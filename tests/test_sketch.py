@@ -235,3 +235,30 @@ def test_grouped_quantiles_matches_numpy(ray_session):
             rank = (qp * len(sub) + 999) // 1000
             assert got[(g, qp)] == sub[rank - 1], (g, qp)
     assert len(got) == 9
+
+
+def test_grouped_ranks_matches_rank_minus_one(ray_session):
+    """cnt_less equals pandas rank(method='min')-1 under heavy ties,
+    across uneven groups; n_group is the group size; input rows pass
+    through exactly once."""
+    import pandas as pd
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import grouped_ranks
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "rid": np.arange(4000, dtype=np.int64),
+        "g": np.r_[np.repeat("a", 3000), np.repeat("b", 999), ["c"]],
+        "v": np.r_[rng.integers(0, 40, 3000),       # heavy ties
+                   rng.integers(-100, 100, 999),
+                   [7]].astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (grouped_ranks(ds.repartition(7), "g", "v")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    want_rank = (df.groupby("g")["v"].rank(method="min") - 1).astype("int64")
+    want_n = df.groupby("g")["v"].transform("size").astype("int64")
+    assert len(got) == len(df)
+    assert (got["cnt_less"].to_numpy() == want_rank.to_numpy()).all()
+    assert (got["n_group"].to_numpy() == want_n.to_numpy()).all()

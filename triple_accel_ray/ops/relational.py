@@ -207,3 +207,54 @@ def interval_point_count(
         lambda t: t.rename_columns([key_col, out_col]),
         batch_format="pyarrow",
     )
+
+
+def rollup_counts(ds, dim_a: str, dim_b: str, val_col: str,
+                  all_label: str = "ALL"):
+    """Grouping-sets / ROLLUP aggregate: row counts and an integer sum at
+    THREE grouping levels in one pass — (dim_a, dim_b), (dim_a), () —
+    with coarser levels labeled ``all_label`` and a ``level`` column
+    (0 = finest) so rows are unambiguous even if a dimension value is
+    literally "ALL".
+
+    Scale shape: each block computes its finest-level partial ONCE and
+    derives the coarser partials locally from it (vocabulary-sized, no
+    second pass over rows); all three levels ride ONE grouped-sum
+    shuffle whose row count is bounded by ~2x the (dim_a x dim_b)
+    vocabulary per block, never by input rows."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([dim_a, dim_b, val_col]))
+        fine = df.group_by([dim_a, dim_b]).agg(
+            n=pl.len().cast(pl.Int64),
+            s=pl.col(val_col).sum().cast(pl.Int64),
+        ).with_columns(level=pl.lit(0, dtype=pl.Int64))
+        mid = fine.group_by(dim_a).agg(
+            n=pl.col("n").sum(), s=pl.col("s").sum()
+        ).with_columns(
+            pl.lit(all_label).alias(dim_b), level=pl.lit(1, dtype=pl.Int64))
+        top = fine.select(
+            n=pl.col("n").sum(), s=pl.col("s").sum()
+        ).with_columns(
+            pl.lit(all_label).alias(dim_a), pl.lit(all_label).alias(dim_b),
+            level=pl.lit(2, dtype=pl.Int64))
+        out = pl.concat([fine, mid, top], how="diagonal").select(
+            [dim_a, dim_b, "level", "n", "s"])
+        return out.to_arrow().cast(pa.schema([
+            (dim_a, pa.string()), (dim_b, pa.string()),
+            ("level", pa.int64()), ("n", pa.int64()), ("s", pa.int64())]))
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            dim_a: t[dim_a], dim_b: t[dim_b], "level": t["level"],
+            "n_rows": t["n_sum"].cast(pa.int64()),
+            "sum_val": t["s_sum"].cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([dim_a, dim_b, "level"])
+        .aggregate(Sum("n", alias_name="n_sum"), Sum("s", alias_name="s_sum"))
+        .map_batches(_rename, batch_format="pyarrow")
+    )

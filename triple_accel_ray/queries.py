@@ -1325,6 +1325,45 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_edge_triangles"] = er_edge_triangles
 
+    def doc_source_lang_rollup(sf_dir):
+        """ROLLUP / grouping-sets aggregate (ops/relational.rollup_counts):
+        doc counts + char sums at (source, lang) / (source) / () levels in
+        one pass — coarser partials derived locally per block, all levels
+        riding ONE grouped-sum shuffle bounded by the vocabulary."""
+        from .ops.relational import rollup_counts
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["source", "lang", "n_chars"])
+        return rollup_counts(docs, "source", "lang", "n_chars")
+
+    q["doc_source_lang_rollup"] = doc_source_lang_rollup
+
+    def event_value_ranks(sf_dir):
+        """Global per-group rank of every event's value-cents within its
+        event_type WITHOUT shuffling a single data row
+        (ops/sketch.grouped_ranks): the domain-bounded value histogram is
+        the only exchange; rank assignment is a stateless searchsorted
+        pass. cnt_less == SQL rank()-1, deterministic under ties."""
+        from .ops.sketch import grouped_ranks
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "event_type", "value"])
+
+        def _cents(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": np.floor(
+                    t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+            })
+
+        return grouped_ranks(
+            ev.map_batches(_cents, batch_format="pyarrow"),
+            "event_type", "value_cents")
+
+    q["event_value_ranks"] = event_value_ranks
+
     return q
 
 
@@ -2784,5 +2823,30 @@ verts AS (
   UNION ALL SELECT z FROM tri
 )
 SELECT conv_id, count(*)::BIGINT AS n_triangles FROM verts GROUP BY conv_id"""
+
+    # ROLLUP: level = number of rolled-up dimensions, coarser levels
+    # labeled 'ALL' (the engine's sentinel).
+    o["doc_source_lang_rollup"] = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       (GROUPING(source) + GROUPING(lang))::BIGINT AS level,
+       count(*)::BIGINT AS n_rows,
+       sum(n_chars)::BIGINT AS sum_val
+FROM documents
+GROUP BY ROLLUP (source, lang)"""
+
+    # per-group rank: rank() assigns the min rank to ties, so rank()-1 is
+    # exactly "rows with a strictly smaller value".
+    o["event_value_ranks"] = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT event_id, event_type, value_cents,
+       (rank() OVER (PARTITION BY event_type ORDER BY value_cents)
+        - 1)::BIGINT AS cnt_less,
+       (count(*) OVER (PARTITION BY event_type))::BIGINT AS n_group
+FROM c"""
 
     return o
