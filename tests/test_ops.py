@@ -892,3 +892,55 @@ def test_rollup_counts_vs_direct(ray_session):
     # the literal 'ALL' source appears at level 0/1 AND as the rollup
     # label at level 2 — the level column keeps them distinct
     assert ("ALL", "en", 0) in rows and ("ALL", "ALL", 1) in rows
+
+
+def test_revenue_by_nation_vs_pandas(ray_session):
+    """The Q5-shaped multi-join equals a direct pandas merge chain on a
+    tiny synthetic star schema, including the local-supplier filter and
+    the integer centi-cent revenue rule."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import revenue_by_nation
+
+    rng = np.random.default_rng(8)
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(4, dtype=np.int32),
+        "n_name": [f"N{i}" for i in range(4)],
+        "n_regionkey": np.array([0, 0, 1, 1], np.int32)})
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(2, dtype=np.int32),
+        "r_name": ["R0", "R1"]})
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(30, dtype=np.int64),
+        "c_nationkey": rng.integers(0, 4, 30).astype(np.int32)})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(10, dtype=np.int64),
+        "s_nationkey": rng.integers(0, 4, 10).astype(np.int32)})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(100, dtype=np.int64),
+        "o_custkey": rng.integers(0, 30, 100)})
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, 100, 400),
+        "l_suppkey": rng.integers(0, 10, 400),
+        "l_extendedprice": rng.uniform(1, 1000, 400).round(2),
+        "l_discount": rng.choice([0.0, 0.05, 0.1], 400)})
+
+    got = {(r["region"], r["nation"]): r["revenue_cc"]
+           for r in revenue_by_nation(
+               *[rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                 for df in (lineitem, orders, customer, supplier,
+                            nation, region)],
+               num_buckets=4).take_all()}
+
+    j = (lineitem.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(customer, left_on="o_custkey", right_on="c_custkey")
+         .merge(supplier, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["s_nationkey"] == j["c_nationkey"]]
+    j = j.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey")
+    j["rev"] = (np.floor(j["l_extendedprice"] * 100 + 0.5).astype("int64")
+                * (100 - np.floor(j["l_discount"] * 100 + 0.5).astype("int64")))
+    want = j.groupby(["r_name", "n_name"])["rev"].sum()
+    assert got == {(r, n): v for (r, n), v in want.items()}

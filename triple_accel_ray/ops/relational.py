@@ -258,3 +258,106 @@ def rollup_counts(ds, dim_a: str, dim_b: str, val_col: str,
         .aggregate(Sum("n", alias_name="n_sum"), Sum("s", alias_name="s_sum"))
         .map_batches(_rename, batch_format="pyarrow")
     )
+
+
+def revenue_by_nation(lineitem, orders, customer, supplier, nation, region,
+                      num_buckets: int = 16):
+    """TPC-H Q5-shaped multi-join: revenue per (region, nation) from
+    lineitems whose SUPPLIER nation equals the ordering CUSTOMER's nation
+    (the local-supplier rule). Revenue is the exact integer
+    cents x (100 - discount_hundredths) product (centi-cent units), so
+    the distributed sum is order-independent and the SQL twin matches
+    bit-for-bit.
+
+    Join strategy by side size (the broadcast-or-join discipline):
+    - nation/region/supplier are vocabulary tables (25 / 5 / 1:15 of
+      customers in TPC-H ratios) -> collected once, carried by value
+      into the map stages; at a scale where supplier outgrows the
+      broadcast budget it moves to a third bucket_join unchanged.
+    - orders |><| customer and lineitem |><| (orders x customer) are the
+      two big-side joins -> bucketed hash joins (one shuffle each).
+    """
+    from ..pipeline.shuffle import bucket_join
+
+    sup = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    _sk_order = np.argsort(sup["s_suppkey"].to_numpy())
+    sup_keys = sup["s_suppkey"].to_numpy().astype(np.int64)[_sk_order]
+    sup_nats = sup["s_nationkey"].to_numpy().astype(np.int64)[_sk_order]
+    nat_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    nat_region = dict(zip(
+        nat["n_nationkey"].astype(np.int64),
+        nat["n_regionkey"].map(dict(zip(
+            reg["r_regionkey"].astype(np.int64), reg["r_name"]))),
+    ))
+
+    def _ord(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+        })
+
+    def _cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "c_nat": t["c_nationkey"].cast(pa.int64()),
+        })
+
+    ord_cust = bucket_join(
+        orders.map_batches(_ord, batch_format="pyarrow"),
+        customer.map_batches(_cust, batch_format="pyarrow"),
+        "o_custkey", "c_custkey",
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        pa.schema([("c_custkey", pa.int64()), ("c_nat", pa.int64())]),
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nat"]), batch_format="pyarrow")
+
+    def _li(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(
+            t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        s_nat = sup_nats[np.searchsorted(sup_keys, sk)]
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "rev_cc": cents * (100 - disc),
+            "s_nat": s_nat,
+        })
+
+    li_nat = bucket_join(
+        lineitem.map_batches(_li, batch_format="pyarrow"),
+        ord_cust,
+        "l_orderkey", "o_orderkey",
+        pa.schema([("l_orderkey", pa.int64()), ("rev_cc", pa.int64()),
+                   ("s_nat", pa.int64())]),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nat", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["rev_cc", "s_nat", "c_nat"]))
+        df = df.filter(pl.col("s_nat") == pl.col("c_nat"))
+        out = df.group_by("c_nat").agg(rev=pl.col("rev_cc").sum())
+        ck = out["c_nat"].to_numpy()
+        return pa.table({
+            "region": pa.array([nat_region[int(k)] for k in ck], pa.string()),
+            "nation": pa.array([nat_name[int(k)] for k in ck], pa.string()),
+            "rev": out["rev"].to_numpy().astype(np.int64),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li_nat.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["region", "nation"])
+        .aggregate(Sum("rev", alias_name="rev_sum"))
+        .map_batches(
+            lambda t: pa.table({
+                "region": t["region"], "nation": t["nation"],
+                "revenue_cc": t["rev_sum"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow")
+    )

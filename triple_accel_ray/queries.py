@@ -1364,6 +1364,31 @@ def build_queries() -> Dict[str, Callable]:
 
     q["event_value_ranks"] = event_value_ranks
 
+    def revenue_by_nation(sf_dir):
+        """TPC-H Q5-shaped multi-join (ops/relational.revenue_by_nation):
+        revenue per (region, nation) where the supplier's nation equals
+        the customer's (local-supplier rule). Vocabulary sides
+        (nation/region/supplier) broadcast; orders><customer and
+        lineitem><orders are bucketed hash joins; revenue is the exact
+        integer centi-cent product so the sum is order-independent."""
+        from .ops.relational import revenue_by_nation as _rbn
+
+        return _rbn(
+            read_parquet_clean(_t(sf_dir, "lineitem"),
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_extendedprice", "l_discount"]),
+            read_parquet_clean(_t(sf_dir, "orders"),
+                               columns=["o_orderkey", "o_custkey"]),
+            read_parquet_clean(_t(sf_dir, "customer"),
+                               columns=["c_custkey", "c_nationkey"]),
+            read_parquet_clean(_t(sf_dir, "supplier"),
+                               columns=["s_suppkey", "s_nationkey"]),
+            read_parquet_clean(_t(sf_dir, "nation")),
+            read_parquet_clean(_t(sf_dir, "region")),
+        )
+
+    q["revenue_by_nation"] = revenue_by_nation
+
     return q
 
 
@@ -2848,5 +2873,20 @@ SELECT event_id, event_type, value_cents,
         - 1)::BIGINT AS cnt_less,
        (count(*) OVER (PARTITION BY event_type))::BIGINT AS n_group
 FROM c"""
+
+    # Q5 shape: local-supplier rule, exact integer centi-cent revenue.
+    o["revenue_by_nation"] = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+           (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+       )::BIGINT AS revenue_cc
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+ AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2"""
 
     return o
