@@ -1389,6 +1389,32 @@ def build_queries() -> Dict[str, Callable]:
 
     q["revenue_by_nation"] = revenue_by_nation
 
+    def sample3_hash_per_source(sf_dir):
+        """Deterministic k-per-group sample (cap-per-source curation):
+        the 3 docs per source with the highest mix64(doc_id ^ salt) —
+        a seeded hash IS the score, so this is top_k_per_group composed
+        with the stratified-sample hash chain; reruns / permuted inputs
+        / different partitionings keep identical rows. hscore drops the
+        hash's low bit (>>1) to fit int64; doc_id ASC breaks the
+        (negligible) collision ties deterministically."""
+        from .ops.curation import SAMPLE_SALT, top_k_per_group
+        from .pipeline.blocking import _mix64
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+        def _score(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy().astype(np.uint64)
+            hs = (_mix64(ids ^ SAMPLE_SALT) >> np.uint64(1)).astype(np.int64)
+            return pa.table({
+                "doc_id": t["doc_id"], "source": t["source"], "hscore": hs})
+
+        return top_k_per_group(
+            docs.map_batches(_score, batch_format="pyarrow"),
+            k=3, group_col="source", score_col="hscore")
+
+    q["sample3_hash_per_source"] = sample3_hash_per_source
+
     return q
 
 
@@ -2888,5 +2914,21 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY 1, 2"""
+
+    # k-per-group hash sample: replay the mix chain, h >> 1 as the score
+    _s3_sql, _s3_f = _mix64_chain_sql("s30", "doc_id, source", "s3")
+    o["sample3_hash_per_source"] = f"""
+WITH s30 AS (
+  SELECT doc_id, source,
+         CAST(xor(CAST(doc_id AS UBIGINT), {_salt}::UBIGINT) AS HUGEINT) AS h
+  FROM documents
+),
+{_s3_sql},
+hsc AS (SELECT doc_id, source, CAST(h // 2 AS BIGINT) AS hscore FROM {_s3_f})
+SELECT source, doc_id, hscore FROM (
+  SELECT source, doc_id, hscore,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hscore DESC, doc_id) AS rn
+  FROM hsc) WHERE rn <= 3"""
 
     return o
