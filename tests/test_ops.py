@@ -944,3 +944,27 @@ def test_revenue_by_nation_vs_pandas(ray_session):
                 * (100 - np.floor(j["l_discount"] * 100 + 0.5).astype("int64")))
     want = j.groupby(["r_name", "n_name"])["rev"].sum()
     assert got == {(r, n): v for (r, n), v in want.items()}
+
+
+def test_dataset_set_op(ray_session):
+    """EXCEPT/INTERSECT equal python set algebra, with duplicates on both
+    sides (distinct semantics) and values unique to each side."""
+    import numpy as np
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import dataset_set_op
+
+    rng = np.random.default_rng(6)
+    lv = rng.integers(0, 300, 2000).astype(np.int64)
+    rv = rng.integers(150, 450, 2000).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": lv})).repartition(5)
+    right = rd.from_arrow(pa.table({"k": rv})).repartition(3)
+
+    got_ex = sorted(r["k"] for r in dataset_set_op(
+        left, right, "k", "except").take_all())
+    got_in = sorted(r["k"] for r in dataset_set_op(
+        left, right, "k", "intersect").take_all())
+    ls, rs = set(lv.tolist()), set(rv.tolist())
+    assert got_ex == sorted(ls - rs)
+    assert got_in == sorted(ls & rs)
+    assert len(got_ex) > 0 and len(got_in) > 0  # fixture is non-trivial

@@ -361,3 +361,47 @@ def revenue_by_nation(lineitem, orders, customer, supplier, nation, region,
             }),
             batch_format="pyarrow")
     )
+
+
+def dataset_set_op(left, right, col: str, op: str = "except"):
+    """Distinct-key set operation between two datasets' ``col`` columns —
+    SQL EXCEPT ("except": in left, not in right) or INTERSECT
+    ("intersect": in both). Output: the distinct qualifying values.
+
+    Scale shape: each side's blocks emit per-block DISTINCT values
+    tagged with side presence bits, so the ONE grouped max-merge shuffle
+    carries at most the per-block distinct count (never the row count);
+    the filter after the merge is stateless. Symmetric difference or
+    right-except compose by swapping/duplicating sides."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    if op not in ("except", "intersect"):
+        raise ValueError(f"unknown set op: {op}")
+
+    def _tag(is_left: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[col])
+            n = len(u)
+            return pa.table({
+                col: u,
+                "l": pa.array(np.full(n, 1 if is_left else 0, np.int8)),
+                "r": pa.array(np.full(n, 0 if is_left else 1, np.int8)),
+            })
+        return _f
+
+    merged = (
+        left.map_batches(_tag(True), batch_format="pyarrow")
+        .union(right.map_batches(_tag(False), batch_format="pyarrow"))
+        .groupby(col)
+        .aggregate(Max("l", alias_name="in_l"), Max("r", alias_name="in_r"))
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        in_l = t["in_l"].to_numpy()
+        in_r = t["in_r"].to_numpy()
+        keep = (in_l == 1) & ((in_r == 1) if op == "intersect" else (in_r == 0))
+        return t.select([col]).filter(pa.array(keep))
+
+    return merged.map_batches(_filter, batch_format="pyarrow")

@@ -1415,6 +1415,51 @@ def build_queries() -> Dict[str, Callable]:
 
     q["sample3_hash_per_source"] = sample3_hash_per_source
 
+    def _src_grams(sf_dir, src):
+        """Distinct 8-byte character windows of one source's docs as
+        injective little-endian packed int64 (ASCII < 2^56, so the uint64
+        packing fits int64 and SQL replays it as an ascii()*256^k sum)."""
+        from .kernels.batch import to_byte_rows
+        from .kernels.vhash import packed_windows
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["text", "source"])
+
+        def _grams(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["source"], src))
+            if t.num_rows == 0:
+                return pa.table({"gram_key": pa.array([], pa.int64())})
+            data, offsets = to_byte_rows(t["text"])
+            v, _ = packed_windows(data, offsets, 8)
+            return pa.table(
+                {"gram_key": np.unique(v).astype(np.int64)})
+
+        return docs.map_batches(_grams, batch_format="pyarrow")
+
+    def grams_only_in_src0(sf_dir):
+        """SQL EXCEPT as a distributed set op (ops/relational.
+        dataset_set_op): 8-gram vocabulary present in src0 docs but not
+        src1. Per-block distinct partials tagged by side, one grouped
+        max-merge shuffle, stateless filter."""
+        from .ops.relational import dataset_set_op
+
+        return dataset_set_op(
+            _src_grams(sf_dir, "src0"), _src_grams(sf_dir, "src1"),
+            "gram_key", "except")
+
+    q["grams_only_in_src0"] = grams_only_in_src0
+
+    def grams_in_both_srcs(sf_dir):
+        """SQL INTERSECT twin of grams_only_in_src0 (same one-shuffle
+        shape, presence-bit filter flipped)."""
+        from .ops.relational import dataset_set_op
+
+        return dataset_set_op(
+            _src_grams(sf_dir, "src0"), _src_grams(sf_dir, "src1"),
+            "gram_key", "intersect")
+
+    q["grams_in_both_srcs"] = grams_in_both_srcs
+
     return q
 
 
@@ -2930,5 +2975,25 @@ SELECT source, doc_id, hscore FROM (
          row_number() OVER (PARTITION BY source
                             ORDER BY hscore DESC, doc_id) AS rn
   FROM hsc) WHERE rn <= 3"""
+
+    # set ops over packed 8-byte windows: little-endian ascii sum is the
+    # exact SQL replay of kernels.vhash.packed_windows on ASCII text.
+    _gram_expr = " + ".join(
+        f"ascii(substr(text, s + {k + 1}, 1)) * {256 ** k}" for k in range(8))
+
+    def _gram_cte(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT DISTINCT ({_gram_expr})::BIGINT AS gram_key
+  FROM (SELECT text, unnest(range(0, greatest(0, strlen(text) - 7))) AS s
+        FROM documents WHERE source = '{src}')
+)"""
+
+    o["grams_only_in_src0"] = f"""
+WITH {_gram_cte('w0', 'src0')}, {_gram_cte('w1', 'src1')}
+SELECT gram_key FROM w0 EXCEPT SELECT gram_key FROM w1"""
+
+    o["grams_in_both_srcs"] = f"""
+WITH {_gram_cte('w0', 'src0')}, {_gram_cte('w1', 'src1')}
+SELECT gram_key FROM w0 INTERSECT SELECT gram_key FROM w1"""
 
     return o
