@@ -968,3 +968,55 @@ def test_dataset_set_op(ray_session):
     assert got_ex == sorted(ls - rs)
     assert got_in == sorted(ls & rs)
     assert len(got_ex) > 0 and len(got_in) > 0  # fixture is non-trivial
+
+
+def test_windowed_distinct(ray_session):
+    """Exact per-window distinct counts vs pandas nunique, with users
+    active in multiple windows and duplicates inside a window."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import windowed_distinct
+
+    rng = np.random.default_rng(12)
+    n = 5000
+    ts = pd.to_datetime(
+        rng.integers(0, 6 * 3600, n) * 1_000_000, unit="us")
+    df = pd.DataFrame({"ts": ts, "user_id": rng.integers(0, 60, n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64())])))
+    got = {r["window_start"]: r["n_distinct"]
+           for r in windowed_distinct(ds.repartition(6)).take_all()}
+    want = df.groupby(df["ts"].dt.floor("h"))["user_id"].nunique()
+    assert got == {k.to_pydatetime(): v for k, v in want.items()}
+
+
+def test_simhash_survivors_transitive(ray_session):
+    """A chain of three near-identical docs collapses to one survivor
+    (min id) even if the two ends don't pair directly; distinct docs all
+    survive."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import simhash_dup_pairs, simhash_survivors
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away slowly into the quiet evening mist " * 4)
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 50, 51], pa.int64()),
+        "text": [base, base + " x", base + " x y",
+                 "completely different content about distributed systems "
+                 "and arrow batches " * 5,
+                 "another unrelated document concerning graph algorithms "
+                 "and triangle counting " * 5],
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+    pairs = {(r["a_id"], r["b_id"]) for r in simhash_dup_pairs(
+        ds, max_hamming=6, num_buckets=4, hot_block_cap=1 << 30).take_all()}
+    assert ("10", "11") in pairs  # the chain exists
+    surv = sorted(r["doc_id"] for r in simhash_survivors(
+        ds, max_hamming=6, num_buckets=4).take_all())
+    assert "10" in surv and "50" in surv and "51" in surv
+    assert "11" not in surv and "12" not in surv

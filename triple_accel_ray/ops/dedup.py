@@ -962,3 +962,40 @@ def near_dup_survivors(docs, threshold: float = 0.5, num_buckets: int = 32,
         return pa.table({id_col: t["conv_id"].filter(k)})
 
     return cc.map_batches(_keep, batch_format="pyarrow")
+
+
+def simhash_survivors(docs, max_hamming: int = 6, num_buckets: int = 32,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_iters: int = 50):
+    """The simhash twin of ``near_dup_survivors``: simhash-band near-dup
+    pairs -> distributed connected components -> keep the min-string-id
+    representative per component (singletons untouched, transitivity
+    collapsed). The pair contract — and therefore the oracle's — is "all
+    pairs sharing a band within ``max_hamming``" (recall is guaranteed
+    by pigeonhole only for max_hamming <= 3; the band predicate itself
+    is replayed in SQL so the composition stays value-exact beyond it).
+    Contributes only the composition; both building blocks keep their
+    own tests and oracles."""
+    import pyarrow.compute as pc
+
+    from ..pipeline.cluster import connected_components
+
+    pairs = simhash_dup_pairs(
+        docs, id_col=id_col, text_col=text_col, max_hamming=max_hamming,
+        num_buckets=num_buckets, hot_block_cap=1 << 30,
+    )
+    nodes = docs.map_batches(
+        lambda t: pa.table({"conv_id": pc.cast(t[id_col], pa.string())}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components(
+        pairs.select_columns(["a_id", "b_id"]), nodes,
+        num_partitions=num_buckets, max_iters=max_iters,
+        on_nonconverge="raise",
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        k = pc.equal(t["conv_id"], t["cluster_id"])
+        return pa.table({id_col: t["conv_id"].filter(k)})
+
+    return cc.map_batches(_keep, batch_format="pyarrow")

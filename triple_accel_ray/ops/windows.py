@@ -322,3 +322,44 @@ def windowed_top_k(events, ts_col: str = "ts", cat_col: str = "event_type",
         events.map_batches(_partial, batch_format="pyarrow"),
         _select, num_buckets,
     )
+
+
+def windowed_distinct(events, ts_col: str = "ts", key_col: str = "user_id",
+                      window_sec: int = 3600):
+    """→ (window_start, n_distinct): EXACT distinct keys per tumbling
+    window — the streaming-analytics staple next to the mergeable-HLL
+    approximate twin (ops/sketch.hll_registers composes per window the
+    same way when exactness can be traded for register-sized shuffles).
+
+    Scale shape: per-block DISTINCT (window, key) partials bound the
+    shuffle by windows x keys per block, never rows; the grouped
+    distinct collapses duplicates and the final per-window count is a
+    vocabulary-sized aggregate."""
+    us = window_sec * 1_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([ts_col, key_col]))
+        df = df.with_columns(
+            window_start=((pl.col(ts_col).cast(pl.Int64) // us) * us)
+            .cast(pl.Datetime("us"))
+        ).select(["window_start", key_col]).unique()
+        return df.to_arrow().cast(pa.schema([
+            ("window_start", pa.timestamp("us")),
+            (key_col, pa.int64())]))
+
+    def _count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t["window_start"],
+            "n_distinct": t["count()"].cast(pa.int64()),
+        })
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["window_start", key_col])
+        .count()
+        .map_batches(lambda t: t.select(["window_start"]),
+                     batch_format="pyarrow")
+        .groupby("window_start")
+        .count()
+        .map_batches(_count, batch_format="pyarrow")
+    )

@@ -1460,6 +1460,37 @@ def build_queries() -> Dict[str, Callable]:
 
     q["grams_in_both_srcs"] = grams_in_both_srcs
 
+    def dedup_simhash_survivors(sf_dir):
+        """Simhash dedup ACTION (ops/dedup.simhash_survivors): band
+        near-dup pairs -> distributed connected components -> keep the
+        min-string-id representative per component. The band predicate is
+        part of the contract and replayed in SQL, so the transitive
+        closure is value-exact."""
+        from .ops.dedup import simhash_survivors
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        surv = simhash_survivors(docs, max_hamming=6, num_buckets=16)
+        return surv.map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    q["dedup_simhash_survivors"] = dedup_simhash_survivors
+
+    def hourly_unique_users(sf_dir):
+        """Exact distinct users per tumbling hour
+        (ops/windows.windowed_distinct): per-block DISTINCT (window, key)
+        partials bound the shuffle by windows x keys per block, never
+        rows; the per-window count is a vocabulary-sized aggregate."""
+        from .ops.windows import windowed_distinct
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["ts", "user_id"])
+        return windowed_distinct(ev)
+
+    q["hourly_unique_users"] = hourly_unique_users
+
     return q
 
 
@@ -2995,5 +3026,31 @@ SELECT gram_key FROM w0 EXCEPT SELECT gram_key FROM w1"""
     o["grams_in_both_srcs"] = f"""
 WITH {_gram_cte('w0', 'src0')}, {_gram_cte('w1', 'src1')}
 SELECT gram_key FROM w0 INTERSECT SELECT gram_key FROM w1"""
+
+    # simhash survivors: the simhash pair oracle inlined as a subquery,
+    # then the same recursive transitive closure + min-label rule as the
+    # minhash survivors oracle.
+    o["dedup_simhash_survivors"] = f"""
+WITH RECURSIVE prs AS (
+  SELECT a_id, b_id FROM ({_simhash_oracle(6)})
+),
+und AS (SELECT a_id AS x, b_id AS y FROM prs
+        UNION ALL SELECT b_id, a_id FROM prs),
+cc(id, label) AS (
+  SELECT DISTINCT x, x FROM und
+  UNION
+  SELECT u.x, c.label FROM und u JOIN cc c ON c.id = u.y
+),
+dropped AS (
+  SELECT id FROM (SELECT id, min(label) AS label FROM cc GROUP BY id)
+  WHERE id <> label
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id::VARCHAR NOT IN (SELECT id FROM dropped)"""
+
+    o["hourly_unique_users"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY 1"""
 
     return o
