@@ -1020,3 +1020,47 @@ def test_simhash_survivors_transitive(ray_session):
         ds, max_hamming=6, num_buckets=4).take_all())
     assert "10" in surv and "50" in surv and "51" in surv
     assert "11" not in surv and "12" not in surv
+
+
+def test_fuzzy_semi_join_vs_bruteforce(ray_session):
+    """Fuzzy join equals brute force restricted to the same candidate
+    predicate (length band + prefix), using the scalar kernel as the
+    distance oracle; k-bound excludes far pairs inside a block."""
+    import itertools
+
+    import ray.data as rd
+
+    from triple_accel_ray.kernels import levenshtein
+    from triple_accel_ray.ops.search import fuzzy_semi_join
+
+    rights = {
+        "d1": "alpha beta gamma delta epsilon zeta",
+        "d2": "alpha beta gamma delta epsilon zetX",   # close to d1
+        "d3": "Xlpha beta gamma delta epsilon zeta",   # prefix differs
+        "d4": "alpha " + "x" * 64,                     # other length band
+        "d5": "alpha beta THIS IS COMPLETELY other",   # same block, far
+    }
+    lefts = {"p1": "alpha beta gamma delta epsilon zeta",
+             "p2": "alpha " + "x" * 63 + "y"}
+    k, band, prefix = 4, 32, 4
+
+    want = set()
+    for (lid, lt), (rid, rt) in itertools.product(
+            lefts.items(), rights.items()):
+        if len(lt) // band == len(rt) // band and lt[:prefix] == rt[:prefix]:
+            d = levenshtein(lt.encode(), rt.encode())
+            if d <= k:
+                want.add((lid, rid, d))
+
+    lds = rd.from_arrow(pa.table({
+        "probe_id": list(lefts), "ptext": list(lefts.values())}))
+    rds = rd.from_arrow(pa.table({
+        "doc_id": list(rights), "text": list(rights.values())})).repartition(2)
+    got = {(r["probe_id"], r["doc_id"], r["dist"])
+           for r in fuzzy_semi_join(lds, rds, k=k, band=band, prefix=prefix,
+                                    num_buckets=3).take_all()}
+    assert got == want
+    assert ("p1", "d1", 0) in got and ("p1", "d2", 1) in got
+    assert ("p2", "d4", 1) in got          # cross-band probe finds its twin
+    # d3 fails the prefix predicate; d5 shares the block but exceeds k
+    assert not any(r in ("d3", "d5") for (_, r, _) in got)

@@ -199,3 +199,81 @@ def search_dataset(docs, needle: bytes, k: int, mode: str = "levenshtein",
             id_col, text_col
         )
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def fuzzy_semi_join(left, right, k: int, *,
+                    left_id: str = "probe_id", left_text: str = "ptext",
+                    right_id: str = "doc_id", right_text: str = "text",
+                    band: int = 32, prefix: int = 4,
+                    num_buckets: int = 16):
+    """Table-level FUZZY JOIN: for every left row, the right rows within
+    k-bounded byte-level Levenshtein distance, restricted to the
+    SQL-replayable candidate predicate ``len//band equal AND first
+    ``prefix`` bytes equal`` — the same contract discipline as the ER
+    pipeline (the oracle replays the blocking predicate, so recall is
+    part of the contract, not a probabilistic property). → (left_id,
+    right_id, dist).
+
+    Scale shape: both sides ride ONE hash(prefix, len_band) bucket
+    shuffle tagged by side (id + text only); the per-bucket body is one
+    polars equi-join on the block key followed by the whole-batch banded
+    DP (kernels.batch.levenshtein_k_batch) — the reference's k-bounded
+    kernel in a second pipeline shape. Candidate fan-out is bounded by
+    the block sizes the predicate induces; a tighter prefix is the skew
+    knob."""
+    import polars as pl
+
+    from ..kernels.batch import levenshtein_k_batch
+    from ..pipeline.shuffle import bucket_partition
+
+    def _tag(id_col: str, text_col: str, side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.select([id_col, text_col])).rename(
+                {id_col: "rid", text_col: "txt"})
+            df = df.with_columns(
+                band_k=(pl.col("txt").str.len_bytes().cast(pl.Int64)
+                        // band),
+                pref=pl.col("txt").str.slice(0, prefix),
+                side=pl.lit(side, dtype=pl.Int8),
+            ).with_columns(
+                bucket=((pl.col("pref") + "\x00" +
+                         pl.col("band_k").cast(pl.String)).hash(seed=71)
+                        % np.uint64(num_buckets)).cast(pl.Int32)
+            )
+            return df.to_arrow().cast(pa.schema([
+                ("rid", pa.string()), ("txt", pa.string()),
+                ("band_k", pa.int64()), ("pref", pa.string()),
+                ("side", pa.int8()), ("bucket", pa.int32())]))
+        return _f
+
+    def _join_verify(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ls = df.filter(pl.col("side") == 0).select(
+            ["rid", "txt", "band_k", "pref"]).rename(
+            {"rid": "l_id", "txt": "l_txt"})
+        rs = df.filter(pl.col("side") == 1).select(
+            ["rid", "txt", "band_k", "pref"]).rename(
+            {"rid": "r_id", "txt": "r_txt"})
+        cand = ls.join(rs, on=["band_k", "pref"], how="inner")
+        empty = pa.table({
+            left_id: pa.array([], pa.string()),
+            right_id: pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        })
+        if cand.height == 0:
+            return empty
+        at = cand.to_arrow()
+        dist = levenshtein_k_batch(at["l_txt"], at["r_txt"], k)
+        hit = dist >= 0
+        return pa.table({
+            left_id: at["l_id"].filter(pa.array(hit)),
+            right_id: at["r_id"].filter(pa.array(hit)),
+            "dist": pa.array(dist[hit], pa.int64()),
+        })
+
+    left_t = left.map_batches(
+        _tag(left_id, left_text, 0), batch_format="pyarrow")
+    right_t = right.map_batches(
+        _tag(right_id, right_text, 1), batch_format="pyarrow")
+    return bucket_partition(
+        left_t.union(right_t), _join_verify, num_buckets)

@@ -1491,6 +1491,48 @@ def build_queries() -> Dict[str, Callable]:
 
     q["hourly_unique_users"] = hourly_unique_users
 
+    def fuzzy_probe_join(sf_dir):
+        """Table-level fuzzy join (ops/search.fuzzy_semi_join): planted
+        probes (every 11th doc with one character substituted at byte 11
+        — pure doc_id/text arithmetic, replayed in SQL) joined back
+        against the corpus within Levenshtein k=24 under the
+        SQL-replayable candidate predicate (length band 32 + 4-byte
+        prefix). The reference's k-bounded kernel in a second pipeline
+        shape; recall is part of the contract because the oracle replays
+        the same predicate."""
+        import polars as pl
+
+        from .ops.search import fuzzy_semi_join
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+        def _probes(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            df = df.filter(
+                (pl.col("doc_id") % 11 == 0)
+                & (pl.col("text").str.len_bytes() > 12)
+            ).with_columns(
+                ptext=pl.col("text").str.slice(0, 10) + "Q"
+                + pl.col("text").str.slice(11)
+            ).select(["doc_id", "ptext"]).rename({"doc_id": "probe_id"})
+            return df.to_arrow().cast(pa.schema([
+                ("probe_id", pa.int64()), ("ptext", pa.string())]))
+
+        out = fuzzy_semi_join(
+            docs.map_batches(_probes, batch_format="pyarrow"), docs,
+            k=24, num_buckets=8)
+        return out.map_batches(
+            lambda t: pa.table({
+                "probe_id": pc.cast(t["probe_id"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "dist": t["dist"],
+            }),
+            batch_format="pyarrow",
+        )
+
+    q["fuzzy_probe_join"] = fuzzy_probe_join
+
     return q
 
 
@@ -3052,5 +3094,25 @@ WHERE d.doc_id::VARCHAR NOT IN (SELECT id FROM dropped)"""
 SELECT date_trunc('hour', ts) AS window_start,
        count(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY 1"""
+
+    # fuzzy join: replayed probe mutation + the engine's exact candidate
+    # predicate (length band 32, 4-byte prefix), then DuckDB's
+    # byte-equivalent levenshtein on the ASCII fixture.
+    o["fuzzy_probe_join"] = """
+WITH probes AS (
+  SELECT doc_id AS probe_id,
+         substr(text, 1, 10) || 'Q' || substr(text, 12) AS ptext
+  FROM documents
+  WHERE doc_id % 11 = 0 AND strlen(text) > 12
+),
+cand AS (
+  SELECT p.probe_id, d.doc_id, p.ptext, d.text
+  FROM probes p
+  JOIN documents d
+    ON strlen(p.ptext) // 32 = strlen(d.text) // 32
+   AND substr(p.ptext, 1, 4) = substr(d.text, 1, 4)
+)
+SELECT probe_id, doc_id, levenshtein(ptext, text)::BIGINT AS dist
+FROM cand WHERE levenshtein(ptext, text) <= 24"""
 
     return o
