@@ -1064,3 +1064,49 @@ def test_fuzzy_semi_join_vs_bruteforce(ray_session):
     assert ("p2", "d4", 1) in got          # cross-band probe finds its twin
     # d3 fails the prefix predicate; d5 shares the block but exceeds k
     assert not any(r in ("d3", "d5") for (_, r, _) in got)
+
+
+def test_funnel_conversions_differential(ray_session):
+    """Seeded random streams (heavy timestamp ties, tiny window) vs an
+    O(n^2) per-user brute force of the EXISTS rule."""
+    import numpy as np
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import funnel_conversions
+
+    rng = np.random.default_rng(21)
+    n = 2500
+    uid = rng.integers(0, 25, n)
+    ts_us = rng.integers(0, 40, n) * 1_000_000  # 40 distinct seconds: ties
+    typ = rng.choice(["click", "purchase", "view"], n, p=[0.4, 0.4, 0.2])
+    w_us = 5 * 1_000_000  # 5 s window
+
+    want = {}
+    for u in np.unique(uid):
+        m = uid == u
+        t_u, y_u = ts_us[m], typ[m]
+        a_ts = sorted(t_u[y_u == "click"])
+        convs = []
+        for bt in t_u[y_u == "purchase"]:
+            if any(0 < bt - at <= w_us for at in a_ts):
+                convs.append(bt)
+        if (y_u == "click").sum() + (y_u == "purchase").sum() > 0:
+            want[int(u)] = (
+                int((y_u == "click").sum()), int((y_u == "purchase").sum()),
+                len(convs), min(convs) if convs else None)
+
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": typ.tolist(),
+    })
+    got = {}
+    for r in funnel_conversions(
+            rd.from_arrow(t).repartition(7), within_sec=5,
+            num_buckets=4).take_all():
+        ft = r["first_conversion_ts"]
+        got[r["user_id"]] = (
+            r["n_a"], r["n_b"], r["n_conversions"],
+            None if ft is None else int(ft.timestamp() * 1_000_000))
+    assert got == want

@@ -228,24 +228,33 @@ def funnel_conversions(events, step_a: str = "click",
                                     "event_type"]))
             .sort(["user_id", "ts", "event_id"])
             .with_columns(
+                ts_i=pl.col("ts").cast(pl.Int64),
                 # sentinel, not null: polars cum_max leaves nulls null
                 # instead of carrying the running max through them
                 a_ts=pl.when(pl.col("event_type") == step_a)
                 .then(pl.col("ts").cast(pl.Int64))
-                .otherwise(-(1 << 62))
+                .otherwise(-(1 << 62)),
             )
             .with_columns(
-                # ts of the most recent a event strictly above this row
-                # within the user segment (sentinel until the first a)
-                prev_a=pl.col("a_ts").cum_max().shift(1, fill_value=-(1 << 62))
+                # running max a_ts at sort-position < current row
+                pm=pl.col("a_ts").cum_max().shift(1, fill_value=-(1 << 62))
                 .over("user_id")
             )
             .with_columns(
+                # EXISTS needs "most recent a at a STRICTLY EARLIER ts",
+                # not "earlier sort position": under timestamp ties a
+                # same-ts a (gap 0) must not shadow an older valid a, so
+                # take pm at the FIRST row of the (user, ts) group — every
+                # position before the group has a strictly smaller ts.
+                prev_a=pl.col("pm").first().over(["user_id", "ts_i"])
+            )
+            .with_columns(
+                # prev_a < ts strictly by construction; the latest
+                # strictly-earlier a has the smallest positive gap, so
+                # "gap <= w" is exactly the EXISTS rule.
                 conv=(pl.col("event_type") == step_b)
                 & (pl.col("prev_a") > -(1 << 61))
-                & ((pl.col("ts").cast(pl.Int64) - pl.col("prev_a")) > 0)
-                & ((pl.col("ts").cast(pl.Int64) - pl.col("prev_a"))
-                   <= int(w_us))
+                & ((pl.col("ts_i") - pl.col("prev_a")) <= int(w_us))
             )
         )
         out = (
