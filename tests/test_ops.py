@@ -1110,3 +1110,40 @@ def test_funnel_conversions_differential(ray_session):
             r["n_a"], r["n_b"], r["n_conversions"],
             None if ft is None else int(ft.timestamp() * 1_000_000))
     assert got == want
+
+
+def test_weekly_retention_multi_cohort(ray_session):
+    """Retention matrix vs direct pandas on staggered cohorts, Monday
+    week-origin pinned (1970-01-01 was a Thursday), churn + returns."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import weekly_retention
+
+    MON = dt.datetime(2024, 1, 1)  # a Monday
+    wk = dt.timedelta(days=7)
+    rows = []
+    # cohort W0: u0 active W0,W1,W2; u1 active W0,W2 (skips W1)
+    for u, weeks in [(0, [0, 1, 2]), (1, [0, 2]),
+                     # cohort W1: u2 active W1; u3 active W1,W2
+                     (2, [1]), (3, [1, 2])]:
+        for w in weeks:
+            # two events inside the week (incl. Sunday 23:59) -> distinct
+            rows.append((u, MON + w * wk + dt.timedelta(hours=5)))
+            rows.append((u, MON + w * wk + dt.timedelta(
+                days=6, hours=23, minutes=59)))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    got = {(r["cohort_week"], r["week"]): r["n_users"]
+           for r in weekly_retention(
+               rd.from_arrow(t).repartition(4), num_buckets=3).take_all()}
+    W = lambda i: MON + i * wk
+    assert got == {
+        (W(0), W(0)): 2, (W(0), W(1)): 1, (W(0), W(2)): 2,
+        (W(1), W(1)): 2, (W(1), W(2)): 1,
+    }

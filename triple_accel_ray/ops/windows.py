@@ -372,3 +372,60 @@ def windowed_distinct(events, ts_col: str = "ts", key_col: str = "user_id",
         .count()
         .map_batches(_count, batch_format="pyarrow")
     )
+
+
+def weekly_retention(events, ts_col: str = "ts", key_col: str = "user_id",
+                     num_buckets: int = 32):
+    """→ (cohort_week, week, n_users): the retention matrix — users whose
+    FIRST active week is cohort_week and who were active in week. Weeks
+    are Monday-origin (date_trunc('week') semantics: 1970-01-01 was a
+    Thursday, so day-of-week = (epoch_days + 3) % 7 with Monday = 0).
+
+    Scale shape: per-block DISTINCT (user, week) partials, then ONE
+    hash(user) bucket shuffle so each task owns whole users — the
+    per-user min (cohort) and the (cohort, week) partial counts are
+    local; the final merge is a matrix-sized grouped sum (weeks^2, never
+    rows)."""
+    from ray.data.aggregate import Sum
+
+    from ..pipeline.shuffle import bucket_partition
+
+    day_us = 86_400_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([ts_col, key_col]))
+        days = pl.col(ts_col).cast(pl.Int64) // day_us
+        df = df.with_columns(
+            week=((days - (days + 3) % 7) * day_us).cast(pl.Datetime("us"))
+        ).select([key_col, "week"]).unique().with_columns(
+            bucket=(pl.col(key_col).hash(seed=63) % np.uint64(num_buckets))
+            .cast(pl.Int32)
+        )
+        return df.to_arrow().cast(pa.schema([
+            (key_col, pa.int64()), ("week", pa.timestamp("us")),
+            ("bucket", pa.int32())]))
+
+    def _cohort_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key_col, "week"])).unique()
+        df = df.with_columns(
+            cohort_week=pl.col("week").min().over(key_col)
+        )
+        out = df.group_by(["cohort_week", "week"]).agg(
+            n=pl.len().cast(pl.Int64))
+        return out.to_arrow().cast(pa.schema([
+            ("cohort_week", pa.timestamp("us")),
+            ("week", pa.timestamp("us")), ("n", pa.int64())]))
+
+    return (
+        bucket_partition(
+            events.map_batches(_partial, batch_format="pyarrow"),
+            _cohort_counts, num_buckets)
+        .groupby(["cohort_week", "week"])
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .map_batches(
+            lambda t: pa.table({
+                "cohort_week": t["cohort_week"], "week": t["week"],
+                "n_users": t["n_sum"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow")
+    )

@@ -1533,6 +1533,19 @@ def build_queries() -> Dict[str, Callable]:
 
     q["fuzzy_probe_join"] = fuzzy_probe_join
 
+    def weekly_retention(sf_dir):
+        """Cohort retention matrix (ops/windows.weekly_retention): users
+        grouped by first-active week, counted per later active week.
+        Per-block distinct (user, week) partials, one user-bucket shuffle
+        (cohort min + partial counts local), matrix-sized final merge."""
+        from .ops.windows import weekly_retention as _wr
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["ts", "user_id"])
+        return _wr(ev)
+
+    q["weekly_retention"] = weekly_retention
+
     return q
 
 
@@ -3114,5 +3127,15 @@ cand AS (
 )
 SELECT probe_id, doc_id, levenshtein(ptext, text)::BIGINT AS dist
 FROM cand WHERE levenshtein(ptext, text) <= 24"""
+
+    # retention: date_trunc('week') is Monday-origin, matching the
+    # engine's (epoch_days + 3) % 7 arithmetic.
+    o["weekly_retention"] = """
+WITH act AS (SELECT DISTINCT user_id,
+                    date_trunc('week', ts)::TIMESTAMP AS week
+             FROM events),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+SELECT c.cohort_week, a.week, count(*)::BIGINT AS n_users
+FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2"""
 
     return o
