@@ -1147,3 +1147,44 @@ def test_weekly_retention_multi_cohort(ray_session):
         (W(0), W(0)): 2, (W(0), W(1)): 1, (W(0), W(2)): 2,
         (W(1), W(1)): 2, (W(1), W(2)): 1,
     }
+
+
+def test_distinctive_terms_differential(ray_session):
+    """Top-k terms vs a naive python TF/DF computation on a corpus with
+    tf ties (df tiebreak), (tf, df) ties (term tiebreak), case folding,
+    and docs whose vocabulary is smaller than k."""
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import distinctive_terms
+
+    texts = {
+        0: "Apple banana apple CHERRY banana apple",
+        1: "banana cherry cherry date9date elderberry",
+        2: "zz aa zz aa",            # full tf+df tie -> term order
+        3: "apple",                   # vocab < k
+        4: "date fig fig fig grape grape date date",
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in texts], pa.string()),
+    })
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"])
+           for r in distinctive_terms(
+               rd.from_arrow(t).repartition(3), k=3,
+               num_buckets=4).take_all()}
+
+    tok = {d: [w.lower() for w in re.findall(r"[A-Za-z]+", s)]
+           for d, s in texts.items()}
+    dfc = collections.Counter()
+    for ws in tok.values():
+        dfc.update(set(ws))
+    want = {}
+    for d, ws in tok.items():
+        tfc = collections.Counter(ws)
+        ranked = sorted(tfc, key=lambda w: (-tfc[w], dfc[w], w))
+        for i, w in enumerate(ranked[:3]):
+            want[(d, i + 1)] = (w, tfc[w], dfc[w])
+    assert got == want

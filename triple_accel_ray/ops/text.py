@@ -399,3 +399,112 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
         ("text_redacted", pa.string()),
         ("n_chars_redacted", pa.int64()),
     ]))
+
+
+def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text", num_buckets: int = 32):
+    """→ (doc_id, term, tf, df, rnk): the top-k DISTINCTIVE terms per
+    document — the integer-exact TF-IDF shape. Terms are lowercased
+    ASCII letter runs (``[A-Za-z]+``, identical under polars/rust-regex
+    and DuckDB/RE2); rank order is (tf DESC, df ASC, term ASC) — highest
+    in-document frequency first, rarest-across-corpus tiebreak — a total
+    order, so a ``row_number()`` SQL oracle is value-exact with no float
+    idf anywhere.
+
+    Scale shape: tokenization + per-doc tf is per-row (docs are whole
+    rows, so tf is exact in one stateless pass and the TEXT never leaves
+    that stage); the id-width tf rows are materialized once because two
+    consumers need them (the df aggregate and the join probe — at 100 TB
+    recomputing the tokenize pass twice may beat spilling the
+    materialized rows; that trade is a flag away). df rides a
+    vocabulary-sized grouped sum (one partial per distinct term per
+    block — tf rows are already distinct per (doc, term), so the partial
+    is a plain group count). df joins back via one hash(term) bucket
+    shuffle (pipeline.shuffle.bucket_join); the final per-doc ranking
+    runs behind a per-block PARTIAL top-k (top-k of a union == top-k of
+    per-part top-ks), so the doc-bucket shuffle carries <= k rows per doc
+    per block."""
+    from ray.data.aggregate import Sum
+
+    from ..pipeline.shuffle import bucket_join, bucket_partition
+
+    kk = int(k)
+    BY = [id_col, "tf", "df", "term"]
+    DESC = [False, True, False, False]
+
+    def _doc_tf(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        out = (
+            df.select(
+                pl.col(id_col),
+                pl.col(text_col).str.extract_all(r"[A-Za-z]+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls()
+            .with_columns(pl.col("term").str.to_lowercase())
+            .group_by([id_col, "term"])
+            .agg(tf=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(pa.schema([
+            (id_col, pa.int64()), ("term", pa.string()),
+            ("tf", pa.int64())]))
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        # one row per (doc, term) in -> docs-containing-term per block
+        out = (pl.from_arrow(t.select(["term"]))
+               .group_by("term").agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
+
+    def _partial_topk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.sort(BY, descending=DESC)
+            .with_columns(r=pl.col("term").cum_count().over(id_col))
+            .filter(pl.col("r") <= kk)
+            .drop("r")
+            .with_columns(bucket=(
+                pl.col(id_col).hash(seed=17) % np.uint64(num_buckets)
+            ).cast(pl.Int32))
+            .to_arrow()
+            .cast(pa.schema([
+                (id_col, pa.int64()), ("term", pa.string()),
+                ("tf", pa.int64()), ("df", pa.int64()),
+                ("bucket", pa.int32())]))
+        )
+
+    def _final_rank(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["bucket"]))
+        return (
+            df.sort(BY, descending=DESC)
+            .with_columns(rnk=pl.col("term").cum_count().over(id_col)
+                          .cast(pl.Int64))
+            .filter(pl.col("rnk") <= kk)
+            .to_arrow()
+            .cast(pa.schema([
+                (id_col, pa.int64()), ("term", pa.string()),
+                ("tf", pa.int64()), ("df", pa.int64()),
+                ("rnk", pa.int64())]))
+        )
+
+    tf_rows = docs.map_batches(
+        _doc_tf, batch_format="pyarrow").materialize()
+    df_table = (
+        tf_rows.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="df"))
+        .map_batches(
+            lambda t: pa.table({"term": t["term"],
+                                "df": t["df"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    )
+    joined = bucket_join(
+        tf_rows, df_table, "term", "term",
+        pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                   ("tf", pa.int64())]),
+        pa.schema([("term", pa.string()), ("df", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    return bucket_partition(
+        joined.map_batches(_partial_topk, batch_format="pyarrow"),
+        _final_rank, num_buckets)

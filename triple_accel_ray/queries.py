@@ -1546,6 +1546,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["weekly_retention"] = weekly_retention
 
+    def distinctive_terms(sf_dir):
+        """Integer-exact TF-IDF shape (ops/text.distinctive_terms): top-3
+        terms per doc by (tf DESC, df ASC, term ASC). Text never leaves
+        the tokenize stage; df is a vocabulary-sized grouped sum joined
+        back via one term-bucket shuffle; the per-doc ranking shuffles
+        <= k rows per doc per block (partial top-k combiner)."""
+        from .ops.text import distinctive_terms as _dt
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return _dt(docs, k=3)
+
+    q["distinctive_terms"] = distinctive_terms
+
     return q
 
 
@@ -3137,5 +3151,24 @@ WITH act AS (SELECT DISTINCT user_id,
 coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
 SELECT c.cohort_week, a.week, count(*)::BIGINT AS n_users
 FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2"""
+
+    # distinctive terms: all-integer tf/df ranking (no float idf), so
+    # row_number under the total order (tf DESC, df ASC, term ASC) is
+    # value-exact against the engine.
+    o["distinctive_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM toks GROUP BY 1),
+rk AS (SELECT doc_id, term, tf, df,
+              row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf DESC, df ASC, term ASC)::BIGINT AS rnk
+       FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, rnk FROM rk WHERE rnk <= 3"""
 
     return o
