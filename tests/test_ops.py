@@ -1188,3 +1188,60 @@ def test_distinctive_terms_differential(ray_session):
         for i, w in enumerate(ranked[:3]):
             want[(d, i + 1)] = (w, tfc[w], dfc[w])
     assert got == want
+
+
+def test_pagerank_integer_differential(ray_session):
+    """Distributed integer PageRank equals a naive single-process
+    replay of the same floor-divide rule on a random graph with a
+    planted hub, plus invariance under a permuted/repartitioned edge
+    order."""
+    import random
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.graph import pagerank
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = set()
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    for i in range(1, 30):            # hub: n000 touches 29 others
+        edges.add(("n000", f"n{i:03d}"))
+    el = sorted(edges)
+
+    def naive(el, n_iter=3, scale=10**12):
+        de = [(a, b) for a, b in el] + [(b, a) for a, b in el]
+        deg = {}
+        for s, _ in de:
+            deg[s] = deg.get(s, 0) + 1
+        n = len(deg)
+        pr = {v: scale // n for v in deg}
+        base = (15 * (scale // n)) // 100
+        for _ in range(n_iter):
+            s = {v: 0 for v in deg}
+            for u, v in de:
+                s[v] += pr[u] // deg[u]
+            pr = {v: base + (85 * s[v]) // 100 for v in deg}
+        return pr
+
+    want = naive(el)
+    t = pa.table({
+        "a_id": pa.array([a for a, _ in el], pa.string()),
+        "b_id": pa.array([b for _, b in el], pa.string()),
+    })
+    got = {r["conv_id"]: r["pr"]
+           for r in pagerank(rd.from_arrow(t).repartition(5),
+                             num_buckets=4).take_all()}
+    assert got == want
+
+    perm = el[::-1]
+    t2 = pa.table({
+        "a_id": pa.array([a for a, _ in perm], pa.string()),
+        "b_id": pa.array([b for _, b in perm], pa.string()),
+    })
+    got2 = {r["conv_id"]: r["pr"]
+            for r in pagerank(rd.from_arrow(t2).repartition(3),
+                              num_buckets=7).take_all()}
+    assert got2 == want

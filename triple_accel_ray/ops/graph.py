@@ -187,3 +187,127 @@ def triangle_counts(edges, num_buckets: int = 32):
         }),
         batch_format="pyarrow",
     )
+
+
+def pagerank(edges, n_iter: int = 3, scale: int = 10**12,
+             num_buckets: int = 32):
+    """edges (a_id, b_id) — canonical a_id < b_id, distinct — →
+    (conv_id, pr): INTEGER fixed-point PageRank (d = 0.85) after
+    ``n_iter`` synchronous iterations over the undirected match graph
+    (each edge walked both ways).
+
+    Why integer: pr values are int64 multiples of 1/scale with FLOOR
+    division everywhere — pr0 = scale // N; per-edge share =
+    pr // deg(src); pr' = (15 * (scale // N)) // 100 + (85 * S) // 100.
+    Every step is an order-independent integer sum or a floor divide,
+    so the result is deterministic under any partitioning and a chained
+    3-CTE DuckDB twin is value-exact — the usual float-PageRank
+    nondeterminism (reduction order) never appears. No dangling-node
+    term is needed: both directions of every edge exist, so every node
+    has out-degree >= 1.
+
+    Scale shape: the directed edge table (src, dst, src_deg) is built
+    ONCE (degree aggregate + one hash(node) bucket join) and reused by
+    every iteration; an iteration is one hash(src) bucket join (attach
+    pr, id-width rows) + a per-block combiner (group dst within the
+    bucket) + a node-sized grouped sum — hub vertices are absorbed into
+    one partial per block. State between iterations is the node-width
+    (node, pr) table only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a_id", "b_id"]))
+        nodes = pl.concat([
+            df.select(node=pl.col("a_id")),
+            df.select(node=pl.col("b_id")),
+        ])
+        out = nodes.group_by("node").agg(d=pl.len().cast(pl.Int64))
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.string()), ("d", pa.int64())]))
+
+    deg = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+        .map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "deg": t["deg"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = deg.count()
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "pr": pa.array([], pa.int64())})
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    pr0 = int(scale) // n_nodes
+    base = (15 * pr0) // 100
+
+    def _direct(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a_id", "b_id"]))
+        out = pl.concat([
+            df.select(src=pl.col("a_id"), dst=pl.col("b_id")),
+            df.select(src=pl.col("b_id"), dst=pl.col("a_id")),
+        ])
+        return out.to_arrow().cast(
+            pa.schema([("src", pa.string()), ("dst", pa.string())]))
+
+    # (src, dst, sdeg) — reused every iteration, built once.
+    dedges = bucket_join(
+        edges.map_batches(_direct, batch_format="pyarrow"),
+        deg.map_batches(
+            lambda t: pa.table({"node": t["node"], "sdeg": t["deg"]}),
+            batch_format="pyarrow"),
+        "src", "node",
+        pa.schema([("src", pa.string()), ("dst", pa.string())]),
+        pa.schema([("node", pa.string()), ("sdeg", pa.int64())]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    pr = deg.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "pr": pa.array(np.full(t.num_rows, pr0, dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+
+    def _share_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["dst", "sdeg", "pr"]))
+        out = (
+            df.with_columns(share=pl.col("pr") // pl.col("sdeg"))
+            .group_by("dst").agg(s=pl.col("share").sum().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("dst", pa.string()), ("s", pa.int64())]))
+
+    for _ in range(int(n_iter)):
+        joined = bucket_join(
+            dedges, pr, "src", "node",
+            pa.schema([("src", pa.string()), ("dst", pa.string()),
+                       ("sdeg", pa.int64())]),
+            pa.schema([("node", pa.string()), ("pr", pa.int64())]),
+            num_buckets=num_buckets,
+        )
+        pr = (
+            joined.map_batches(_share_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s", alias_name="s_sum"))
+            .map_batches(
+                lambda t: pa.table({
+                    "node": t["dst"],
+                    "pr": pc.add(
+                        pc.divide(
+                            pc.multiply(t["s_sum"].cast(pa.int64()),
+                                        pa.scalar(85, pa.int64())),
+                            pa.scalar(100, pa.int64())),
+                        pa.scalar(base, pa.int64())),
+                }),
+                batch_format="pyarrow")
+        )
+
+    return pr.map_batches(
+        lambda t: pa.table({"conv_id": t["node"],
+                            "pr": t["pr"].cast(pa.int64())}),
+        batch_format="pyarrow")

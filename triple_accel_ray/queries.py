@@ -1560,6 +1560,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["distinctive_terms"] = distinctive_terms
 
+    def er_pagerank(sf_dir):
+        """Integer fixed-point PageRank over the ER match graph
+        (ops/graph.pagerank): 3 synchronous iterations, d=0.85, every
+        step a floor divide or an order-independent integer sum — so
+        the chained-CTE SQL twin is value-exact (no float reduction
+        order anywhere). Per iteration: one hash(src) bucket join +
+        per-block dst combiner + node-sized grouped sum."""
+        from .ops.graph import pagerank
+
+        return pagerank(
+            _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
+            n_iter=3, num_buckets=8)
+
+    q["er_pagerank"] = er_pagerank
+
     return q
 
 
@@ -3170,5 +3185,40 @@ rk AS (SELECT doc_id, term, tf, df,
                 ORDER BY tf DESC, df ASC, term ASC)::BIGINT AS rnk
        FROM tf JOIN df USING (term))
 SELECT doc_id, term, tf, df, rnk FROM rk WHERE rnk <= 3"""
+
+    # integer fixed-point PageRank: floor divides + integer sums only,
+    # so three chained CTEs replay the engine's iterations bit-for-bit
+    # (// is integer division in DuckDB; all values non-negative, so
+    # trunc == floor).
+    o["er_pagerank"] = f"""
+WITH {docs_cte}, {sig_pairs_cte}, {scored_cte},
+e0 AS (SELECT a_id, b_id FROM edges),
+de AS (SELECT a_id AS src, b_id AS dst FROM e0
+       UNION ALL SELECT b_id, a_id FROM e0),
+deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM de GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+pr0 AS (SELECT node, (1000000000000 // nn.n)::BIGINT AS pr FROM deg, nn),
+s1 AS (SELECT de.dst AS node, sum(p.pr // d.deg)::BIGINT AS s
+       FROM de JOIN pr0 p ON de.src = p.node JOIN deg d ON de.src = d.node
+       GROUP BY 1),
+pr1 AS (SELECT s1.node,
+               ((15 * (1000000000000 // nn.n)) // 100
+                + (85 * s) // 100)::BIGINT AS pr
+        FROM s1, nn),
+s2 AS (SELECT de.dst AS node, sum(p.pr // d.deg)::BIGINT AS s
+       FROM de JOIN pr1 p ON de.src = p.node JOIN deg d ON de.src = d.node
+       GROUP BY 1),
+pr2 AS (SELECT s2.node,
+               ((15 * (1000000000000 // nn.n)) // 100
+                + (85 * s) // 100)::BIGINT AS pr
+        FROM s2, nn),
+s3 AS (SELECT de.dst AS node, sum(p.pr // d.deg)::BIGINT AS s
+       FROM de JOIN pr2 p ON de.src = p.node JOIN deg d ON de.src = d.node
+       GROUP BY 1),
+pr3 AS (SELECT s3.node,
+               ((15 * (1000000000000 // nn.n)) // 100
+                + (85 * s) // 100)::BIGINT AS pr
+        FROM s3, nn)
+SELECT node AS conv_id, pr FROM pr3"""
 
     return o
