@@ -1245,3 +1245,29 @@ def test_pagerank_integer_differential(ray_session):
             for r in pagerank(rd.from_arrow(t2).repartition(3),
                               num_buckets=7).take_all()}
     assert got2 == want
+
+
+def test_profile_columns_adversarial(ray_session):
+    """Profiling vs direct computation: negative ints (typed min/max,
+    the case a stringified merge ranks wrong), nulls, an all-null
+    column, and cross-block duplicate values."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.profile import profile_columns
+
+    t = pa.table({
+        "i": pa.array([-5, 499, 95, None, 499, -5, 1000, 7], pa.int64()),
+        "s": pa.array(["b", "a", None, "zz", "a", "b", "", "a"],
+                      pa.string()),
+        "z": pa.array([None] * 8, pa.int64()),
+    })
+    got = {r["col_name"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                           r["min_str"], r["max_str"])
+           for r in profile_columns(
+               rd.from_arrow(t).repartition(4), ["i", "s", "z"],
+               num_buckets=3).take_all()}
+    assert got == {
+        "i": (8, 1, 5, "-5", "1000"),
+        "s": (8, 1, 4, "", "zz"),
+        "z": (8, 8, 0, None, None),
+    }

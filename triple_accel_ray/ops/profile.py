@@ -1,0 +1,136 @@
+"""Table profiling: per-column stats in one streaming pass.
+
+The pass every pipeline should run before committing to a plan — null
+rates, value ranges and exact cardinalities drive the engine's own
+broadcast-or-join and skew decisions (SCALING.md). One row out per
+profiled column: (col_name, n_rows, n_null, n_distinct, min_str,
+max_str).
+
+Scale shape: counts and typed min/max ride per-block partials merged by
+a column-vocabulary-sized grouped aggregate (never a data shuffle).
+Exact distinct counts melt every column's PER-BLOCK DISTINCT values into
+(col_name, val) rows — the only value-sized exchange, one hash(val)
+bucket shuffle shared by all columns — then a per-bucket distinct count
+per column and a tiny grouped sum. For columns where exact cardinality
+isn't worth a value shuffle at 100 TB, ops/sketch.hll_registers is the
+register-sized approximate twin (same pairing as distinct_count).
+
+min/max are computed on the TYPED column (lexicographic string min of
+int64 would be wrong) and only then cast to string for the uniform
+output schema; the int -> string cast matches DuckDB's VARCHAR cast, so
+the SQL twin is value-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def profile_columns(ds, columns: list[str], num_buckets: int = 32):
+    """→ one row per column in ``columns``: (col_name, n_rows, n_null,
+    n_distinct, min_str, max_str). Exact, deterministic, value-checked
+    against a per-column UNION ALL SQL twin."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..pipeline.shuffle import bucket_partition
+
+    cols = list(columns)
+
+    # Typed scalar aggregates in ONE streaming pass (Ray merges per-block
+    # partials internally; the result is a ncols-sized dict, the
+    # legitimate small-result consumption). min/max MUST merge on the
+    # typed column and stringify only afterwards — a per-block
+    # stringify-then-string-merge ranks "95" above "499".
+    def _null_flags(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in cols}
+        for c in cols:
+            out[f"__null_{c}"] = pc.cast(pc.is_null(t[c]), pa.int64())
+        return pa.table(out)
+
+    aggs = [Count(alias_name="n_rows")]
+    for c in cols:
+        aggs += [Min(c, alias_name=f"min_{c}"),
+                 Max(c, alias_name=f"max_{c}"),
+                 Sum(f"__null_{c}", alias_name=f"nnull_{c}")]
+    res = ds.map_batches(_null_flags, batch_format="pyarrow").aggregate(*aggs)
+    stats = {
+        c: {
+            "n_rows": int(res["n_rows"]),
+            "n_null": int(res[f"nnull_{c}"] or 0),
+            "min_str": None if res[f"min_{c}"] is None
+            else str(res[f"min_{c}"]),
+            "max_str": None if res[f"max_{c}"] is None
+            else str(res[f"max_{c}"]),
+        }
+        for c in cols
+    }
+
+    def _distinct_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            u = pc.unique(t[c]).drop_null().cast(pa.string())
+            parts.append(pa.table({
+                "col_name": pa.array([c] * len(u), pa.string()),
+                "val": u,
+            }))
+        out = pa.concat_tables(parts)
+        df = pl.from_arrow(out).with_columns(
+            bucket=(pl.col("val").hash(seed=29) % np.uint64(num_buckets))
+            .cast(pl.Int32))
+        return df.to_arrow().cast(pa.schema([
+            ("col_name", pa.string()), ("val", pa.string()),
+            ("bucket", pa.int32())]))
+
+    def _bucket_distinct(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select(["col_name", "val"]))
+            .unique()
+            .group_by("col_name")
+            .agg(nd=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("col_name", pa.string()), ("nd", pa.int64())]))
+
+    def _attach(t: pa.Table) -> pa.Table:
+        names = t["col_name"].to_pylist()
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(
+                [stats[c]["n_rows"] for c in names], pa.int64()),
+            "n_null": pa.array(
+                [stats[c]["n_null"] for c in names], pa.int64()),
+            "n_distinct": t["n_distinct"].cast(pa.int64()),
+            "min_str": pa.array(
+                [stats[c]["min_str"] for c in names], pa.string()),
+            "max_str": pa.array(
+                [stats[c]["max_str"] for c in names], pa.string()),
+        })
+
+    distinct = (
+        bucket_partition(
+            ds.map_batches(_distinct_partial, batch_format="pyarrow"),
+            _bucket_distinct, num_buckets)
+        .groupby("col_name")
+        .aggregate(Sum("nd", alias_name="n_distinct"))
+        .map_batches(_attach, batch_format="pyarrow")
+    )
+
+    allnull = [c for c in cols
+               if stats[c]["n_null"] == stats[c]["n_rows"]]
+    if allnull:
+        import ray.data as rd
+        extra = pa.table({
+            "col_name": pa.array(allnull, pa.string()),
+            "n_rows": pa.array(
+                [stats[c]["n_rows"] for c in allnull], pa.int64()),
+            "n_null": pa.array(
+                [stats[c]["n_null"] for c in allnull], pa.int64()),
+            "n_distinct": pa.array([0] * len(allnull), pa.int64()),
+            "min_str": pa.nulls(len(allnull), pa.string()),
+            "max_str": pa.nulls(len(allnull), pa.string()),
+        })
+        distinct = distinct.union(rd.from_arrow(extra))
+    return distinct

@@ -1575,6 +1575,22 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_pagerank"] = er_pagerank
 
+    def docs_profile(sf_dir):
+        """Single-pass table profiling (ops/profile.profile_columns):
+        per-column rows/nulls/exact distinct/typed min-max over the full
+        documents table. Counts + min/max ride per-block partials (no
+        data shuffle); exact distinct is ONE shared hash(val) bucket
+        shuffle of per-block-distinct melted values."""
+        from .ops.profile import profile_columns
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"])
+        return profile_columns(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    q["docs_profile"] = docs_profile
+
     return q
 
 
@@ -3220,5 +3236,19 @@ pr3 AS (SELECT s3.node,
                 + (85 * s) // 100)::BIGINT AS pr
         FROM s3, nn)
 SELECT node AS conv_id, pr FROM pr3"""
+
+    # profiling: typed min/max cast to VARCHAR after aggregation (the
+    # engine computes min/max on the typed column, then stringifies —
+    # DuckDB's int->VARCHAR cast == python str(int)).
+    prof_col = """
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM documents"""
+    o["docs_profile"] = " UNION ALL ".join(
+        prof_col.format(c=c)
+        for c in ["doc_id", "text", "lang", "source", "n_chars"])
 
     return o
