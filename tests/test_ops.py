@@ -1271,3 +1271,39 @@ def test_profile_columns_adversarial(ray_session):
         "s": (8, 1, 4, "", "zz"),
         "z": (8, 8, 0, None, None),
     }
+
+
+def test_snapshot_diff_semantics(ray_session):
+    """added/removed/changed vs hand-built snapshots; unchanged rows
+    silent; duplicate-id snapshot rejected."""
+    import pytest
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import snapshot_diff
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([2, 3, 4, 9], pa.int64()),
+        "text": pa.array(["b", "C!", "d", "nine"], pa.string()),
+    })
+    got = {r["doc_id"]: (r["change"], r["old_len"], r["new_len"])
+           for r in snapshot_diff(
+               rd.from_arrow(old).repartition(3),
+               rd.from_arrow(new).repartition(2),
+               num_buckets=3).take_all()}
+    assert got == {
+        1: ("removed", 1, None),
+        3: ("changed", 1, 2),
+        9: ("added", None, 4),
+    }
+
+    dup = pa.table({
+        "doc_id": pa.array([5, 5], pa.int64()),
+        "text": pa.array(["x", "y"], pa.string()),
+    })
+    with pytest.raises(Exception, match="duplicate"):
+        snapshot_diff(rd.from_arrow(old), rd.from_arrow(dup),
+                      num_buckets=2).take_all()

@@ -405,3 +405,64 @@ def dataset_set_op(left, right, col: str, op: str = "except"):
         return t.select([col]).filter(pa.array(keep))
 
     return merged.map_batches(_filter, batch_format="pyarrow")
+
+
+def snapshot_diff(old, new, id_col: str = "doc_id",
+                  content_col: str = "text", num_buckets: int = 32):
+    """CDC between two snapshots of a table → (doc_id, change,
+    old_len, new_len) with change in {'added', 'removed', 'changed'};
+    unchanged rows emit nothing. Comparison is BYTE-exact: the
+    hash(id) bucket shuffle colocates both versions of a row, so
+    equality is decided on the actual content, never on a content hash
+    (a constructible hash collision cannot mask an edit — the
+    exact-dedup rule from ops/dedup.exact_dup_groups applied to diffs).
+
+    Scale shape: one union + one hash(id) bucket shuffle carrying each
+    snapshot once (inherent to CDC — every row's twin must be found);
+    the per-bucket body is a vectorized polars pivot (group by id,
+    first-per-side), no Python per row. IDs must be unique per
+    snapshot (enforced; duplicate-id snapshots are a corrupt input)."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.select([id_col, content_col]))
+            df = df.with_columns(
+                side=pl.lit(side, dtype=pl.Int8),
+                bucket=(pl.col(id_col).hash(seed=41)
+                        % np.uint64(num_buckets)).cast(pl.Int32),
+            )
+            return df.to_arrow().cast(pa.schema([
+                (id_col, pa.int64()), (content_col, pa.string()),
+                ("side", pa.int8()), ("bucket", pa.int32())]))
+        return _f
+
+    def _classify(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, content_col, "side"]))
+        g = df.group_by(id_col).agg(
+            n_old=(pl.col("side") == 0).sum().cast(pl.Int64),
+            n_new=(pl.col("side") == 1).sum().cast(pl.Int64),
+            old_c=pl.col(content_col).filter(pl.col("side") == 0).first(),
+            new_c=pl.col(content_col).filter(pl.col("side") == 1).first(),
+        )
+        bad = g.filter((pl.col("n_old") > 1) | (pl.col("n_new") > 1))
+        if len(bad):
+            raise ValueError(
+                f"duplicate {id_col} within a snapshot: "
+                f"{bad[id_col].head(3).to_list()}")
+        g = g.with_columns(
+            change=pl.when(pl.col("n_old") == 0).then(pl.lit("added"))
+            .when(pl.col("n_new") == 0).then(pl.lit("removed"))
+            .when(pl.col("old_c") != pl.col("new_c"))
+            .then(pl.lit("changed")).otherwise(pl.lit(None)),
+            old_len=pl.col("old_c").str.len_bytes().cast(pl.Int64),
+            new_len=pl.col("new_c").str.len_bytes().cast(pl.Int64),
+        ).filter(pl.col("change").is_not_null())
+        return g.select([id_col, "change", "old_len", "new_len"]).to_arrow(
+        ).cast(pa.schema([
+            (id_col, pa.int64()), ("change", pa.string()),
+            ("old_len", pa.int64()), ("new_len", pa.int64())]))
+
+    tagged = old.map_batches(_tag(0), batch_format="pyarrow").union(
+        new.map_batches(_tag(1), batch_format="pyarrow"))
+    return bucket_partition(tagged, _classify, num_buckets)

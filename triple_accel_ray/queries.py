@@ -1591,6 +1591,39 @@ def build_queries() -> Dict[str, Callable]:
 
     q["docs_profile"] = docs_profile
 
+    def docs_snapshot_diff(sf_dir):
+        """CDC between two snapshots (ops/relational.snapshot_diff):
+        byte-exact added/removed/changed classification after one
+        hash(id) bucket shuffle colocates both versions of each row.
+        The 'new' snapshot plants deterministic mutations from doc_id
+        arithmetic (removed %17==3, edited %13==2, added %19==4 under
+        id+10^6) so the SQL twin replays them exactly."""
+        from .ops.relational import snapshot_diff
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+        def _mknew(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            kept = (
+                df.filter(pl.col("doc_id") % 17 != 3)
+                .with_columns(
+                    text=pl.when(pl.col("doc_id") % 13 == 2)
+                    .then(pl.col("text") + pl.lit(" <EDIT>"))
+                    .otherwise(pl.col("text")))
+            )
+            added = df.filter(pl.col("doc_id") % 19 == 4).select(
+                doc_id=pl.col("doc_id") + 1_000_000,
+                text=pl.lit("new doc ") + pl.col("doc_id").cast(pl.String),
+            )
+            return pl.concat([kept, added]).to_arrow().cast(pa.schema([
+                ("doc_id", pa.int64()), ("text", pa.string())]))
+
+        new = docs.map_batches(_mknew, batch_format="pyarrow")
+        return snapshot_diff(docs, new)
+
+    q["docs_snapshot_diff"] = docs_snapshot_diff
+
     return q
 
 
@@ -3250,5 +3283,29 @@ FROM documents"""
     o["docs_profile"] = " UNION ALL ".join(
         prof_col.format(c=c)
         for c in ["doc_id", "text", "lang", "source", "n_chars"])
+
+    # snapshot diff: the new snapshot is replayed from the same doc_id
+    # arithmetic the engine query plants; unchanged rows are excluded.
+    o["docs_snapshot_diff"] = """
+WITH oldt AS (SELECT doc_id, text FROM documents),
+newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 2 THEN text || ' <EDIT>' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'new doc ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 19 = 4
+),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             o.text AS oc, n.text AS nc
+      FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN oc IS NULL THEN 'added'
+            WHEN nc IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       strlen(oc)::BIGINT AS old_len,
+       strlen(nc)::BIGINT AS new_len
+FROM j WHERE oc IS NULL OR nc IS NULL OR oc != nc"""
 
     return o
