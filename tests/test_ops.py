@@ -1307,3 +1307,26 @@ def test_snapshot_diff_semantics(ray_session):
     with pytest.raises(Exception, match="duplicate"):
         snapshot_diff(rd.from_arrow(old), rd.from_arrow(dup),
                       num_buckets=2).take_all()
+
+
+def test_fk_orphans_differential(ray_session):
+    """Orphan detection vs python set math: hot orphan key spread
+    across blocks, dim duplicates tolerated, zero-orphan case empty."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import fk_orphans
+
+    fact = pa.table({"fk": pa.array(
+        [1, 2, 2, 3, 7, 7, 7, 7, 8, 1], pa.int64())})
+    dim = pa.table({"pk": pa.array([1, 2, 2, 3, 4], pa.int64())})
+    got = {r["fk"]: r["n_rows"]
+           for r in fk_orphans(
+               rd.from_arrow(fact).repartition(4),
+               rd.from_arrow(dim).repartition(2),
+               "fk", "pk", num_buckets=3).take_all()}
+    assert got == {7: 4, 8: 1}
+
+    clean = fk_orphans(
+        rd.from_arrow(pa.table({"fk": pa.array([1, 2], pa.int64())})),
+        rd.from_arrow(dim), "fk", "pk").take_all()
+    assert clean == []

@@ -466,3 +466,57 @@ def snapshot_diff(old, new, id_col: str = "doc_id",
     tagged = old.map_batches(_tag(0), batch_format="pyarrow").union(
         new.map_batches(_tag(1), batch_format="pyarrow"))
     return bucket_partition(tagged, _classify, num_buckets)
+
+
+def fk_orphans(fact, dim, fk_col: str, pk_col: str,
+               num_buckets: int = 32):
+    """Referential-integrity check → (fk, n_rows): every foreign-key
+    value in ``fact`` that has no matching primary key in ``dim``, with
+    the number of fact rows it strands. The data-quality gate a join
+    pipeline runs before trusting an equi-join.
+
+    Scale shape: both sides are reduced to per-block DISTINCT keys
+    BEFORE the exchange — fact keys carry a per-block row count
+    (combiner, so hot keys are one partial per block), dim keys carry a
+    presence marker. One grouped merge (sum counts, max presence) keyed
+    by the key value, then a stateless filter keeps presence == 0. The
+    shuffle is key-vocabulary-sized per block, never row-sized; no
+    text, no fact payload."""
+    from ray.data.aggregate import Max, Sum
+
+    def _fact_partial(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select([fk_col]))
+            .group_by(fk_col).agg(n=pl.len().cast(pl.Int64))
+            .with_columns(present=pl.lit(0, dtype=pl.Int64))
+        )
+        return out.rename({fk_col: "key"}).to_arrow().cast(pa.schema([
+            ("key", pa.int64()), ("n", pa.int64()),
+            ("present", pa.int64())]))
+
+    def _dim_partial(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select([pk_col])).unique()
+            .with_columns(n=pl.lit(0, dtype=pl.Int64),
+                          present=pl.lit(1, dtype=pl.Int64))
+        )
+        return out.rename({pk_col: "key"}).to_arrow().cast(pa.schema([
+            ("key", pa.int64()), ("n", pa.int64()),
+            ("present", pa.int64())]))
+
+    merged = (
+        fact.map_batches(_fact_partial, batch_format="pyarrow")
+        .union(dim.map_batches(_dim_partial, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n_rows"),
+                   Max("present", alias_name="present_max"))
+    )
+    def _orphans(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["present_max"], 0))
+        return pa.table({
+            "fk": t["key"],
+            "n_rows": t["n_rows"].cast(pa.int64()),
+        })
+
+    return merged.map_batches(_orphans, batch_format="pyarrow")

@@ -1624,6 +1624,28 @@ def build_queries() -> Dict[str, Callable]:
 
     q["docs_snapshot_diff"] = docs_snapshot_diff
 
+    def orders_fk_orphans(sf_dir):
+        """Referential-integrity gate (ops/relational.fk_orphans):
+        orders.o_custkey values with no customer row, after customers
+        with c_custkey % 23 == 5 are deterministically dropped (the
+        fixture's integrity holds, so orphans are planted by replayable
+        arithmetic). Distinct-key partials + one grouped merge — the
+        shuffle never carries fact rows."""
+        from .ops.relational import fk_orphans
+
+        orders = read_parquet_clean(
+            _t(sf_dir, "orders"), columns=["o_custkey"])
+        def _drop_dim(t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(keys % 23 != 5))
+
+        cust = read_parquet_clean(
+            _t(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+            _drop_dim, batch_format="pyarrow")
+        return fk_orphans(orders, cust, "o_custkey", "c_custkey")
+
+    q["orders_fk_orphans"] = orders_fk_orphans
+
     return q
 
 
@@ -3307,5 +3329,14 @@ SELECT doc_id,
        strlen(oc)::BIGINT AS old_len,
        strlen(nc)::BIGINT AS new_len
 FROM j WHERE oc IS NULL OR nc IS NULL OR oc != nc"""
+
+    # fk orphans: the dim-side drop (% 23 == 5) is replayed, then a
+    # plain anti-join counts stranded fact rows per key.
+    o["orders_fk_orphans"] = """
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 23 != 5)
+SELECT o_custkey AS fk, count(*)::BIGINT AS n_rows
+FROM orders LEFT JOIN cust ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+GROUP BY 1"""
 
     return o
