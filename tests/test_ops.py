@@ -1330,3 +1330,36 @@ def test_fk_orphans_differential(ray_session):
         rd.from_arrow(pa.table({"fk": pa.array([1, 2], pa.int64())})),
         rd.from_arrow(dim), "fk", "pk").take_all()
     assert clean == []
+
+
+def test_inverted_index_vs_naive(ray_session):
+    """Postings vs python dict-of-sets: ascending order across blocks,
+    cap -> NULL postings but exact count, case folding."""
+    import re
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import inverted_index
+
+    texts = {
+        10: "the Quick fox", 3: "THE lazy dog", 7: "a fox den",
+        1: "the fox the fox", 5: "dog"}
+    t = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+    got = {r["term"]: (r["n_docs"], r["postings"])
+           for r in inverted_index(
+               rd.from_arrow(t).repartition(3), max_postings=2,
+               num_buckets=3).take_all()}
+    inv = {}
+    for d, s in texts.items():
+        for w in set(re.findall(r"[A-Za-z]+", s.lower())):
+            inv.setdefault(w, set()).add(d)
+    want = {w: (len(ds), ",".join(map(str, sorted(ds)))
+                if len(ds) <= 2 else None)
+            for w, ds in inv.items()}
+    assert got == want
+    assert got["the"] == (3, None)      # capped hot term
+    assert got["fox"] == (3, None)
+    assert got["dog"] == (2, "3,5")

@@ -508,3 +508,66 @@ def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
     return bucket_partition(
         joined.map_batches(_partial_topk, batch_format="pyarrow"),
         _final_rank, num_buckets)
+
+
+def inverted_index(docs, id_col: str = "doc_id", text_col: str = "text",
+                   max_postings: int = 32, num_buckets: int = 32):
+    """→ (term, n_docs, postings): the search-index build — for every
+    lowercased ASCII letter-run term, the number of documents containing
+    it and (for terms with n_docs <= max_postings) the comma-joined
+    doc-id posting list in ascending order. Hot terms ("the") keep their
+    exact count but a NULL posting string — the skew guard that stops a
+    stop-word's postings from becoming a single giant row; the cap is
+    part of the CONTRACT and replayed in the SQL twin's CASE, so the
+    capped output is still value-exact.
+
+    Scale shape: per-row tokenize → per-block DISTINCT (doc, term) rows
+    (text never leaves the tokenize stage); ONE hash(term) bucket
+    shuffle of id-width rows — inherent to index building, every
+    (doc, term) incidence must reach its term's reducer; per-bucket
+    build is a vectorized sort + maintain-order group_by + list.join
+    (no Python per term)."""
+    from ..pipeline.shuffle import bucket_partition
+
+    cap = int(max_postings)
+
+    def _incidence(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        out = (
+            df.select(
+                pl.col(id_col),
+                pl.col(text_col).str.extract_all(r"[A-Za-z]+")
+                .alias("term"),
+            )
+            .explode("term")
+            .drop_nulls()
+            .with_columns(pl.col("term").str.to_lowercase())
+            .unique()
+            .with_columns(bucket=(
+                pl.col("term").hash(seed=53) % np.uint64(num_buckets)
+            ).cast(pl.Int32))
+        )
+        return out.to_arrow().cast(pa.schema([
+            (id_col, pa.int64()), ("term", pa.string()),
+            ("bucket", pa.int32())]))
+
+    def _build(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, "term"]))
+        out = (
+            df.sort(["term", id_col])
+            .group_by("term", maintain_order=True)
+            .agg(n_docs=pl.len().cast(pl.Int64),
+                 ids=pl.col(id_col).cast(pl.String))
+            .with_columns(
+                postings=pl.when(pl.col("n_docs") <= cap)
+                .then(pl.col("ids").list.join(","))
+                .otherwise(pl.lit(None, dtype=pl.String)))
+            .select(["term", "n_docs", "postings"])
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n_docs", pa.int64()),
+            ("postings", pa.string())]))
+
+    return bucket_partition(
+        docs.map_batches(_incidence, batch_format="pyarrow"),
+        _build, num_buckets)

@@ -1646,6 +1646,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["orders_fk_orphans"] = orders_fk_orphans
 
+    def docs_inverted_index(sf_dir):
+        """Search-index build (ops/text.inverted_index): per term, doc
+        count + ascending comma-joined postings, capped at 32 docs (hot
+        terms keep exact counts, NULL postings — the skew guard is part
+        of the contract and replayed in the SQL CASE). One hash(term)
+        shuffle of id-width incidence rows."""
+        from .ops.text import inverted_index
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return inverted_index(docs, max_postings=32)
+
+    q["docs_inverted_index"] = docs_inverted_index
+
     return q
 
 
@@ -3338,5 +3352,18 @@ SELECT o_custkey AS fk, count(*)::BIGINT AS n_rows
 FROM orders LEFT JOIN cust ON o_custkey = c_custkey
 WHERE c_custkey IS NULL
 GROUP BY 1"""
+
+    # inverted index: the postings cap is in the CASE, so hot terms
+    # compare on (term, n_docs, NULL) exactly like the engine.
+    o["docs_inverted_index"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+  FROM documents)
+SELECT term, count(*)::BIGINT AS n_docs,
+       CASE WHEN count(*) <= 32
+            THEN string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+       END AS postings
+FROM toks GROUP BY term"""
 
     return o
