@@ -1363,3 +1363,28 @@ def test_inverted_index_vs_naive(ray_session):
     assert got["the"] == (3, None)      # capped hot term
     assert got["fox"] == (3, None)
     assert got["dog"] == (2, "3,5")
+
+
+def test_daily_deltas_vs_pandas(ray_session):
+    """Day counts + lag deltas vs direct computation; gap days stay
+    absent (delta is vs previous PRESENT day), first day NULL."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import daily_deltas
+
+    D = dt.datetime(2024, 3, 1)
+    rows = ([D + dt.timedelta(hours=h) for h in (1, 5, 23)]          # d0: 3
+            + [D + dt.timedelta(days=1, hours=2)]                    # d1: 1
+            + [D + dt.timedelta(days=4, hours=h) for h in (0, 12)])  # d4: 2
+    t = pa.table({"ts": pa.array(rows, pa.timestamp("us"))})
+    got = [(r["day"], r["n_events"], r["delta"])
+           for r in daily_deltas(
+               rd.from_arrow(t).repartition(3)).take_all()]
+    got.sort()
+    assert got == [
+        (D, 3, None),
+        (D + dt.timedelta(days=1), 1, -2),
+        (D + dt.timedelta(days=4), 2, 1),
+    ]

@@ -429,3 +429,52 @@ def weekly_retention(events, ts_col: str = "ts", key_col: str = "user_id",
             }),
             batch_format="pyarrow")
     )
+
+
+def daily_deltas(events, ts_col: str = "ts"):
+    """→ (day, n_events, delta): daily event volume and its change vs
+    the PREVIOUS day present in the data (first day's delta is NULL) —
+    the LAG window-function shape as a distributed op.
+
+    Scale shape: per-block (day, n) partial counts (the combiner — a
+    block contributes one row per distinct day, never per event), a
+    day-vocabulary-sized grouped sum, then the lag runs in ONE
+    repartition(1) task — sound because the post-aggregate table is
+    bounded by the calendar (days), not the data; the lag needs total
+    order over days, and a boundary hand-off between partitions would
+    buy nothing at vocabulary size."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([ts_col]))
+        out = (
+            df.select(day=(pl.col(ts_col).cast(pl.Int64) // day_us
+                           * day_us).cast(pl.Datetime("us")))
+            .group_by("day").agg(n=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("day", pa.timestamp("us")), ("n", pa.int64())]))
+
+    def _lag(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort("day")
+        df = df.with_columns(
+            delta=(pl.col("n_events") - pl.col("n_events").shift(1))
+            .cast(pl.Int64))
+        return df.to_arrow().cast(pa.schema([
+            ("day", pa.timestamp("us")), ("n_events", pa.int64()),
+            ("delta", pa.int64())]))
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .map_batches(
+            lambda t: pa.table({
+                "day": t["day"],
+                "n_events": t["n_sum"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_lag, batch_format="pyarrow", batch_size=None)
+    )

@@ -1660,6 +1660,17 @@ def build_queries() -> Dict[str, Callable]:
 
     q["docs_inverted_index"] = docs_inverted_index
 
+    def daily_event_deltas(sf_dir):
+        """LAG window shape (ops/windows.daily_deltas): daily event
+        volume + day-over-day delta. Per-block day-count partials, a
+        day-vocabulary grouped sum, lag in one vocabulary-sized task."""
+        from .ops.windows import daily_deltas
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["ts"])
+        return daily_deltas(ev)
+
+    q["daily_event_deltas"] = daily_event_deltas
+
     return q
 
 
@@ -3365,5 +3376,17 @@ SELECT term, count(*)::BIGINT AS n_docs,
             THEN string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
        END AS postings
 FROM toks GROUP BY term"""
+
+    # daily deltas: lag() over the day-aggregated table; day truncation
+    # is epoch-floor like the engine's int64 // day arithmetic (the
+    # fixture's timestamps are all post-1970, so floor == trunc).
+    o["daily_event_deltas"] = """
+WITH d AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1)
+SELECT day, n_events,
+       (n_events - lag(n_events) OVER (ORDER BY day))::BIGINT AS delta
+FROM d"""
 
     return o
