@@ -1388,3 +1388,51 @@ def test_daily_deltas_vs_pandas(ray_session):
         (D + dt.timedelta(days=1), 1, -2),
         (D + dt.timedelta(days=4), 2, 1),
     ]
+
+
+def test_pivot_counts_contract(ray_session):
+    """Wide pivot vs hand counts: unknown categories coerced to other,
+    rows with only-other categories still present, int64 columns."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import pivot_counts
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "cat": pa.array(["x", "y", "x", "zz", "x", "weird"], pa.string()),
+    })
+    got = {r["g"]: (r["n_x"], r["n_y"], r["n_other"])
+           for r in pivot_counts(
+               rd.from_arrow(t).repartition(3), "g", "cat",
+               ["x", "y"]).take_all()}
+    assert got == {"a": (2, 1, 0), "b": (1, 0, 1), "c": (0, 0, 1)}
+
+
+def test_mad_outliers_vs_numpy(ray_session):
+    """MAD outliers vs direct numpy on a skewed integer sample with
+    duplicates; exact median/MAD rank rule (r = (500n+999)//1000)."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import mad_outliers
+
+    rng = np.random.default_rng(11)
+    x = np.concatenate([
+        rng.integers(90, 110, 200),            # bulk
+        np.array([500, 501, 5, 0, 100000]),    # outliers
+    ]).astype(np.int64)
+    ids = np.arange(len(x), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "v": pa.array(x)})
+    got = {r["doc_id"]: (r["val"], r["abs_dev"])
+           for r in mad_outliers(
+               rd.from_arrow(t).repartition(4), "doc_id", "v",
+               k_times_10=30).take_all()}
+
+    xs = np.sort(x)
+    n = len(x)
+    med = xs[(500 * n + 999) // 1000 - 1]
+    dev = np.abs(x - med)
+    mad = np.sort(dev)[(500 * n + 999) // 1000 - 1]
+    m = 10 * dev > 30 * mad
+    want = {int(i): (int(v), int(d))
+            for i, v, d in zip(ids[m], x[m], dev[m])}
+    assert got == want and len(want) >= 4

@@ -520,3 +520,47 @@ def fk_orphans(fact, dim, fk_col: str, pk_col: str,
         })
 
     return merged.map_batches(_orphans, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_col: str, cat_col: str, categories: list[str],
+                 other_label: str = "other"):
+    """PIVOT: one output row per ``row_col`` value, one count column per
+    category in ``categories`` plus ``n_<other_label>`` for everything
+    else — the category set is a PINNED CONTRACT (fixed output schema,
+    unknown values coerced to other), which is what makes a distributed
+    pivot well-defined without a driver-side vocabulary discovery pass.
+
+    Scale shape: each block pre-pivots to the WIDE form (one row per
+    distinct row-key per block, one int64 column per category — the
+    combiner), so the single grouped-sum shuffle carries
+    row-vocabulary-sized wide rows and hot categories never skew a key:
+    the category dimension lives in columns, not keys."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    names = [f"n_{c}" for c in cats] + [f"n_{other_label}"]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([row_col, cat_col]))
+        aggs = [
+            (pl.col(cat_col) == c).sum().cast(pl.Int64).alias(f"n_{c}")
+            for c in cats
+        ] + [
+            (~pl.col(cat_col).is_in(cats)).sum().cast(pl.Int64)
+            .alias(f"n_{other_label}")
+        ]
+        out = df.group_by(row_col).agg(aggs)
+        return out.to_arrow().cast(pa.schema(
+            [(row_col, t.schema.field(row_col).type)]
+            + [(n, pa.int64()) for n in names]))
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(row_col)
+        .aggregate(*[Sum(n, alias_name=f"{n}_sum") for n in names])
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {row_col: t[row_col]}
+            | {n: t[f"{n}_sum"].cast(pa.int64()) for n in names}),
+        batch_format="pyarrow")

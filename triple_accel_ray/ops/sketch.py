@@ -451,3 +451,43 @@ def grouped_ranks(ds, group_col: str, col: str):
         return pa.table(cols)
 
     return ds.map_batches(_rank, batch_format="pyarrow")
+
+
+def mad_outliers(ds, id_col: str, col: str, k_times_10: int = 30):
+    """Robust outlier detection → (id, val, abs_dev): rows where
+    10*|x - median| > k_times_10 * MAD, with median and MAD (median
+    absolute deviation) both EXACT via the domain-bounded histogram
+    quantile (integer rank rule (q*n+999)//1000 shared bit-for-bit with
+    the SQL twin). The threshold multiplier is in tenths so the whole
+    predicate stays integer — no float sigma anywhere.
+
+    Scale shape: two histogram passes (each a value-DOMAIN-sized
+    shuffle, never row-sized) + two one-row collects (the broadcast
+    threshold, the same small-aggregate consumption as the watermark
+    op) + one stateless filter pass. The input streams three times;
+    nothing row-sized ever shuffles."""
+    import ray
+
+    med = exact_quantiles(ds, col, (500,)).take_all()[0][col]
+
+    def _dev(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy()
+        return pa.table({col: pa.array(np.abs(x - med).astype(np.int64))})
+
+    mad = exact_quantiles(
+        ds.map_batches(_dev, batch_format="pyarrow"), col, (500,)
+    ).take_all()[0][col]
+
+    kt = int(k_times_10)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy()
+        d = np.abs(x - med).astype(np.int64)
+        m = 10 * d > kt * mad
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(m)),
+            "val": pa.array(x[m].astype(np.int64)),
+            "abs_dev": pa.array(d[m]),
+        })
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

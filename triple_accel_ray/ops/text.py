@@ -413,13 +413,18 @@ def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
 
     Scale shape: tokenization + per-doc tf is per-row (docs are whole
     rows, so tf is exact in one stateless pass and the TEXT never leaves
-    that stage); the id-width tf rows are materialized once because two
-    consumers need them (the df aggregate and the join probe — at 100 TB
-    recomputing the tokenize pass twice may beat spilling the
-    materialized rows; that trade is a flag away). df rides a
-    vocabulary-sized grouped sum (one partial per distinct term per
-    block — tf rows are already distinct per (doc, term), so the partial
-    is a plain group count). df joins back via one hash(term) bucket
+    that stage). The df aggregate and the join probe each run their own
+    tokenize pass — recompute beats materializing the full (doc, term,
+    tf) incidence (measured at 440k real-text docs: the materialized
+    80M-row variant took 326 s; recompute + prune takes ~1/7 of that;
+    NOTES_r3.md §51) — and df pre-aggregates per block to (term, count),
+    so nothing row-sized ever materializes. The join probe is PRUNED per
+    doc before the exchange: a term whose tf min-rank within its doc
+    exceeds k (i.e. more than k-1 terms have strictly larger tf) can
+    never enter the top-k under the (tf DESC, ...) order, while boundary
+    tf-ties — the only rows whose fate depends on df — all survive the
+    prune; candidates shrink from every distinct term per doc to ~k +
+    ties. df joins onto the pruned probe via one hash(term) bucket
     shuffle (pipeline.shuffle.bucket_join); the final per-doc ranking
     runs behind a per-block PARTIAL top-k (top-k of a union == top-k of
     per-part top-ks), so the doc-bucket shuffle carries <= k rows per doc
@@ -449,9 +454,22 @@ def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
             (id_col, pa.int64()), ("term", pa.string()),
             ("tf", pa.int64())]))
 
+    def _doc_tf_pruned(t: pa.Table) -> pa.Table:
+        # tf rows, keeping only terms that can still reach the top-k:
+        # min-rank by tf <= k (ties at the boundary all kept — they are
+        # exactly the rows whose order depends on df).
+        tf = pl.from_arrow(_doc_tf(t))
+        out = tf.filter(
+            pl.col("tf").rank(method="min", descending=True)
+            .over(id_col) <= kk)
+        return out.to_arrow().cast(pa.schema([
+            (id_col, pa.int64()), ("term", pa.string()),
+            ("tf", pa.int64())]))
+
     def _df_partial(t: pa.Table) -> pa.Table:
-        # one row per (doc, term) in -> docs-containing-term per block
-        out = (pl.from_arrow(t.select(["term"]))
+        # tf rows are distinct per (doc, term), so docs-containing-term
+        # per block is a plain group count
+        out = (pl.from_arrow(_doc_tf(t).select(["term"]))
                .group_by("term").agg(n=pl.len().cast(pl.Int64)))
         return out.to_arrow().cast(pa.schema([
             ("term", pa.string()), ("n", pa.int64())]))
@@ -487,10 +505,8 @@ def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
                 ("rnk", pa.int64())]))
         )
 
-    tf_rows = docs.map_batches(
-        _doc_tf, batch_format="pyarrow").materialize()
     df_table = (
-        tf_rows.map_batches(_df_partial, batch_format="pyarrow")
+        docs.map_batches(_df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("n", alias_name="df"))
         .map_batches(
@@ -499,7 +515,8 @@ def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
             batch_format="pyarrow")
     )
     joined = bucket_join(
-        tf_rows, df_table, "term", "term",
+        docs.map_batches(_doc_tf_pruned, batch_format="pyarrow"),
+        df_table, "term", "term",
         pa.schema([(id_col, pa.int64()), ("term", pa.string()),
                    ("tf", pa.int64())]),
         pa.schema([("term", pa.string()), ("df", pa.int64())]),

@@ -1671,6 +1671,44 @@ def build_queries() -> Dict[str, Callable]:
 
     q["daily_event_deltas"] = daily_event_deltas
 
+    def daily_type_pivot(sf_dir):
+        """PIVOT (ops/relational.pivot_counts): daily counts per event
+        type as wide columns under a pinned category contract
+        (click/view/purchase + other). Blocks pre-pivot to wide rows, so
+        the one grouped-sum shuffle is day-vocabulary-sized and hot
+        categories live in columns, never keys."""
+        from .ops.relational import pivot_counts
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["ts", "event_type"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            us = t["ts"].cast(pa.int64()).to_numpy()
+            day = (us // 86_400_000_000) * 86_400_000_000
+            return pa.table({
+                "day": pa.array(day).cast(pa.timestamp("us")),
+                "event_type": t["event_type"],
+            })
+
+        return pivot_counts(
+            ev.map_batches(_day, batch_format="pyarrow"),
+            "day", "event_type", ["click", "view", "purchase"])
+
+    q["daily_type_pivot"] = daily_type_pivot
+
+    def doc_len_outliers(sf_dir):
+        """Robust outlier detection (ops/sketch.mad_outliers): docs
+        whose n_chars deviates from the exact median by more than
+        2x the exact MAD — all-integer predicate (threshold in tenths),
+        two domain-sized histogram shuffles + a stateless filter."""
+        from .ops.sketch import mad_outliers
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+        return mad_outliers(docs, "doc_id", "n_chars", k_times_10=20)
+
+    q["doc_len_outliers"] = doc_len_outliers
+
     return q
 
 
@@ -3388,5 +3426,32 @@ WITH d AS (
 SELECT day, n_events,
        (n_events - lag(n_events) OVER (ORDER BY day))::BIGINT AS delta
 FROM d"""
+
+    # pivot: the pinned category contract is the CASE list; everything
+    # else lands in n_other.
+    o["daily_type_pivot"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+         AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchase,
+       sum(CASE WHEN event_type NOT IN ('click', 'view', 'purchase')
+                THEN 1 ELSE 0 END)::BIGINT AS n_other
+FROM events GROUP BY 1"""
+
+    # MAD outliers: the engine's integer rank rule (q*n+999)//1000 is
+    # replayed as the r-th smallest value; predicate all-integer.
+    o["doc_len_outliers"] = """
+WITH v AS (SELECT doc_id, n_chars::BIGINT AS x FROM documents),
+cnt AS (SELECT count(*)::BIGINT AS n FROM v),
+medr AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM v),
+med AS (SELECT x AS m FROM medr, cnt WHERE r = (500 * n + 999) // 1000),
+dev AS (SELECT doc_id, x, abs(x - med.m)::BIGINT AS d FROM v, med),
+madr AS (SELECT d, row_number() OVER (ORDER BY d) AS r FROM dev),
+mad AS (SELECT d AS md FROM madr, cnt WHERE r = (500 * n + 999) // 1000)
+SELECT doc_id, x AS val, d AS abs_dev
+FROM dev, mad WHERE 10 * d > 20 * md"""
 
     return o
