@@ -1436,3 +1436,40 @@ def test_mad_outliers_vs_numpy(ray_session):
     want = {int(i): (int(v), int(d))
             for i, v, d in zip(ids[m], x[m], dev[m])}
     assert got == want and len(want) >= 4
+
+
+def test_term_cooccurrence_vs_naive(ray_session):
+    """Co-occurrence matrix vs python sets on a tiny corpus where the
+    vocabulary cut-off rule (count DESC, term ASC) has ties, docs
+    repeat terms, and some vocab terms never co-occur."""
+    import itertools
+    import re
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import term_cooccurrence
+
+    texts = {
+        1: "aa bb aa cc", 2: "bb cc dd", 3: "aa dd ee aa",
+        4: "ff gg", 5: "aa bb"}
+    t = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+    K = 4
+    got = {(r["term_a"], r["term_b"]): r["n_docs"]
+           for r in term_cooccurrence(
+               rd.from_arrow(t).repartition(3), vocab_k=K).take_all()}
+
+    cnt = {}
+    for s in texts.values():
+        for w in re.findall(r"[A-Za-z]+", s.lower()):
+            cnt[w] = cnt.get(w, 0) + 1
+    vocab = sorted(cnt, key=lambda w: (-cnt[w], w))[:K]
+    want = {}
+    for s in texts.values():
+        present = sorted(set(re.findall(r"[A-Za-z]+", s.lower()))
+                         & set(vocab))
+        for a, b in itertools.combinations(present, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want

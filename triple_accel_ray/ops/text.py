@@ -588,3 +588,98 @@ def inverted_index(docs, id_col: str = "doc_id", text_col: str = "text",
     return bucket_partition(
         docs.map_batches(_incidence, batch_format="pyarrow"),
         _build, num_buckets)
+
+
+def term_cooccurrence(docs, vocab_k: int = 20, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """→ (term_a, term_b, n_docs), term_a < term_b: document
+    co-occurrence counts over a MINED vocabulary — the top ``vocab_k``
+    lowercased letter-run terms by (corpus count DESC, term ASC), a
+    deterministic rule the SQL twin replays, so the whole composition is
+    value-exact. Association mining with the explosion capped by
+    design: the pair space is C(vocab_k, 2), never C(doc vocabulary, 2).
+
+    Scale shape: pass 1 mines the vocabulary (per-block token-count
+    partials -> vocabulary-sized grouped sum -> top-k in one
+    vocabulary-sized task -> ``vocab_k`` rows collected and broadcast —
+    a small-aggregate consumption). Pass 2 never shuffles a row: each
+    block builds its docs x vocab_k presence matrix (searchsorted
+    against the sorted vocab) and emits M.T @ M's upper triangle —
+    C(vocab_k, 2) partial rows per block — into a pair-vocabulary-sized
+    grouped sum. Zero-count pairs are dropped (matching the SQL join)."""
+    from ray.data.aggregate import Sum
+
+    kk = int(vocab_k)
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        out = (
+            df.select(pl.col(text_col).str.extract_all(r"[A-Za-z]+")
+                      .alias("w"))
+            .explode("w").drop_nulls()
+            .with_columns(pl.col("w").str.to_lowercase())
+            .group_by("w").agg(n=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("w", pa.string()), ("n", pa.int64())]))
+
+    def _topk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(
+            ["n_total", "w"], descending=[True, False]).head(kk)
+        return df.select(["w"]).to_arrow().cast(
+            pa.schema([("w", pa.string())]))
+
+    vocab_rows = (
+        docs.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n_total"))
+        .repartition(1)
+        .map_batches(_topk, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    vocab = np.sort(np.array([r["w"] for r in vocab_rows]))
+    nv = len(vocab)
+    iu, ju = np.triu_indices(nv, k=1)
+
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        inc = (
+            df.select(
+                pl.col(id_col),
+                pl.col(text_col).str.extract_all(r"[A-Za-z]+").alias("w"))
+            .explode("w").drop_nulls()
+            .with_columns(pl.col("w").str.to_lowercase())
+            .unique()
+        )
+        w = inc["w"].to_numpy()
+        pos = np.searchsorted(vocab, w)
+        hit = (pos < nv)
+        hit[hit] = vocab[pos[hit]] == w[hit]
+        ids = inc[id_col].to_numpy()[hit]
+        pos = pos[hit]
+        _, codes = np.unique(ids, return_inverse=True)
+        m = np.zeros((codes.max() + 1 if len(codes) else 0, nv),
+                     dtype=np.int64)
+        m[codes, pos] = 1
+        co = m.T @ m
+        return pa.table({
+            "term_a": pa.array(vocab[iu]),
+            "term_b": pa.array(vocab[ju]),
+            "n": pa.array(co[iu, ju]),
+        })
+
+    merged = (
+        docs.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def _nonzero(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcx
+        t = t.filter(pcx.greater(t["n_docs"], 0))
+        return pa.table({
+            "term_a": t["term_a"], "term_b": t["term_b"],
+            "n_docs": t["n_docs"].cast(pa.int64()),
+        })
+
+    return merged.map_batches(_nonzero, batch_format="pyarrow")

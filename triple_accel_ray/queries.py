@@ -1709,6 +1709,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["doc_len_outliers"] = doc_len_outliers
 
+    def term_cooc_top20(sf_dir):
+        """Association mining (ops/text.term_cooccurrence): document
+        co-occurrence counts over the mined top-20 vocabulary
+        (count DESC, term ASC — deterministic, replayed in SQL). Pass 2
+        shuffles only C(20,2) partial rows per block (per-block
+        presence-matrix matmul), never a data row."""
+        from .ops.text import term_cooccurrence
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return term_cooccurrence(docs, vocab_k=20)
+
+    q["term_cooc_top20"] = term_cooc_top20
+
     return q
 
 
@@ -3453,5 +3467,21 @@ madr AS (SELECT d, row_number() OVER (ORDER BY d) AS r FROM dev),
 mad AS (SELECT d AS md FROM madr, cnt WHERE r = (500 * n + 999) // 1000)
 SELECT doc_id, x AS val, d AS abs_dev
 FROM dev, mad WHERE 10 * d > 20 * md"""
+
+    # co-occurrence: vocabulary rule (count DESC, term ASC LIMIT 20)
+    # replayed; inner self-join on a < b matches the engine's upper
+    # triangle with zero pairs dropped.
+    o["term_cooc_top20"] = """
+WITH tok AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents),
+cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+vocab AS (SELECT w FROM cnt ORDER BY n DESC, w ASC LIMIT 20),
+inc AS (SELECT DISTINCT doc_id, w FROM tok
+        WHERE w IN (SELECT w FROM vocab))
+SELECT a.w AS term_a, b.w AS term_b, count(*)::BIGINT AS n_docs
+FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY 1, 2"""
 
     return o
