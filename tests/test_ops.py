@@ -1473,3 +1473,25 @@ def test_term_cooccurrence_vs_naive(ray_session):
         for a, b in itertools.combinations(present, 2):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+def test_normalize_text_tri_engine(ray_session):
+    """Normalization agrees across polars, Python re and DuckDB on
+    adversarial whitespace (all five ASCII space classes, runs at both
+    ends, empty, already-normal)."""
+    import re
+
+    import duckdb
+
+    from triple_accel_ray.ops.text import normalize_text_batch
+
+    cases = ["  A\tB\n\nc  ", "x", "", " \t\r\n ", "Mixed CASE\x0bhere",
+             "no change", "a\f\fb"]
+    t = pa.table({"text": pa.array(cases, pa.string())})
+    got = normalize_text_batch(t)["ntext"].to_pylist()
+
+    py = [re.sub(r"[ \t-\r]+", " ", s.lower()).strip(" ") for s in cases]
+    duck = duckdb.connect().execute(
+        "SELECT trim(regexp_replace(lower(t), '[ \t-\r]+', ' ', 'g')) "
+        "FROM (SELECT unnest(?) AS t)", [cases]).fetchall()
+    assert got == py == [r[0] for r in duck]

@@ -683,3 +683,23 @@ def term_cooccurrence(docs, vocab_k: int = 20, id_col: str = "doc_id",
         })
 
     return merged.map_batches(_nonzero, batch_format="pyarrow")
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "ntext") -> pa.Table:
+    """Canonical text normalization: lowercase, collapse every ASCII
+    whitespace run ([ \\t-\\r]+) to one space, trim. The pattern and
+    fold are restricted to syntax where rust regex (polars), RE2
+    (DuckDB) and Python `re` agree exactly — the tri-engine discipline
+    of bpe_token_count / pii_scrub — so normalization-aware operators
+    (dedup on ntext) stay value-exact against SQL twins. Stateless,
+    zero shuffle."""
+    df = pl.from_arrow(batch)
+    df = df.with_columns(
+        pl.col(text_col).str.to_lowercase()
+        .str.replace_all(r"[ \t-\r]+", " ")
+        .str.strip_chars(" ")
+        .alias(out_col))
+    return df.to_arrow().cast(pa.schema(
+        list(zip(batch.schema.names, batch.schema.types))
+        + [(out_col, pa.string())]))

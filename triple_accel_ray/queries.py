@@ -1723,6 +1723,37 @@ def build_queries() -> Dict[str, Callable]:
 
     q["term_cooc_top20"] = term_cooc_top20
 
+    def dedup_normalized(sf_dir):
+        """Normalization-aware exact dedup: lowercase/whitespace-collapse
+        /trim (ops/text.normalize_text_batch, tri-engine contract), then
+        byte-exact grouping on the normalized text via exact_dup_groups.
+        Variants planted by doc_id arithmetic (doc_id % 7 == 0 re-added
+        under id+2*10^6 as '  ' || upper(text) || ' ') MUST collapse
+        into their source's group — replayed in SQL."""
+        from .ops.dedup import exact_dup_groups
+        from .ops.text import normalize_text_batch
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+        def _augment(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            extra = df.filter(pl.col("doc_id") % 7 == 0).select(
+                doc_id=pl.col("doc_id") + 2_000_000,
+                text=pl.lit("  ") + pl.col("text").str.to_uppercase()
+                + pl.lit(" "),
+            )
+            return pl.concat([df, extra]).to_arrow().cast(pa.schema([
+                ("doc_id", pa.int64()), ("text", pa.string())]))
+
+        aug = docs.map_batches(_augment, batch_format="pyarrow")
+        normed = aug.map_batches(
+            lambda t: normalize_text_batch(t).drop_columns(["text"]),
+            batch_format="pyarrow")
+        return exact_dup_groups(normed, text_col="ntext", num_buckets=16)
+
+    q["dedup_normalized"] = dedup_normalized
+
     return q
 
 
@@ -3483,5 +3514,23 @@ inc AS (SELECT DISTINCT doc_id, w FROM tok
 SELECT a.w AS term_a, b.w AS term_b, count(*)::BIGINT AS n_docs
 FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.w < b.w
 GROUP BY 1, 2"""
+
+    # normalized dedup: same augmentation arithmetic, same normalization
+    # (the '[ \t-\r]+' class is the identical byte-for-byte pattern in
+    # rust regex and RE2), grouping on the normalized text.
+    o["dedup_normalized"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, '  ' || upper(text) || ' '
+  FROM documents WHERE doc_id % 7 = 0),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t-\r]+', ' ', 'g')) AS ntext
+  FROM aug)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY ntext) AS dup_group,
+       (count(*) OVER (PARTITION BY ntext))::BIGINT AS group_size
+FROM norm"""
 
     return o
