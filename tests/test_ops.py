@@ -1495,3 +1495,32 @@ def test_normalize_text_tri_engine(ray_session):
         "SELECT trim(regexp_replace(lower(t), '[ \t-\r]+', ' ', 'g')) "
         "FROM (SELECT unnest(?) AS t)", [cases]).fetchall()
     assert got == py == [r[0] for r in duck]
+
+
+def test_cms_join_size_properties(ray_session):
+    """Exact join size == python dict computation; est >= exact;
+    est == exact at sketch width >> key cardinality (no collisions)."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import cms_join_size
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 4000).astype(np.int64)
+    b = rng.integers(25, 75, 3000).astype(np.int64)
+    la = pa.table({"k": pa.array(a)})
+    rb = pa.table({"j": pa.array(b)})
+    row = cms_join_size(
+        rd.from_arrow(la).repartition(4),
+        rd.from_arrow(rb).repartition(3), "k", "j").take_all()[0]
+
+    ca, cb = {}, {}
+    for v in a:
+        ca[v] = ca.get(v, 0) + 1
+    for v in b:
+        cb[v] = cb.get(v, 0) + 1
+    exact = sum(n * cb.get(k, 0) for k, n in ca.items())
+    assert row["n_exact"] == exact
+    assert row["n_est"] >= exact
+    # default w=1024 >> 75 keys: collisions possible but rare; the
+    # estimator property (>=) is the contract, equality is typical
+    assert row["n_est"] <= 2 * exact

@@ -491,3 +491,97 @@ def mad_outliers(ds, id_col: str, col: str, k_times_10: int = 30):
         })
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def cms_join_size(left, right, lcol: str, rcol: str,
+                  w: int = CMS_W, salts=CMS_SALTS):
+    """→ one row (n_exact, n_est): equi-join cardinality — the EXACT
+    |left JOIN right| on the key, next to the Count-Min inner-product
+    ESTIMATE (min over sketch rows of sum_cell cntA*cntB — the classic
+    AMS/CMS join-size estimator a distributed planner consults before
+    choosing broadcast vs shuffle). est >= exact by construction
+    (collisions only add mass), and both numbers are deterministic, so
+    the SQL twin replays BOTH — the sketch in the same HUGEINT mix64
+    chain as cms_user_registers.
+
+    Scale shape: the sketches are the usual register-sized merges (<=
+    d*w rows per block); the estimate combines two register TABLES
+    (tiny, partitioning-independent). The exact side reduces each input
+    to per-block DISTINCT key counts (fk_orphans' combiner), one
+    key-vocabulary grouped merge, then a scalar aggregate of per-key
+    products. Nothing row-sized ever shuffles. int64 bound: per-cell
+    counts must stay under ~2^31 for the product — at larger scales the
+    register dtype widens, not the shape."""
+    import pyarrow.compute as pcx
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def _tag_reg(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            rc = (t["row"].to_numpy() * w + t["cell"].to_numpy()).astype(
+                np.int64)
+            cnt = t["cnt"].to_numpy()
+            z = np.zeros_like(cnt)
+            return pa.table({
+                "rc": pa.array(rc),
+                "cnt_a": pa.array(cnt if side == 0 else z),
+                "cnt_b": pa.array(z if side == 0 else cnt),
+            })
+        return _f
+
+    merged = (
+        cms_registers(left, lcol, w=w, salts=salts)
+        .map_batches(_tag_reg(0), batch_format="pyarrow")
+        .union(cms_registers(right, rcol, w=w, salts=salts)
+               .map_batches(_tag_reg(1), batch_format="pyarrow"))
+        .groupby("rc")
+        .aggregate(Sum("cnt_a", alias_name="a"),
+                   Sum("cnt_b", alias_name="b"))
+    )
+
+    def _row_dot(t: pa.Table) -> pa.Table:
+        rc = t["rc"].to_numpy()
+        prod = (t["a"].to_numpy().astype(np.int64)
+                * t["b"].to_numpy().astype(np.int64))
+        return pa.table({"row": pa.array((rc // w).astype(np.int64)),
+                         "dot": pa.array(prod)})
+
+    dots = (
+        merged.map_batches(_row_dot, batch_format="pyarrow")
+        .groupby("row")
+        .aggregate(Sum("dot", alias_name="dot_sum"))
+    )
+    n_est = int(min(r["dot_sum"] for r in dots.take_all()))
+
+    def _key_part(col: str, side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            df = (pl.from_arrow(t.select([col]))
+                  .group_by(col).agg(n=pl.len().cast(pl.Int64))
+                  .rename({col: "key"}))
+            z = pl.lit(0, dtype=pl.Int64)
+            df = df.with_columns(
+                n_a=pl.col("n") if side == 0 else z,
+                n_b=z if side == 0 else pl.col("n")).drop("n")
+            return df.to_arrow().cast(pa.schema([
+                ("key", pa.int64()), ("n_a", pa.int64()),
+                ("n_b", pa.int64())]))
+        return _f
+
+    keyed = (
+        left.map_batches(_key_part(lcol, 0), batch_format="pyarrow")
+        .union(right.map_batches(_key_part(rcol, 1),
+                                 batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(Sum("n_a", alias_name="na"),
+                   Sum("n_b", alias_name="nb"))
+    )
+    res = keyed.map_batches(
+        lambda t: pa.table({"p": pcx.multiply(
+            t["na"].cast(pa.int64()), t["nb"].cast(pa.int64()))}),
+        batch_format="pyarrow").aggregate(Sum("p", alias_name="n_exact"))
+    n_exact = int(res["n_exact"] or 0)
+
+    return rd.from_arrow(pa.table({
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "n_est": pa.array([n_est], pa.int64()),
+    }))

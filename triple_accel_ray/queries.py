@@ -1754,6 +1754,23 @@ def build_queries() -> Dict[str, Callable]:
 
     q["dedup_normalized"] = dedup_normalized
 
+    def join_size_orders_events(sf_dir):
+        """Sketch-based join planning (ops/sketch.cms_join_size): exact
+        |orders JOIN events| on custkey == user_id next to the CMS
+        inner-product estimate (min over rows of sum cntA*cntB) —
+        est >= exact by construction, both deterministic, both replayed
+        in SQL. Register-sized merges + distinct-key-count partials;
+        nothing row-sized shuffles."""
+        from .ops.sketch import cms_join_size
+
+        orders = read_parquet_clean(
+            _t(sf_dir, "orders"), columns=["o_custkey"])
+        events = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["user_id"])
+        return cms_join_size(orders, events, "o_custkey", "user_id")
+
+    q["join_size_orders_events"] = join_size_orders_events
+
     return q
 
 
@@ -3532,5 +3549,41 @@ SELECT doc_id,
        min(doc_id) OVER (PARTITION BY ntext) AS dup_group,
        (count(*) OVER (PARTITION BY ntext))::BIGINT AS group_size
 FROM norm"""
+
+    # join-size: exact join count next to the CMS inner-product estimate,
+    # both sketches replayed in the same HUGEINT mix64 chain as
+    # cms_user_registers (same salts, same w).
+    _ja_sql, _ja_f = _mix64_chain_sql("ja0", "r", "jak")
+    _jb_sql, _jb_f = _mix64_chain_sql("jb0", "r", "jbk")
+    o["join_size_orders_events"] = f"""
+WITH ja0 AS (
+  SELECT ss.r,
+         CAST(xor(CAST(o.o_custkey AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM orders o, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_ja_sql},
+rega AS (
+  SELECT r, CAST(h % {CMS_W} AS BIGINT) AS cell, count(*)::BIGINT AS cnt
+  FROM {_ja_f} GROUP BY 1, 2
+),
+jb0 AS (
+  SELECT ss.r,
+         CAST(xor(CAST(e.user_id AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM events e, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_jb_sql},
+regb AS (
+  SELECT r, CAST(h % {CMS_W} AS BIGINT) AS cell, count(*)::BIGINT AS cnt
+  FROM {_jb_f} GROUP BY 1, 2
+),
+dots AS (
+  SELECT rega.r, sum(rega.cnt * regb.cnt)::BIGINT AS dot
+  FROM rega JOIN regb USING (r, cell) GROUP BY 1
+),
+ex AS (
+  SELECT count(*)::BIGINT AS n_exact
+  FROM orders JOIN events ON o_custkey = user_id
+)
+SELECT ex.n_exact, (SELECT min(dot) FROM dots)::BIGINT AS n_est FROM ex"""
 
     return o
