@@ -1524,3 +1524,18 @@ def test_cms_join_size_properties(ray_session):
     # default w=1024 >> 75 keys: collisions possible but rare; the
     # estimator property (>=) is the contract, equality is typical
     assert row["n_est"] <= 2 * exact
+
+
+def test_key_skew_stats_ties(ray_session):
+    """Skew ranking vs hand computation with count ties (key ASC break)
+    and a dominant hot key spread across blocks."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.profile import key_skew_stats
+
+    keys = [7] * 50 + [3] * 20 + [9] * 20 + [1] * 10
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    got = [(r["rank"], r["key"], r["n_rows"], r["permille"])
+           for r in key_skew_stats(
+               rd.from_arrow(t).repartition(5), "k", top_n=3).take_all()]
+    assert got == [(1, 7, 50, 500), (2, 3, 20, 200), (3, 9, 20, 200)]

@@ -134,3 +134,50 @@ def profile_columns(ds, columns: list[str], num_buckets: int = 32):
         })
         distinct = distinct.union(rd.from_arrow(extra))
     return distinct
+
+
+def key_skew_stats(ds, key_col: str, top_n: int = 10):
+    """→ (rank, key, n_rows, permille): the ``top_n`` heaviest keys and
+    their integer per-mille share of all rows — the skew diagnosis a
+    planner runs before hash-partitioning on a key (the engine's own
+    hot-block cap and key salting want exactly this number). Ties break
+    (n DESC, key ASC) so the SQL row_number twin is value-exact;
+    permille = n * 1000 // total keeps the share integer.
+
+    Scale shape: per-block (key, n) partial counts (hot keys are ONE
+    partial per block — the combiner is the skew mitigation), a
+    key-vocabulary grouped sum, and the rank + total in one
+    vocabulary-sized task (same argument as daily_deltas: the
+    post-aggregate table is key-vocabulary-sized)."""
+    from ray.data.aggregate import Sum
+
+    tn = int(top_n)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select([key_col]))
+              .group_by(key_col).agg(n=pl.len().cast(pl.Int64))
+              .rename({key_col: "key"}))
+        return df.to_arrow().cast(pa.schema([
+            ("key", pa.int64()), ("n", pa.int64())]))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        n = t["n_sum"].to_numpy().astype(np.int64)
+        total = int(n.sum())
+        order = np.lexsort((k, -n))[:tn]
+        nn = n[order]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64)),
+            "key": pa.array(k[order]),
+            "n_rows": pa.array(nn),
+            "permille": pa.array(nn * 1000 // max(total, 1)),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .repartition(1)
+        .map_batches(_rank, batch_format="pyarrow", batch_size=None)
+    )

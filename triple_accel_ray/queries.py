@@ -1771,6 +1771,19 @@ def build_queries() -> Dict[str, Callable]:
 
     q["join_size_orders_events"] = join_size_orders_events
 
+    def user_key_skew(sf_dir):
+        """Skew diagnosis (ops/profile.key_skew_stats): the 10 heaviest
+        user_ids in events with their integer per-mille share — the
+        number the engine's own hot-block cap and key salting consult.
+        Per-block (key, n) partials absorb hot keys; rank + total in one
+        vocabulary-sized task."""
+        from .ops.profile import key_skew_stats
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        return key_skew_stats(ev, "user_id", top_n=10)
+
+    q["user_key_skew"] = user_key_skew
+
     return q
 
 
@@ -3585,5 +3598,17 @@ ex AS (
   FROM orders JOIN events ON o_custkey = user_id
 )
 SELECT ex.n_exact, (SELECT min(dot) FROM dots)::BIGINT AS n_est FROM ex"""
+
+    # key skew: (n DESC, key ASC) row_number, integer per-mille share.
+    o["user_key_skew"] = """
+WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n_rows
+           FROM events GROUP BY 1),
+tot AS (SELECT sum(n_rows)::BIGINT AS total FROM c),
+r AS (SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key ASC)::BIGINT
+               AS rank
+      FROM c)
+SELECT rank, key, n_rows, (n_rows * 1000 // tot.total)::BIGINT AS permille
+FROM r, tot WHERE rank <= 10"""
 
     return o
