@@ -1539,3 +1539,30 @@ def test_key_skew_stats_ties(ray_session):
            for r in key_skew_stats(
                rd.from_arrow(t).repartition(5), "k", top_n=3).take_all()]
     assert got == [(1, 7, 50, 500), (2, 3, 20, 200), (3, 9, 20, 200)]
+
+
+def test_equi_depth_histogram_skew(ray_session):
+    """Equi-depth bins vs numpy replay; a heavy value collapsing several
+    boundaries leaves those bins empty (duplicate-boundary rule)."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import equi_depth_histogram
+
+    x = np.concatenate([
+        np.full(60, 5), np.arange(100, 140)]).astype(np.int64)
+    t = pa.table({"v": pa.array(x)})
+    got = {r["bin"]: r["n_rows"]
+           for r in equi_depth_histogram(
+               rd.from_arrow(t).repartition(4), "v",
+               n_bins=5).take_all()}
+
+    xs = np.sort(x)
+    n = len(x)
+    bounds = np.sort(np.array(
+        [xs[(q * n + 999) // 1000 - 1] for q in (200, 400, 600, 800)],
+        dtype=np.int64))
+    bins = np.searchsorted(bounds, x, side="left")
+    want = {int(b): int(c) for b, c in
+            zip(*np.unique(bins, return_counts=True))}
+    assert got == want
+    assert len(got) < 5      # the heavy value 5 collapses boundaries

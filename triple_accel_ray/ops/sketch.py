@@ -585,3 +585,43 @@ def cms_join_size(left, right, lcol: str, rcol: str,
         "n_exact": pa.array([n_exact], pa.int64()),
         "n_est": pa.array([n_est], pa.int64()),
     }))
+
+
+def equi_depth_histogram(ds, col: str, n_bins: int = 10):
+    """→ (bin, n_rows): equi-depth binning — boundaries are the EXACT
+    (i/n_bins)-quantiles (the shared integer rank rule), bin(x) =
+    number of boundaries strictly less than x (0-based; duplicate
+    boundaries from heavy values collapse naturally, leaving their bins
+    empty — the honest behavior for skewed data, pinned by a test).
+    The rule is pure integer arithmetic over the boundary list, so the
+    SQL twin (a 9-row CASE-sum join) is value-exact.
+
+    Scale shape: one domain-sized histogram shuffle for the boundaries
+    (exact_quantiles), a <= n_bins-1-row collect + broadcast, a
+    stateless searchsorted binning pass, and a bin-vocabulary grouped
+    sum."""
+    from ray.data.aggregate import Sum
+
+    nb = int(n_bins)
+    qs = tuple(i * 1000 // nb for i in range(1, nb))
+    brows = exact_quantiles(ds, col, qs).take_all()
+    bounds = np.sort(np.array([r[col] for r in brows], dtype=np.int64))
+
+    def _bin(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy()
+        b = np.searchsorted(bounds, x, side="left").astype(np.int64)
+        out = (pl.DataFrame({"bin": b})
+               .group_by("bin").agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("bin", pa.int64()), ("n", pa.int64())]))
+
+    return (
+        ds.map_batches(_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .map_batches(
+            lambda t: pa.table({
+                "bin": t["bin"],
+                "n_rows": t["n_rows"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    )

@@ -1784,6 +1784,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["user_key_skew"] = user_key_skew
 
+    def doc_len_deciles(sf_dir):
+        """Equi-depth histogram (ops/sketch.equi_depth_histogram):
+        documents binned into 10 equal-depth n_chars bins — boundaries
+        are the exact i/10-quantiles (shared integer rank rule),
+        bin(x) = boundaries strictly below x. One domain-sized shuffle
+        for the boundaries, a broadcast, a stateless binning pass."""
+        from .ops.sketch import equi_depth_histogram
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["n_chars"])
+        return equi_depth_histogram(docs, "n_chars", n_bins=10)
+
+    q["doc_len_deciles"] = doc_len_deciles
+
     return q
 
 
@@ -3610,5 +3624,19 @@ r AS (SELECT key, n_rows,
       FROM c)
 SELECT rank, key, n_rows, (n_rows * 1000 // tot.total)::BIGINT AS permille
 FROM r, tot WHERE rank <= 10"""
+
+    # equi-depth bins: boundaries via the shared integer rank rule, bin =
+    # count of boundaries strictly below x (duplicate boundaries counted,
+    # matching the engine's searchsorted over the duplicated array).
+    o["doc_len_deciles"] = """
+WITH v AS (SELECT n_chars::BIGINT AS x FROM documents),
+cnt AS (SELECT count(*)::BIGINT AS n FROM v),
+rr AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM v),
+qs AS (SELECT unnest([100,200,300,400,500,600,700,800,900]) AS q),
+bounds AS (SELECT rr.x AS b FROM rr, cnt, qs
+           WHERE rr.r = (qs.q * cnt.n + 999) // 1000)
+SELECT (SELECT count(*) FROM bounds WHERE b < v.x)::BIGINT AS bin,
+       count(*)::BIGINT AS n_rows
+FROM v GROUP BY 1"""
 
     return o
