@@ -1246,6 +1246,19 @@ def test_pagerank_integer_differential(ray_session):
                               num_buckets=7).take_all()}
     assert got2 == want
 
+    # stationary-graph twin (raw-Ray iterations, edges partitioned once)
+    # must be bit-identical on both orderings and bucket counts
+    from triple_accel_ray.ops.graph import pagerank_stationary
+
+    got3 = {r["conv_id"]: r["pr"]
+            for r in pagerank_stationary(rd.from_arrow(t).repartition(5),
+                                         num_buckets=4).take_all()}
+    assert got3 == want
+    got4 = {r["conv_id"]: r["pr"]
+            for r in pagerank_stationary(rd.from_arrow(t2).repartition(3),
+                                         num_buckets=7).take_all()}
+    assert got4 == want
+
 
 def test_profile_columns_adversarial(ray_session):
     """Profiling vs direct computation: negative ints (typed min/max,

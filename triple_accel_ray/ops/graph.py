@@ -189,6 +189,172 @@ def triangle_counts(edges, num_buckets: int = 32):
     )
 
 
+def pagerank_stationary(edges, n_iter: int = 3, scale: int = 10**12,
+                        num_buckets: int = 32):
+    """Value-identical twin of :func:`pagerank` built for iteration count:
+    the directed edge table is hash(src)-partitioned ONCE into per-bucket
+    Arrow tables that stay in the object store for the whole run; each
+    iteration moves only NODE-WIDTH data (rank shares), never the edges.
+
+    This is the one pipeline shape the Dataset API can't express — an
+    iterative algorithm over a STATIONARY partitioned dataset (every
+    Dataset join re-shuffles both sides per call, so n_iter iterations
+    re-ship the edge table n_iter times). Raw Ray tasks hold the graph
+    partitions in place, per the brief's custom-operator escape hatch.
+
+    Topology per iteration (B = num_buckets):
+      * B map tasks: bucket b joins its resident edges (src, dst, sdeg)
+        against its resident (node, pr) slice — all srcs of bucket b hash
+        there by construction — computes share = pr // sdeg, groups by
+        dst WITHIN the task, and splits the partial by hash(dst) into B
+        sub-outputs (``num_returns=B``): the only shuffled payload, at
+        most |distinct dst in bucket| id-width rows.
+      * B reduce tasks: concat the b-th sub-output of every map task,
+        grouped integer sum, left-join onto the resident node list
+        (no-inbound nodes keep s=0), pr' = base + (85*s)//100.
+
+    Every step is an order-independent integer sum or floor divide, so
+    outputs are bit-identical to :func:`pagerank` (asserted by test)
+    and to the chained-CTE SQL twin."""
+    import ray
+
+    # num_returns=1 would hand back a bare ObjectRef instead of a list,
+    # breaking the [m][b] indexing — 2 is the minimum fan-out.
+    B = max(2, int(num_buckets))
+
+    @ray.remote
+    def _split_edges(t: pa.Table):
+        """Directed-edge map: emit B per-bucket (src, dst) parts."""
+        df = pl.from_arrow(t.select(["a_id", "b_id"]))
+        de = pl.concat([
+            df.select(src=pl.col("a_id"), dst=pl.col("b_id")),
+            df.select(src=pl.col("b_id"), dst=pl.col("a_id")),
+        ]).with_columns(b=(pl.col("src").hash(seed=61)
+                           % np.uint64(B)).cast(pl.Int32))
+        parts = de.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), de.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    @ray.remote
+    def _build_bucket(*parts):
+        """Bucket reduce: resident (src, dst, sdeg) edges + (node, deg)
+        slice + initial pr0 slice for this bucket."""
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            empty_e = pa.table({"src": pa.array([], pa.string()),
+                                "dst": pa.array([], pa.string()),
+                                "sdeg": pa.array([], pa.int64())})
+            empty_n = pa.table({"node": pa.array([], pa.string()),
+                                "deg": pa.array([], pa.int64())})
+            return empty_e, empty_n, 0
+        de = pl.from_arrow(pa.concat_tables(tabs))
+        deg = de.group_by("src").agg(deg=pl.len().cast(pl.Int64)).rename(
+            {"src": "node"})
+        ed = de.join(deg.rename({"node": "src", "deg": "sdeg"}),
+                     on="src", how="inner")
+        return (
+            ed.select(["src", "dst", "sdeg"]).to_arrow(),
+            deg.sort("node").to_arrow(),
+            int(deg.height),
+        )
+
+    @ray.remote
+    def _iter_map(edge_t: pa.Table, pr_t: pa.Table):
+        """One bucket's share pass: local join + dst-grouped partial,
+        split by hash(dst) for the reduce side."""
+        if edge_t.num_rows == 0:
+            z = pa.table({"dst": pa.array([], pa.string()),
+                          "s": pa.array([], pa.int64())})
+            return tuple(z for _ in range(B))
+        ed = pl.from_arrow(edge_t)
+        pr = pl.from_arrow(pr_t).rename({"node": "src"})
+        out = (
+            ed.join(pr, on="src", how="inner")
+            .with_columns(share=pl.col("pr") // pl.col("sdeg"))
+            .group_by("dst").agg(s=pl.col("share").sum().cast(pl.Int64))
+            .with_columns(b=(pl.col("dst").hash(seed=61)
+                             % np.uint64(B)).cast(pl.Int32))
+        )
+        parts = out.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), out.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    @ray.remote
+    def _iter_reduce(node_t: pa.Table, base: int, *parts):
+        """New (node, pr) slice for one bucket."""
+        nodes = pl.from_arrow(node_t).select("node")
+        tabs = [p for p in parts if p.num_rows]
+        if tabs:
+            s = (pl.from_arrow(pa.concat_tables(tabs))
+                 .group_by("dst").agg(s=pl.col("s").sum().cast(pl.Int64))
+                 .rename({"dst": "node"}))
+            nodes = nodes.join(s, on="node", how="left").with_columns(
+                s=pl.col("s").fill_null(0))
+        else:
+            nodes = nodes.with_columns(s=pl.lit(0, pl.Int64))
+        out = nodes.select(
+            node=pl.col("node"),
+            pr=(pl.lit(base, pl.Int64) + (85 * pl.col("s")) // 100),
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.string()), ("pr", pa.int64())]))
+
+    # --- one-time graph partitioning (the only edge-width shuffle) ---
+    blocks = edges.select_columns(["a_id", "b_id"]).to_arrow_refs()
+    split = [_split_edges.options(num_returns=B).remote(r) for r in blocks]
+    if not split:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"conv_id": pa.array([], pa.string()),
+                                       "pr": pa.array([], pa.int64())}))
+    built = [
+        _build_bucket.options(num_returns=3).remote(
+            *[split[m][b] for m in range(len(split))])
+        for b in range(B)
+    ]
+    edge_refs = [t[0] for t in built]
+    node_refs = [t[1] for t in built]
+    n_nodes = sum(ray.get([t[2] for t in built]))
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"conv_id": pa.array([], pa.string()),
+                                       "pr": pa.array([], pa.int64())}))
+    pr0 = int(scale) // n_nodes
+    base = (15 * pr0) // 100
+
+    @ray.remote
+    def _init_pr(node_t: pa.Table):
+        return pa.table({
+            "node": node_t["node"],
+            "pr": pa.array(np.full(node_t.num_rows, pr0, np.int64)),
+        })
+
+    pr_refs = [_init_pr.remote(nr) for nr in node_refs]
+
+    # --- iterations: only node-width partials move ---
+    for _ in range(int(n_iter)):
+        partials = [
+            _iter_map.options(num_returns=B).remote(edge_refs[b], pr_refs[b])
+            for b in range(B)
+        ]
+        pr_refs = [
+            _iter_reduce.remote(
+                node_refs[b], base,
+                *[partials[m][b] for m in range(B)])
+            for b in range(B)
+        ]
+
+    import ray.data as rd
+
+    return rd.from_arrow_refs(pr_refs).map_batches(
+        lambda t: pa.table({"conv_id": t["node"],
+                            "pr": t["pr"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def pagerank(edges, n_iter: int = 3, scale: int = 10**12,
              num_buckets: int = 32):
     """edges (a_id, b_id) — canonical a_id < b_id, distinct — →

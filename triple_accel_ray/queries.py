@@ -1562,14 +1562,17 @@ def build_queries() -> Dict[str, Callable]:
 
     def er_pagerank(sf_dir):
         """Integer fixed-point PageRank over the ER match graph
-        (ops/graph.pagerank): 3 synchronous iterations, d=0.85, every
-        step a floor divide or an order-independent integer sum — so
-        the chained-CTE SQL twin is value-exact (no float reduction
-        order anywhere). Per iteration: one hash(src) bucket join +
-        per-block dst combiner + node-sized grouped sum."""
-        from .ops.graph import pagerank
+        (ops/graph.pagerank_stationary): 3 synchronous iterations,
+        d=0.85, every step a floor divide or an order-independent
+        integer sum — so the chained-CTE SQL twin is value-exact (no
+        float reduction order anywhere). The edge table is hash(src)-
+        partitioned ONCE and stays resident in the object store; each
+        iteration moves only node-width rank shares (raw-Ray stationary
+        iteration — the Dataset-join form, kept as the differential
+        twin in ops/graph.pagerank, re-ships the edges every pass)."""
+        from .ops.graph import pagerank_stationary
 
-        return pagerank(
+        return pagerank_stationary(
             _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
             n_iter=3, num_buckets=8)
 
