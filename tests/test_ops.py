@@ -1579,3 +1579,61 @@ def test_equi_depth_histogram_skew(ray_session):
             zip(*np.unique(bins, return_counts=True))}
     assert got == want
     assert len(got) < 5      # the heavy value 5 collapses boundaries
+
+
+def test_kmeans_int_differential(ray_session):
+    """Distributed integer k-means equals a single-process numpy replay of
+    the same quantize/init/assign/floor-div rules, including an empty
+    cluster (tight planted blobs leave some of the 8 centroids memberless),
+    and is invariant under row permutation + repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.similarity import kmeans_int
+    from triple_accel_ray.pipeline.blocking import _mix64
+
+    rng = np.random.default_rng(3)
+    n, dim, k, n_iter, S, seed = 300, 8, 8, 3, 10**6, 29
+    centers = rng.normal(0, 1, (3, dim))
+    # zero noise: blob members are bit-identical, so several of the 8 init
+    # centroids coincide and the higher-indexed duplicates never win an
+    # argmin tie -> guaranteed empty clusters (keep-previous-centroid path)
+    X = centers[rng.integers(0, 3, n)].astype(np.float32)
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+
+    def replay():
+        Q = np.floor(X.astype(np.float64) * S + 0.5).astype(np.int64)
+        salt = np.uint64((seed * 0x9E3779B97F4A7C15) % 2**64)
+        h = _mix64(ids.astype(np.uint64) ^ salt)
+        C = Q[np.lexsort((ids, h))[:k]].copy()
+        empty_seen = False
+        for _ in range(n_iter):
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = np.argmin(d2, axis=1)
+            for j in range(k):
+                if (lab == j).any():
+                    C[j] = Q[lab == j].sum(axis=0) // (lab == j).sum()
+                else:
+                    empty_seen = True
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return dict(zip(ids.tolist(), np.argmin(d2, axis=1).tolist())), empty_seen
+
+    want, empty_seen = replay()
+    assert empty_seen  # the keep-previous-centroid path is exercised
+
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(X), pa.list_(pa.float32()))})
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_int(rd.from_arrow(t).repartition(7),
+                               k=k, n_iter=n_iter, seed=seed).take_all()}
+    assert got == want
+
+    perm = rng.permutation(n)
+    t2 = pa.table({"vec_id": pa.array(ids[perm], pa.int64()),
+                   "embedding": pa.array(list(X[perm]),
+                                         pa.list_(pa.float32()))})
+    got2 = {r["vec_id"]: r["cluster"]
+            for r in kmeans_int(rd.from_arrow(t2).repartition(4),
+                                k=k, n_iter=n_iter, seed=seed).take_all()}
+    assert got2 == want

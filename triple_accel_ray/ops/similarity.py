@@ -151,6 +151,123 @@ def build_centroids(corpus_sample: np.ndarray, n_centroids: int, seed: int = 13,
     return C
 
 
+def kmeans_int(ds, k: int = 8, n_iter: int = 3, quant_scale: int = 10**6,
+               seed: int = 29, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Deterministic integer Lloyd's k-means over an embedding column →
+    (vec_id, cluster) labels after ``n_iter`` synchronous iterations.
+
+    Every quantity is integer so the result is bit-identical under any
+    partitioning AND replayable by an unrolled SQL twin:
+
+    * quantize  q = floor(x_f64 * quant_scale + 0.5) per component
+      (float32 → float64 widening is exact on both engines);
+    * init      centroids = the quantized vectors of the k rows with the
+      smallest (mix64(vec_id ^ salt), vec_id) — order- and
+      partitioning-independent, never a head-of-corpus sample;
+    * assign    argmin_j Σ(q - C_j)², ties → smallest j. The argmin is
+      computed from the integer matmul Q @ C.T (the q·q term is
+      row-constant and drops out) — exact, no floats anywhere;
+    * update    C'_j = floor(Σ q_i / n_j) per component (numpy int64 //
+      is floor division); an empty cluster keeps its previous centroid.
+
+    Scale shape — iterate-over-stationary-data, like
+    :func:`ops.graph.pagerank_stationary`: the quantized point blocks are
+    put in the object store ONCE and stay resident; per iteration only
+    the k×dim centroid matrix (tiny) and per-block k×dim partial sums
+    move. The Dataset API would re-execute the quantize pass (or
+    re-scan a materialized dataset) every iteration; raw tasks hold the
+    points in place. Per-block partial sums make the reduction
+    order-independent (integer addition commutes)."""
+    import ray
+
+    from ..pipeline.blocking import _mix64
+
+    S = int(quant_scale)
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15) % 2**64)
+
+    @ray.remote
+    def _quant(t: pa.Table):
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return ids, np.empty((0, 0), np.int64), np.empty(0, np.uint64)
+        Q = np.floor(
+            _stack(t[vec_col]).astype(np.float64) * S + 0.5
+        ).astype(np.int64)
+        h = _mix64(ids.astype(np.uint64) ^ salt)
+        return ids, Q, h
+
+    @ray.remote
+    def _init_cand(part):
+        """Per-block k smallest (h, id) rows — the global init candidates."""
+        ids, Q, h = part
+        if len(ids) == 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                    np.empty((0, 0), np.int64))
+        order = np.lexsort((ids, h))[:k]
+        return h[order], ids[order], Q[order]
+
+    @ray.remote
+    def _partial(part, C: np.ndarray):
+        """Per-block assignment + (k × dim sums, k counts) partials."""
+        ids, Q, h = part
+        dim = C.shape[1]
+        if len(ids) == 0:
+            return np.zeros((k, dim), np.int64), np.zeros(k, np.int64)
+        # argmin_j ||q - C_j||² == argmin_j (C_j·C_j - 2 q·C_j); integer
+        # matmul keeps it exact, ties resolve to the smallest j (argmin
+        # takes the first minimum)
+        score = (C * C).sum(axis=1)[None, :] - 2 * (Q @ C.T)
+        lab = np.argmin(score, axis=1)
+        sums = np.zeros((k, dim), np.int64)
+        np.add.at(sums, lab, Q)
+        counts = np.bincount(lab, minlength=k).astype(np.int64)
+        return sums, counts
+
+    @ray.remote
+    def _label(part, C: np.ndarray) -> pa.Table:
+        ids, Q, h = part
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        score = (C * C).sum(axis=1)[None, :] - 2 * (Q @ C.T)
+        lab = np.argmin(score, axis=1).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(lab, pa.int64())})
+
+    blocks = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    import ray.data as rd
+
+    if not blocks:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "cluster": pa.array([], pa.int64())}))
+    resident = [_quant.remote(r) for r in blocks]
+
+    cands = ray.get([_init_cand.remote(r) for r in resident])
+    hh = np.concatenate([c[0] for c in cands])
+    if hh.size == 0:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "cluster": pa.array([], pa.int64())}))
+    cid = np.concatenate([c[1] for c in cands])
+    cQ = np.concatenate([c[2] for c in cands])
+    order = np.lexsort((cid, hh))[: min(k, hh.size)]
+    C = cQ[order].copy()
+    if C.shape[0] < k:
+        # fewer rows than clusters: duplicate the last centroid so the
+        # matrix stays k-wide; duplicates never win an argmin tie
+        C = np.vstack([C] + [C[-1:]] * (k - C.shape[0]))
+
+    for _ in range(int(n_iter)):
+        parts = ray.get([_partial.remote(r, C) for r in resident])
+        sums = np.sum([p[0] for p in parts], axis=0)
+        counts = np.sum([p[1] for p in parts], axis=0)
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] // counts[nz, None]
+
+    return rd.from_arrow_refs([_label.remote(r, C) for r in resident])
+
+
 def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 13):

@@ -508,6 +508,23 @@ def build_queries() -> Dict[str, Callable]:
 
     q["knn_ivf_top5"] = knn_ivf_top5
 
+    def embed_kmeans_labels(sf_dir):
+        """Deterministic integer Lloyd's k-means over the embeddings table
+        (ops/similarity.kmeans_int, k=8, 3 iterations): quantize to int64,
+        seeded-hash-rank init (never a head sample), integer-matmul argmin
+        assignment, floor-div centroid update — every step integer, so the
+        unrolled 3-iteration SQL twin is value-exact. Iterate-over-
+        stationary-data shape: quantized point blocks stay resident in the
+        object store; only the k x dim centroid matrix and k x dim
+        per-block partial sums move per iteration."""
+        from .ops.similarity import kmeans_int
+
+        emb = read_parquet_clean(
+            _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        return kmeans_int(emb, k=8, n_iter=3)
+
+    q["embed_kmeans_labels"] = embed_kmeans_labels
+
     def knn_ivf_fullprobe_top5(sf_dir):
         """IVF invariant contract: probing every cell must reproduce the
         exact brute-force top-k (same oracle as knn_top5). Exercises the
@@ -1848,6 +1865,61 @@ prs AS (
 )"""
 
 
+def _kmeans_oracle(k: int, n_iter: int, quant_scale: int, seed: int) -> str:
+    """Unrolled integer Lloyd's k-means twin of ops/similarity.kmeans_int:
+    quantize -> seeded mix64-rank init -> n_iter x (integer-argmin assign,
+    floor-div centroid update). Every quantity BIGINT; ties on distance
+    resolve to the smallest cluster index on both engines; floor division
+    uses the divisible-numerator identity (DuckDB ``//`` truncates)."""
+    salt = (seed * 0x9E3779B97F4A7C15) % 2**64
+    chain, last = _mix64_chain_sql("h0", "vec_id", "km")
+    parts = [f"""pts AS (
+  SELECT vec_id,
+         CAST(floor(CAST(v AS DOUBLE) * {float(quant_scale)} + 0.5) AS BIGINT) AS q,
+         dim
+  FROM (SELECT t.vec_id::BIGINT AS vec_id, unnest(t.embedding) AS v,
+               unnest(range(1, len(t.embedding) + 1)) AS dim
+        FROM embeddings t)
+),
+h0 AS (SELECT vec_id::BIGINT AS vec_id,
+              CAST(xor(CAST(vec_id AS UBIGINT), {salt}::UBIGINT) AS HUGEINT) AS h
+       FROM embeddings),
+{chain},
+sel AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster
+        FROM {last} ORDER BY h, vec_id LIMIT {k}),
+c0 AS (SELECT s.cluster, p.dim, p.q AS val
+       FROM sel s JOIN pts p USING (vec_id))"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i} AS (
+  SELECT p.vec_id, c.cluster,
+         sum((p.q - c.val) * (p.q - c.val))::BIGINT AS d2
+  FROM pts p JOIN c{i - 1} c ON c.dim = p.dim GROUP BY 1, 2),
+asn{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rn
+    FROM a{i}) WHERE rn = 1),
+agg{i} AS (
+  SELECT a.cluster, p.dim, sum(p.q)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM asn{i} a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+c{i} AS (
+  SELECT pc.cluster, pc.dim,
+         CASE WHEN g.n IS NULL THEN pc.val
+              ELSE (g.s - (((g.s % g.n) + g.n) % g.n)) // g.n END AS val
+  FROM c{i - 1} pc LEFT JOIN agg{i} g
+    ON g.cluster = pc.cluster AND g.dim = pc.dim)""")
+    parts.append(f"""af AS (
+  SELECT p.vec_id, c.cluster,
+         sum((p.q - c.val) * (p.q - c.val))::BIGINT AS d2
+  FROM pts p JOIN c{n_iter} c ON c.dim = p.dim GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, cluster::BIGINT AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM af) WHERE rn = 1""")
+
+
 def _mix64_chain_sql(src: str, id_cols: str, prefix: str) -> tuple:
     """splitmix64 finalizer as 5 chained CTEs over column ``h``; returns
     (sql fragment, final CTE name). Matches kernels.vhash/_mix64 exactly."""
@@ -2270,6 +2342,9 @@ ranked AS (
 SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5"""
 
     o["knn_ivf_fullprobe_top5"] = o["knn_top5"]
+
+    o["embed_kmeans_labels"] = _kmeans_oracle(k=8, n_iter=3,
+                                              quant_scale=10**6, seed=29)
 
     o["embed_near_dups_lsh"] = """
 WITH aug AS (
