@@ -849,6 +849,13 @@ def test_triangle_counts_vs_bruteforce(ray_session):
     assert got == dict(want)
     assert sum(want.values()) % 3 == 0 and len(want) > 0
 
+    # the raw-exchange twin must be bit-identical (skewed hub included)
+    from triple_accel_ray.ops.graph import triangle_counts_fast
+
+    got_f = {r["conv_id"]: r["n_triangles"]
+             for r in triangle_counts_fast(ds, num_buckets=8).take_all()}
+    assert got_f == dict(want)
+
 
 def test_triangle_counts_triangle_free(ray_session):
     """A path graph has no triangles -> empty output, no errors."""
@@ -856,9 +863,14 @@ def test_triangle_counts_triangle_free(ray_session):
 
     from triple_accel_ray.ops.graph import triangle_counts
 
+    from triple_accel_ray.ops.graph import triangle_counts_fast
+
     ds = rd.from_arrow(pa.table({
         "a_id": ["a", "b", "c"], "b_id": ["b", "c", "d"]}))
     assert triangle_counts(ds, num_buckets=2).count() == 0
+    ds2 = rd.from_arrow(pa.table({
+        "a_id": ["a", "b", "c"], "b_id": ["b", "c", "d"]}))
+    assert triangle_counts_fast(ds2, num_buckets=2).count() == 0
 
 
 def test_rollup_counts_vs_direct(ray_session):

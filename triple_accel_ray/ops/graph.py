@@ -189,6 +189,180 @@ def triangle_counts(edges, num_buckets: int = 32):
     )
 
 
+def triangle_counts_fast(edges, num_buckets: int = 32):
+    """Raw-exchange twin of :func:`triangle_counts` (bit-identical output,
+    pinned by test): the same degree-oriented wedge algorithm expressed as
+    four lean ``raw_exchange`` rounds instead of six Dataset all-to-alls.
+    Profiling the Dataset form at 1.7M edges showed 41 s wall with <1.5 s
+    of UDF work per stage — the cost was union/tag/sort scheduling, so the
+    fix is fewer, leaner exchanges, not faster kernels:
+
+    1. directed edges → src owner; owner-local degree, sdeg attach
+       (a node's out-edges ALL hash to its bucket, so degree needs no
+       separate aggregate round);
+    2. rows → dst owner; ddeg attach from the owner's resident degree
+       slice (the ``extra`` side input) + the (deg, id) orientation
+       filter — only lower-endpoint out-edges survive;
+    3. kept out-edges → src owner; size-class-vectorized wedge emission;
+    4. wedges + canonical edges → hash(lo, hi) owner; pair join, one
+       (node, n) partial per vertex mention;
+    then one node-width Dataset groupby-sum for the final counts. All
+    merges are integer sums, so any partitioning gives identical output."""
+    import ray
+    import ray.data as rd
+
+    from ..pipeline.shuffle import raw_exchange
+
+    B = max(2, int(num_buckets))
+
+    def _hb(col):
+        return (pl.col(col).hash(seed=61) % np.uint64(B)).cast(pl.Int32)
+
+    def _split(df: pl.DataFrame, bexpr):
+        df = df.with_columns(__b=bexpr)
+        parts = df.partition_by("__b", as_dict=True, include_key=False)
+        empty = df.clear().drop("__b")
+        return tuple(
+            parts.get((b,), empty).to_arrow() for b in range(B))
+
+    def m1(t: pa.Table):
+        df = pl.from_arrow(t.select(["a_id", "b_id"]))
+        de = pl.concat([
+            df.select(src=pl.col("a_id"), dst=pl.col("b_id")),
+            df.select(src=pl.col("b_id"), dst=pl.col("a_id")),
+        ])
+        return _split(de, _hb("src"))
+
+    def r1(b, parts, _):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return (pl.DataFrame(schema={"src": pl.String, "dst": pl.String,
+                                         "sdeg": pl.Int64}).to_arrow())
+        de = pl.from_arrow(pa.concat_tables(tabs))
+        deg = de.group_by("src").agg(sdeg=pl.len().cast(pl.Int64))
+        return de.join(deg, on="src", how="inner").to_arrow()
+
+    edge_refs = edges.select_columns(["a_id", "b_id"]).to_arrow_refs()
+    if not edge_refs:
+        return rd.from_arrow(pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "n_triangles": pa.array([], pa.int64())}))
+    r1_out = raw_exchange(edge_refs, m1, r1, B)
+
+    @ray.remote
+    def _deg_slice(t: pa.Table) -> pa.Table:
+        """(dnode, ddeg) for every node owned by this bucket."""
+        df = pl.from_arrow(t)
+        return (df.group_by("src").agg(ddeg=pl.col("sdeg").first())
+                .rename({"src": "dnode"}).to_arrow())
+
+    deg_refs = [_deg_slice.remote(r) for r in r1_out]
+
+    def m2(part: pa.Table):
+        return _split(pl.from_arrow(part), _hb("dst"))
+
+    def r2(b, parts, deg_t):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return pl.DataFrame(
+                schema={"src": pl.String, "dst": pl.String}).to_arrow()
+        de = pl.from_arrow(pa.concat_tables(tabs))
+        dd = pl.from_arrow(deg_t)
+        de = de.join(dd, left_on="dst", right_on="dnode", how="inner")
+        keep = (pl.col("sdeg") < pl.col("ddeg")) | (
+            (pl.col("sdeg") == pl.col("ddeg")) & (pl.col("src") < pl.col("dst"))
+        )
+        return de.filter(keep).select(["src", "dst"]).to_arrow()
+
+    r2_out = raw_exchange(r1_out, m2, r2, B, extra=deg_refs)
+
+    def m3(part: pa.Table):
+        return _split(pl.from_arrow(part), _hb("src"))
+
+    def r3(b, parts, _):
+        tabs = [p for p in parts if p.num_rows]
+        empty = pl.DataFrame(schema={"lo": pl.String, "hi": pl.String,
+                                     "apex": pl.String})
+        if not tabs:
+            return empty.to_arrow()
+        df = pl.from_arrow(pa.concat_tables(tabs)).sort(["src", "dst"])
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        change = np.nonzero(src[1:] != src[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(src)]])
+        sizes = ends - starts
+        mask = sizes >= 2
+        ssz, sst = sizes[mask], starts[mask]
+        lo_i: list = []
+        hi_i: list = []
+        for n in np.unique(ssz):
+            iu0, iu1 = _triu_cache(int(n))
+            s_n = sst[ssz == n]
+            lo_i.append((s_n[:, None] + iu0[None, :]).ravel())
+            hi_i.append((s_n[:, None] + iu1[None, :]).ravel())
+        if not lo_i:
+            return empty.to_arrow()
+        li = np.concatenate(lo_i)
+        hi = np.concatenate(hi_i)
+        return pl.DataFrame({
+            "lo": dst[li], "hi": dst[hi], "apex": src[li],
+        }).to_arrow()
+
+    r3_out = raw_exchange(r2_out, m3, r3, B)
+
+    def m4(part: pa.Table):
+        if "apex" in part.column_names:
+            df = pl.from_arrow(part)
+        else:
+            df = (pl.from_arrow(part.select(["a_id", "b_id"]))
+                  .rename({"a_id": "lo", "b_id": "hi"})
+                  .with_columns(apex=pl.lit(None, pl.String)))
+        bexpr = ((pl.col("lo") + "\x00" + pl.col("hi")).hash(seed=58)
+                 % np.uint64(B)).cast(pl.Int32)
+        return _split(df, bexpr)
+
+    def r4(b, parts, _):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = pl.from_arrow(pa.concat_tables(tabs))
+        es = df.filter(pl.col("apex").is_null()).select(["lo", "hi"])
+        ws = df.filter(pl.col("apex").is_not_null())
+        tri = ws.join(es, on=["lo", "hi"], how="inner")
+        verts = pl.concat([
+            tri.select(node=pl.col("lo")),
+            tri.select(node=pl.col("hi")),
+            tri.select(node=pl.col("apex")),
+        ])
+        out = verts.group_by("node").agg(n=pl.len().cast(pl.Int64))
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.string()), ("n", pa.int64())]))
+
+    r4_out = raw_exchange(list(r3_out) + list(edge_refs), m4, r4, B)
+
+    # final vertex-count merge as a fifth raw exchange — a Dataset
+    # groupby here re-pays the all-to-all scheduling the whole function
+    # exists to avoid (measured: it tripled the op's wall time)
+    def m5(part: pa.Table):
+        return _split(pl.from_arrow(part), _hb("node"))
+
+    def r5(b, parts, _):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "n_triangles": pa.array([], pa.int64())})
+        df = pl.from_arrow(pa.concat_tables(tabs))
+        out = df.group_by("node").agg(
+            n_triangles=pl.col("n").sum().cast(pl.Int64)
+        ).rename({"node": "conv_id"})
+        return out.to_arrow().cast(pa.schema(
+            [("conv_id", pa.string()), ("n_triangles", pa.int64())]))
+
+    return rd.from_arrow_refs(list(raw_exchange(list(r4_out), m5, r5, B)))
+
+
 def pagerank_stationary(edges, n_iter: int = 3, scale: int = 10**12,
                         num_buckets: int = 32):
     """Value-identical twin of :func:`pagerank` built for iteration count:

@@ -62,6 +62,44 @@ def bucket_partition(ds, fn, num_buckets: int, *, bucket_col: str = "bucket",
     )
 
 
+def raw_exchange(refs, map_fn, reduce_fn, num_buckets: int, extra=None):
+    """One lean map/reduce exchange over object-store-resident parts,
+    bypassing the Dataset sort machinery: ``map_fn(part) -> tuple of B
+    payloads`` fans each input part out with ``num_returns=B`` (payload b
+    is routed to reduce task b without ever leaving the object store);
+    ``reduce_fn(b, payloads, extra_b) -> payload`` combines the b-th slice
+    of every map output (``extra`` is an optional B-list of per-bucket
+    side inputs — refs are dereferenced by Ray; None when absent).
+    Returns the B reduce ObjectRefs.
+
+    Use this (not bucket_partition/bucket_join) when an operator chains
+    SEVERAL exchanges over intermediate data that never needs to be a
+    Dataset — each Dataset all-to-all pays union/tag/sort scheduling that
+    dominates wall time when the per-row work is tiny (measured on
+    triangle counting over 1.7M edges: 6 Dataset all-to-alls = 41 s wall
+    with <1.5 s of UDF work per stage — see ops/graph.py). Payloads are
+    whatever Arrow/numpy values the caller wants; determinism is the
+    caller's contract (integer/exact merges, order-insensitive reduces)."""
+    import ray
+
+    B = max(2, int(num_buckets))  # num_returns=1 returns a bare ref
+
+    @ray.remote
+    def _map(part):
+        return map_fn(part)
+
+    @ray.remote
+    def _reduce(b, extra_b, *payloads):
+        return reduce_fn(b, payloads, extra_b)
+
+    side = extra if extra is not None else [None] * B
+    outs = [_map.options(num_returns=B).remote(r) for r in refs]
+    return [
+        _reduce.remote(b, side[b], *[outs[m][b] for m in range(len(outs))])
+        for b in range(B)
+    ]
+
+
 def bucket_join(
     left,
     right,

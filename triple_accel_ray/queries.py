@@ -1330,13 +1330,15 @@ def build_queries() -> Dict[str, Callable]:
 
     def er_edge_triangles(sf_dir):
         """Per-vertex triangle counts over the ER match-edge graph
-        (ops/graph.triangle_counts) — degree-oriented distributed
+        (ops/graph.triangle_counts_fast) — degree-oriented distributed
         triangle counting (wedges bounded O(m^1.5) under any skew),
         wedge<->edge pair join, 3 vertex mentions per triangle merged by
-        a grouped sum."""
-        from .ops.graph import triangle_counts
+        a grouped sum; served by the raw-exchange form (five lean
+        map/reduce exchanges, 6.5x over the Dataset-all-to-all twin at
+        1.7M edges, bit-identical by test)."""
+        from .ops.graph import triangle_counts_fast
 
-        return triangle_counts(
+        return triangle_counts_fast(
             _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
             num_buckets=8)
 
