@@ -1597,6 +1597,90 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_pagerank"] = er_pagerank
 
+    def er_cluster_metrics(sf_dir):
+        """Pairwise ER evaluation (precision/recall/F1) as a distributed
+        op: TP = labeled positive pairs whose endpoints share a predicted
+        cluster (two id-width bucket joins of the label pairs onto the
+        cluster map), predicted pairs = sum C(n_c, 2) over cluster sizes
+        (per-block partials + grouped sum), positives = label count. The
+        three ratios are integer per-mille — precision 1000*tp//pred,
+        recall 1000*tp//pos, f1 2000*tp//(pred+pos) (exact: f1 =
+        2pr/(p+r) = 2tp/(pred+pos)) — so the SQL twin is value-exact.
+        Output is ONE row; everything reaching the driver is an
+        aggregate scalar, never row data."""
+        from ray.data.aggregate import Sum
+
+        from .pipeline.cluster import connected_components
+        from .pipeline.shuffle import bucket_join
+
+        _, lbl_path = ensure_fixture(sf_dir)
+        clusters = connected_components(
+            _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
+            _er_docs_ds(sf_dir).select_columns(["conv_id"]),
+            num_partitions=8,
+        ).materialize()
+
+        def _size_partial(t: pa.Table) -> pa.Table:
+            out = (pl.from_arrow(t).group_by("cluster_id")
+                   .agg(n=pl.len().cast(pl.Int64)))
+            return out.to_arrow().cast(pa.schema(
+                [("cluster_id", pa.string()), ("n", pa.int64())]))
+
+        def _pp_partial(t: pa.Table) -> pa.Table:
+            n = t["nc"].to_numpy()
+            return pa.table({"pp": pa.array([int((n * (n - 1) // 2).sum())],
+                                            pa.int64())})
+
+        pred = int(
+            clusters.map_batches(_size_partial, batch_format="pyarrow")
+            .groupby("cluster_id").aggregate(Sum("n", alias_name="nc"))
+            .map_batches(_pp_partial, batch_format="pyarrow")
+            .sum("pp") or 0
+        )
+
+        lbl = read_parquet_clean(
+            lbl_path, columns=["a_id", "b_id", "is_match"]
+        ).map_batches(
+            lambda t: t.filter(t["is_match"]).select(["a_id", "b_id"]),
+            batch_format="pyarrow")
+        pos = lbl.count()
+
+        lbl_schema = pa.schema([("a_id", pa.string()), ("b_id", pa.string())])
+        ca = clusters.map_batches(
+            lambda t: pa.table({"conv_id": t["conv_id"], "ca": t["cluster_id"]}),
+            batch_format="pyarrow")
+        cb = clusters.map_batches(
+            lambda t: pa.table({"conv_id": t["conv_id"], "cb": t["cluster_id"]}),
+            batch_format="pyarrow")
+        j1 = bucket_join(
+            lbl, ca, "a_id", "conv_id", lbl_schema,
+            pa.schema([("conv_id", pa.string()), ("ca", pa.string())]),
+            num_buckets=8)
+        j2 = bucket_join(
+            j1, cb, "b_id", "conv_id",
+            pa.schema(list(lbl_schema) + [("ca", pa.string())]),
+            pa.schema([("conv_id", pa.string()), ("cb", pa.string())]),
+            num_buckets=8)
+        tp = int(j2.map_batches(
+            lambda t: pa.table({"tp": pa.array(
+                [int(pc.sum(pc.equal(t["ca"], t["cb"])).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").sum("tp") or 0)
+
+        prec = (1000 * tp) // pred if pred else 1000
+        rec = (1000 * tp) // pos if pos else 1000
+        f1 = (2000 * tp) // (pred + pos) if (pred + pos) else 1000
+        return pa.table({
+            "tp": pa.array([tp], pa.int64()),
+            "predicted_pairs": pa.array([pred], pa.int64()),
+            "positive_pairs": pa.array([pos], pa.int64()),
+            "precision_permille": pa.array([prec], pa.int64()),
+            "recall_permille": pa.array([rec], pa.int64()),
+            "f1_permille": pa.array([f1], pa.int64()),
+        })
+
+    q["er_cluster_metrics"] = er_cluster_metrics
+
     def docs_profile(sf_dir):
         """Single-pass table profiling (ops/profile.profile_columns):
         per-column rows/nulls/exact distinct/typed min-max over the full
@@ -2127,6 +2211,35 @@ lp(node, label) AS (
   SELECT s.u, lp.label FROM sym s JOIN lp ON lp.node = s.v
 )
 SELECT node AS conv_id, min(label) AS cluster_id FROM lp GROUP BY node"""
+
+    _lbl_fx = fx.replace("transcripts.parquet", "labels.parquet")
+    o["er_cluster_metrics"] = f"""
+WITH RECURSIVE {docs_cte}, {sig_pairs_cte}, {scored_cte},
+sym(u, v) AS (
+  SELECT a_id, b_id FROM edges UNION ALL SELECT b_id, a_id FROM edges
+),
+lp(node, label) AS (
+  SELECT conv_id, conv_id FROM docs2
+  UNION
+  SELECT s.u, lp.label FROM sym s JOIN lp ON lp.node = s.v
+),
+cl AS (SELECT node AS conv_id, min(label) AS cluster_id FROM lp GROUP BY node),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS n FROM cl GROUP BY 1),
+pp AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS pred FROM sizes),
+lb AS (SELECT a_id, b_id FROM read_parquet('{_lbl_fx}') WHERE is_match),
+tpx AS (SELECT count(*)::BIGINT AS tp FROM lb
+        JOIN cl ca ON ca.conv_id = lb.a_id
+        JOIN cl cb ON cb.conv_id = lb.b_id
+        WHERE ca.cluster_id = cb.cluster_id),
+posx AS (SELECT count(*)::BIGINT AS pos FROM lb)
+SELECT tp, pred AS predicted_pairs, pos AS positive_pairs,
+       CASE WHEN pred > 0 THEN (1000 * tp) // pred ELSE 1000 END::BIGINT
+         AS precision_permille,
+       CASE WHEN pos > 0 THEN (1000 * tp) // pos ELSE 1000 END::BIGINT
+         AS recall_permille,
+       CASE WHEN pred + pos > 0 THEN (2000 * tp) // (pred + pos)
+            ELSE 1000 END::BIGINT AS f1_permille
+FROM tpx, pp, posx"""
 
     o["lev_adjacent"] = """
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
