@@ -1649,3 +1649,55 @@ def test_kmeans_int_differential(ray_session):
             for r in kmeans_int(rd.from_arrow(t2).repartition(4),
                                 k=k, n_iter=n_iter, seed=seed).take_all()}
     assert got2 == want
+
+
+def test_ssjoin_token_pairs_vs_bruteforce(ray_session):
+    """Prefix-filtered set-similarity join equals a brute-force token-set
+    Jaccard scan: empty docs, whitespace-only docs, duplicate tokens
+    (sets, not bags), tab/CR separators, identical docs, and subsets that
+    straddle the threshold."""
+    import itertools
+    import re
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import ssjoin_token_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",          # identical to 1
+        3: "alpha beta gamma delta",                  # 4/5 subset
+        4: "alpha beta gamma delta zeta",             # 4-of-6 overlap w/ 1
+        5: "",                                        # empty
+        6: " \t \r ",                                 # whitespace only
+        7: "alpha alpha alpha beta beta gamma delta epsilon",  # bag==set of 1
+        8: "alpha\tbeta\rgamma\ndelta epsilon",       # tab/cr/nl separators
+        9: "unrelated tokens entirely here",
+        10: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    thp = 600
+
+    def toks(s):
+        return set(re.findall(r"[^ \t-\r]+", s))
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ta, tb = toks(texts[a]), toks(texts[b])
+        inter = len(ta & tb)
+        uni = len(ta | tb)
+        if uni > 0 and 1000 * inter >= thp * uni:
+            lo, hi = sorted((str(a), str(b)))  # op orients by STRING id
+            want[(lo, hi)] = (inter, uni, (1000 * inter) // uni)
+
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    })
+    out = ssjoin_token_pairs(
+        rd.from_arrow(t).repartition(4), threshold_permille=thp,
+        num_buckets=4).take_all()
+    got = {(r["a_id"], r["b_id"]): (r["inter"], r["uni"],
+                                    r["jaccard_permille"]) for r in out}
+    assert got == want
+    assert ("1", "2") in got and got[("1", "2")][2] == 1000
+    assert ("1", "7") in got  # bag collapses to set

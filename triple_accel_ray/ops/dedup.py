@@ -327,6 +327,184 @@ def minhash_dup_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     return with_texts.map_batches(_verify, batch_format="pyarrow")
 
 
+def ssjoin_token_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                       threshold_permille: int = 600, num_buckets: int = 32,
+                       broadcast_text_max_bytes: int = 256 << 20):
+    """Set-similarity self-join with PREFIX FILTERING (the SSJoin/PPJoin
+    family): all doc pairs whose DISTINCT-token-set Jaccard >= theta,
+    with exact integer (inter, uni, jaccard_permille) output — the
+    whitespace-token complement to the shingle-window MinHash path.
+
+    Why it scales: a doc with n distinct tokens emits only its prefix —
+    the first ``n - ceil(theta*n) + 1`` tokens under a GLOBAL total
+    order — and two sets with Jaccard >= theta provably share a prefix
+    token under ANY shared total order, so grouping by prefix token is
+    a complete (no-recall-loss) candidate generator that never explodes
+    the full token incidence. The order used is (hash(token), token):
+    order-only, never replayed in SQL — completeness holds for any
+    order, so the twin just computes qualifying pairs directly. (A
+    df-ascending order — rarest first — is the classic candidate-count
+    optimization on skewed vocabularies; it costs one extra token-width
+    join, noted as the tuning lever at scale.) A (theta*max <= min)
+    length filter prunes inside each token group; candidate pairs are
+    globally deduped BEFORE texts attach (broadcast-or-join, the
+    minhash discipline); verification recomputes exact token sets per
+    pair via vectorized string explode + join — integers end to end,
+    so the SQL twin is value-exact.
+
+    Tokens are maximal runs of '[^ \\t-\\r]+' — the tri-engine byte-
+    identical class (rust regex / RE2 / Python re; see
+    ops/text.normalize_text_batch)."""
+    import pyarrow.compute as pc
+
+    from ..pipeline.pairs import attach_pair_texts
+    from ..pipeline.shuffle import bucket_partition
+
+    TOK = r"[^ \t-\r]+"
+    thp = int(threshold_permille)
+
+    pre_schema = pa.schema([("tok", pa.large_string()),
+                            ("doc_id", pa.string()),
+                            ("nt", pa.int64()), ("bucket", pa.int32())])
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({
+            "doc_id": t[id_col].cast(pa.string()), "text": t[text_col]}))
+        tok = (df.with_columns(tok=pl.col("text").str.extract_all(TOK))
+               .select(["doc_id", "tok"]).explode("tok")
+               .drop_nulls("tok").unique(["doc_id", "tok"]))
+        if tok.height == 0:
+            return pre_schema.empty_table()
+        nt = tok.group_by("doc_id").agg(nt=pl.len().cast(pl.Int64))
+        tok = (tok.join(nt, on="doc_id")
+               .with_columns(h=pl.col("tok").hash(seed=71))
+               .sort(["doc_id", "h", "tok"])
+               .with_columns(rn=pl.int_range(1, pl.len() + 1)
+                             .over("doc_id")))
+        p = pl.col("nt") - ((thp * pl.col("nt") + 999) // 1000) + 1
+        pre = (tok.filter(pl.col("rn") <= p)
+               .select(["tok", "doc_id", "nt"])
+               .with_columns(bucket=(pl.col("tok").hash(seed=72)
+                                     % np.uint64(num_buckets))
+                             .cast(pl.Int32)))
+        return pre.to_arrow().cast(pre_schema)
+
+    cand_schema = pa.schema([("a_id", pa.string()), ("b_id", pa.string()),
+                             ("_c", pa.int8())])
+
+    def _cands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        from ..pipeline.pairs import _triu_cache
+
+        df = pl.from_arrow(t).sort(["tok", "doc_id"])
+        tokv = df["tok"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        nts = df["nt"].to_numpy()
+        change = np.nonzero(tokv[1:] != tokv[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(tokv)]])
+        sizes = ends - starts
+        mask = sizes >= 2
+        ssz, sst = sizes[mask], starts[mask]
+        lo_i: list = []
+        hi_i: list = []
+        for n in np.unique(ssz):
+            iu0, iu1 = _triu_cache(int(n))
+            s_n = sst[ssz == n]
+            lo_i.append((s_n[:, None] + iu0[None, :]).ravel())
+            hi_i.append((s_n[:, None] + iu1[None, :]).ravel())
+        if not lo_i:
+            return cand_schema.empty_table()
+        li = np.concatenate(lo_i)
+        hi = np.concatenate(hi_i)
+        # length filter: Jaccard >= theta forces theta*max(|A|,|B|) <= min
+        na, nb = nts[li], nts[hi]
+        keep = 1000 * np.minimum(na, nb) >= thp * np.maximum(na, nb)
+        li, hi = li[keep], hi[keep]
+        return pa.table({
+            "a_id": pa.array(ids[li], pa.string()),
+            "b_id": pa.array(ids[hi], pa.string()),
+            "_c": pa.array(np.zeros(len(li), np.int8)),
+        }).cast(cand_schema)
+
+    prefixes = docs.map_batches(_prefix, batch_format="pyarrow",
+                                batch_size=2048)
+    raw_pairs = bucket_partition(prefixes, _cands, num_buckets)
+    pairs = _distinct_pairs(raw_pairs, ("_c", pa.int8()),
+                            num_buckets=num_buckets).map_batches(
+        # attach_pair_texts' expected pair schema (block_key unused here)
+        lambda t: pa.table({
+            "a_id": t["a_id"], "b_id": t["b_id"],
+            "block_key": pa.array(np.zeros(t.num_rows, np.uint64)),
+        }),
+        batch_format="pyarrow")
+
+    def _texts(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t[id_col].cast(pa.string()),
+                         "doc_text": t[text_col]})
+
+    size = docs.size_bytes() or (1 << 62)
+    if size <= broadcast_text_max_bytes:
+        import ray
+
+        from ..pipeline.score import build_text_index
+
+        parts = [
+            tt for tt in ray.get(
+                docs.map_batches(_texts, batch_format="pyarrow")
+                .to_arrow_refs())
+            if tt.num_rows > 0
+        ]
+        index_ref = ray.put(build_text_index(pa.concat_tables(parts)))
+        with_texts = pairs.map_batches(
+            _AttachFromIndex(index_ref), batch_format="pyarrow")
+    else:
+        with_texts = attach_pair_texts(
+            pairs, docs.map_batches(_texts, batch_format="pyarrow"),
+            num_partitions=num_buckets,
+        )
+
+    out_schema = pa.schema([
+        ("a_id", pa.string()), ("b_id", pa.string()),
+        ("inter", pa.int64()), ("uni", pa.int64()),
+        ("jaccard_permille", pa.int64()),
+    ])
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(pa.table({
+            "a_id": t["a_id"], "b_id": t["b_id"],
+            "a": t["a_text"], "b": t["b_text"],
+        })).with_row_index("pid")
+        ta = (df.select("pid", tok=pl.col("a").str.extract_all(TOK))
+              .explode("tok").drop_nulls("tok").unique(["pid", "tok"]))
+        tb = (df.select("pid", tok=pl.col("b").str.extract_all(TOK))
+              .explode("tok").drop_nulls("tok").unique(["pid", "tok"]))
+        na = ta.group_by("pid").agg(na=pl.len().cast(pl.Int64))
+        nb = tb.group_by("pid").agg(nb=pl.len().cast(pl.Int64))
+        iv = (ta.join(tb, on=["pid", "tok"], how="inner")
+              .group_by("pid").agg(inter=pl.len().cast(pl.Int64)))
+        res = (df.select(["pid", "a_id", "b_id"])
+               .join(na, on="pid", how="left")
+               .join(nb, on="pid", how="left")
+               .join(iv, on="pid", how="left")
+               .with_columns(pl.col("na", "nb", "inter").fill_null(0))
+               .with_columns(uni=pl.col("na") + pl.col("nb")
+                             - pl.col("inter"))
+               .filter((pl.col("uni") > 0)
+                       & (1000 * pl.col("inter") >= thp * pl.col("uni")))
+               .with_columns(
+                   jaccard_permille=(1000 * pl.col("inter"))
+                   // pl.col("uni")))
+        return (res.select(["a_id", "b_id", "inter", "uni",
+                            "jaccard_permille"])
+                .to_arrow().cast(out_schema))
+
+    return with_texts.map_batches(_verify, batch_format="pyarrow")
+
+
 def _distinct_pairs(pairs, metric_field: tuple, num_buckets: int = 16):
     """Globally-unique (a_id, b_id) via one pair-hash-bucketed shuffle."""
     name, typ = metric_field

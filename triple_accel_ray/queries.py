@@ -525,6 +525,22 @@ def build_queries() -> Dict[str, Callable]:
 
     q["embed_kmeans_labels"] = embed_kmeans_labels
 
+    def ssjoin_token_pairs_09(sf_dir):
+        """Prefix-filtered set-similarity self-join (SSJoin/PPJoin
+        family, ops/dedup.ssjoin_token_pairs): all doc pairs with
+        distinct-whitespace-token Jaccard >= 0.9, exact integer
+        (inter, uni, jaccard_permille). Prefix filtering is provably
+        complete under any shared token order, so the candidate stage
+        prunes with no recall loss and the SQL twin (direct token
+        explode-join) is value-exact."""
+        from .ops.dedup import ssjoin_token_pairs
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return ssjoin_token_pairs(docs, threshold_permille=900)
+
+    q["ssjoin_token_pairs_09"] = ssjoin_token_pairs_09
+
     def knn_ivf_fullprobe_top5(sf_dir):
         """IVF invariant contract: probing every cell must reproduce the
         exact brute-force top-k (same oracle as knn_top5). Exercises the
@@ -2424,6 +2440,29 @@ WITH {_MINHASH_PAIR_CTES}
 SELECT a_id, b_id, jaccard FROM prs"""
 
     o["dedup_simhash_pairs"] = _simhash_oracle(max_hamming=6)
+
+    # set-similarity join twin: qualifying pairs computed directly by a
+    # token explode-join — independent of the engine's prefix-filter
+    # order, which affects only candidate pruning (provably complete)
+    o["ssjoin_token_pairs_09"] = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t-\r]+')) AS t
+    FROM documents)
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT ta.doc_id AS a_id, tb.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM tok ta JOIN tok tb ON tb.t = ta.t
+   AND ta.doc_id::VARCHAR < tb.doc_id::VARCHAR
+  GROUP BY 1, 2)
+SELECT i.a_id::VARCHAR AS a_id, i.b_id::VARCHAR AS b_id,
+       i.i AS inter, (ca.n + cb.n - i.i)::BIGINT AS uni,
+       ((1000 * i.i) // (ca.n + cb.n - i.i))::BIGINT AS jaccard_permille
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a_id
+JOIN cnt cb ON cb.doc_id = i.b_id
+WHERE 1000 * i.i >= 900 * (ca.n + cb.n - i.i)"""
 
     o["charset_jaccard_adjacent"] = """
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
