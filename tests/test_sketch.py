@@ -262,3 +262,35 @@ def test_grouped_ranks_matches_rank_minus_one(ray_session):
     assert len(got) == len(df)
     assert (got["cnt_less"].to_numpy() == want_rank.to_numpy()).all()
     assert (got["n_group"].to_numpy() == want_n.to_numpy()).all()
+
+
+def test_hll_registers_by_groupwise_replay(ray_session):
+    """Grouped HLL registers equal an independent per-group replay of the
+    same mix64 register rule, under repartitioning (merge order free)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import (
+        HLL_P, hll_partial_registers, hll_registers_by)
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    groups = np.array(["click", "view", "purchase"])[rng.integers(0, 3, n)]
+    users = rng.integers(0, 800, n).astype(np.int64)
+    t = pa.table({"event_type": pa.array(groups),
+                  "user_id": pa.array(users, pa.int64())})
+
+    got = {}
+    out = hll_registers_by(
+        rd.from_arrow(t).repartition(7), "event_type", "user_id").take_all()
+    for r in out:
+        got[(r["event_type"], r["bucket"])] = r["rho_max"]
+
+    want = {}
+    for g in np.unique(groups):
+        reg = hll_partial_registers(users[groups == g])
+        for b, rho in zip(reg["bucket"].to_pylist(),
+                          reg["rho_max"].to_pylist()):
+            want[(str(g), b)] = rho
+    assert got == want

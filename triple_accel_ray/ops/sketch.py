@@ -100,6 +100,46 @@ def hll_registers(ds, col: str, p: int = HLL_P, salt: int = HLL_SALT):
     )
 
 
+def hll_registers_by(ds, group_col: str, col: str, p: int = HLL_P,
+                     salt: int = HLL_SALT):
+    """Grouped HLL register build → (group, bucket, rho_max): one
+    mergeable sketch per group value, the shape a planner keeps per
+    partition/segment and merges on demand (register-wise max commutes,
+    so any merge order and any partitioning give identical registers).
+    Per-block partials collapse each block to <= groups × 2^p rows before
+    the single (group, bucket) grouped-max shuffle — hot groups cost one
+    partial row per (block, bucket), never a per-row shuffle."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col].to_numpy(zero_copy_only=False))
+        if v.dtype != np.uint64:
+            v = v.astype(np.int64).view(np.uint64)
+        h = _mix64(v ^ np.uint64(salt))
+        bucket = (h & np.uint64(m - 1)).astype(np.int64)
+        rho = _rho_ctz(h >> np.uint64(p), 64 - p)
+        df = pl.DataFrame({
+            "g": np.asarray(t[group_col].to_numpy(zero_copy_only=False)),
+            "bucket": bucket, "rho": rho,
+        })
+        out = df.group_by(["g", "bucket"]).agg(rho=pl.col("rho").max())
+        return out.to_arrow().cast(pa.schema(
+            [("g", pa.string()), ("bucket", pa.int64()),
+             ("rho", pa.int64())]))
+
+    reg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["g", "bucket"])
+        .aggregate(Max("rho", alias_name="rho_max"))
+    )
+    return reg.map_batches(
+        lambda t: pa.table({group_col: t["g"], "bucket": t["bucket"],
+                            "rho_max": t["rho_max"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
     """Standard HLL estimator over a (bucket, rho_max) register table.
 

@@ -990,6 +990,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["hll_user_registers"] = hll_user_registers
 
+    def hll_users_by_type_registers(sf_dir):
+        """Grouped HLL (ops/sketch.hll_registers_by): one mergeable
+        distinct-users sketch per event_type — (event_type, bucket,
+        rho_max) registers, bit-exact vs the SQL replay of the same
+        mix64 chain. Per-block (group, bucket) max partials bound the
+        shuffle at groups x 2^p rows per block."""
+        from .ops.sketch import hll_registers_by
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["event_type", "user_id"])
+        return hll_registers_by(ev, "event_type", "user_id")
+
+    q["hll_users_by_type_registers"] = hll_users_by_type_registers
+
     def distinct_users_exact(sf_dir):
         """Exact COUNT(DISTINCT user_id): per-block unique combiner ->
         grouped shuffle of distinct values only -> metadata-only count.
@@ -2971,6 +2985,28 @@ r AS (
   FROM bw
 )
 SELECT bucket, max(rho)::BIGINT AS rho_max FROM r GROUP BY 1"""
+
+    _ghm_sql, _ghm_f = _mix64_chain_sql("ghm0", "event_type", "ghm")
+    o["hll_users_by_type_registers"] = f"""
+WITH ghm0 AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(xor(CAST(user_id AS UBIGINT), {HLL_SALT}::UBIGINT) AS HUGEINT) AS h
+  FROM events
+),
+{_ghm_sql},
+gbw AS (
+  SELECT event_type, CAST(h % {_hll_m} AS BIGINT) AS bucket,
+         CAST(h // {_hll_m} AS BIGINT) AS w
+  FROM {_ghm_f}
+),
+gr AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN {64 - HLL_P + 1}
+              ELSE bit_count(xor(w, w - 1)) END AS rho
+  FROM gbw
+)
+SELECT event_type, bucket, max(rho)::BIGINT AS rho_max
+FROM gr GROUP BY 1, 2"""
 
     o["distinct_users_exact"] = """
 SELECT count(DISTINCT user_id)::BIGINT AS n_distinct FROM events"""
