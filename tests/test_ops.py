@@ -1701,3 +1701,84 @@ def test_ssjoin_token_pairs_vs_bruteforce(ray_session):
     assert got == want
     assert ("1", "2") in got and got[("1", "2")][2] == 1000
     assert ("1", "7") in got  # bag collapses to set
+
+
+def test_knn_pq_differential(ray_session):
+    """Distributed integer product quantization equals a single-process
+    numpy replay of the same quantize/init/per-subspace-Lloyd/encode/ADC
+    rules, including an empty code (zero-noise planted blobs make several
+    of the init codebook rows coincide -> keep-previous path), and is
+    invariant under row permutation + repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.similarity import knn_pq
+    from triple_accel_ray.pipeline.blocking import _mix64
+
+    rng = np.random.default_rng(11)
+    n, dim, n_sub, ksub, n_iter, S, seed, k, nq = 200, 8, 2, 4, 2, 10**6, 31, 3, 5
+    dsub = dim // n_sub
+    centers = rng.normal(0, 1, (3, dim))
+    X = centers[rng.integers(0, 3, n)].astype(np.float32)  # zero noise
+    ids = np.arange(500, 500 + n, dtype=np.int64)
+
+    def replay():
+        Q = np.floor(X.astype(np.float64) * S + 0.5).astype(np.int64)
+        salt = np.uint64((seed * 0x9E3779B97F4A7C15) % 2**64)
+        h = _mix64(ids.astype(np.uint64) ^ salt)
+        sel = Q[np.lexsort((ids, h))[:ksub]]
+        C = [sel[:, m * dsub:(m + 1) * dsub].copy() for m in range(n_sub)]
+        empty_seen = False
+        for _ in range(n_iter):
+            for m in range(n_sub):
+                Qs = Q[:, m * dsub:(m + 1) * dsub]
+                d2 = ((Qs[:, None, :] - C[m][None, :, :]) ** 2).sum(axis=2)
+                lab = np.argmin(d2, axis=1)
+                Cm = C[m].copy()
+                for j in range(ksub):
+                    if (lab == j).any():
+                        Cm[j] = Qs[lab == j].sum(axis=0) // (lab == j).sum()
+                    else:
+                        empty_seen = True
+                C[m] = Cm
+        codes = np.stack(
+            [np.argmin(((Q[:, m * dsub:(m + 1) * dsub][:, None, :]
+                         - C[m][None, :, :]) ** 2).sum(axis=2), axis=1)
+             for m in range(n_sub)], axis=1)
+        qidx = np.arange(nq)  # queries = first nq rows by vec_id
+        want = {}
+        for qi in qidx:
+            d = np.zeros(n, np.int64)
+            for m in range(n_sub):
+                qs = Q[qi, m * dsub:(m + 1) * dsub]
+                lut = ((qs[None, :] - C[m]) ** 2).sum(axis=1)
+                d += lut[codes[:, m]]
+            mask = ids != ids[qi]
+            order = np.lexsort((ids[mask], d[mask]))[:k]
+            want[int(ids[qi])] = [
+                (int(ids[mask][j]), int(d[mask][j]), r + 1)
+                for r, j in enumerate(order)
+            ]
+        return want, empty_seen
+
+    want, empty_seen = replay()
+    assert empty_seen  # the keep-previous-codebook-row path is exercised
+
+    def run(perm):
+        t = pa.table({"vec_id": pa.array(ids[perm], pa.int64()),
+                      "embedding": pa.array(list(X[perm]),
+                                            pa.list_(pa.float32()))})
+        qt = pa.table({"vec_id": pa.array(ids[:nq], pa.int64()),
+                       "embedding": pa.array(list(X[:nq]),
+                                             pa.list_(pa.float32()))})
+        out = knn_pq(rd.from_arrow(t).repartition(6), qt, k=k, n_sub=n_sub,
+                     ksub=ksub, n_iter=n_iter, seed=seed).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["pq_dist"], r["rank"]))
+        return {qid: sorted(v, key=lambda x: x[2]) for qid, v in got.items()}
+
+    assert run(np.arange(n)) == want
+    assert run(rng.permutation(n)) == want

@@ -268,6 +268,182 @@ def kmeans_int(ds, k: int = 8, n_iter: int = 3, quant_scale: int = 10**6,
     return rd.from_arrow_refs([_label.remote(r, C) for r in resident])
 
 
+def knn_pq(corpus, queries_table: pa.Table, k: int = 5, n_sub: int = 4,
+           ksub: int = 16, n_iter: int = 1, quant_scale: int = 10**6,
+           seed: int = 31, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization ANN (the IVF-PQ memory-scale path): vectors are
+    split into ``n_sub`` subspaces, each encoded as one of ``ksub`` codebook
+    entries, and queries score documents by asymmetric distance (a per-query
+    lookup table summed over the code bytes). At 100 TB this is the operator
+    that makes embedding search feasible at all — a 64-dim float corpus
+    (256 B/row) compresses to ``n_sub`` uint8 codes (4 B/row), so the scan
+    side shrinks 64x and the codebooks (n_sub × ksub × dsub ints) broadcast
+    for free.
+
+    Every step is integer so the result has a bit-exact SQL twin
+    (``_pq_oracle`` in queries.py), mirroring :func:`kmeans_int`:
+
+    * quantize   q = floor(x_f64 * quant_scale + 0.5) per component;
+    * init       codebook rows = quantized subvectors of the ``ksub`` rows
+      with the smallest (mix64(vec_id ^ salt), vec_id) — order- and
+      partitioning-independent;
+    * train      ``n_iter`` Lloyd iterations PER SUBSPACE: integer-argmin
+      assignment (ties → smallest code), floor-div centroid update, empty
+      code keeps its previous entry;
+    * encode     each vector → argmin code per subspace (ties → smallest);
+    * ADC        dist(query, doc) = Σ_m ||q_sub_m(query) − C_m[code_m(doc)]||²
+      — exact integers; top-k per query, ties → neighbor_id ascending,
+      self-matches excluded.
+
+    Scale shape = iterate-over-stationary-data: quantized blocks go to the
+    object store once and stay resident; training moves only per-block
+    (n_sub × ksub × dsub) partial sums, scoring moves only per-block top-k
+    partials. → (query_id, neighbor_id, pq_dist, rank 1..k)."""
+    import ray
+    import ray.data as rd
+
+    from ..pipeline.blocking import _mix64
+
+    S = int(quant_scale)
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15) % 2**64)
+
+    def _q(m: np.ndarray) -> np.ndarray:
+        return np.floor(m.astype(np.float64) * S + 0.5).astype(np.int64)
+
+    @ray.remote
+    def _quant(t: pa.Table):
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) == 0:
+            return ids, np.empty((0, 0), np.int64), np.empty(0, np.uint64)
+        Q = _q(_stack(t[vec_col]))
+        return ids, Q, _mix64(ids.astype(np.uint64) ^ salt)
+
+    @ray.remote
+    def _init_cand(part):
+        ids, Q, h = part
+        if len(ids) == 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                    np.empty((0, 0), np.int64))
+        order = np.lexsort((ids, h))[:ksub]
+        return h[order], ids[order], Q[order]
+
+    def _assign_sub(Qs: np.ndarray, Cs: np.ndarray) -> np.ndarray:
+        """argmin_j ||qs − Cs_j||² per row, ties → smallest j (integer
+        matmul; the qs·qs term is row-constant and drops out)."""
+        score = (Cs * Cs).sum(axis=1)[None, :] - 2 * (Qs @ Cs.T)
+        return np.argmin(score, axis=1)
+
+    @ray.remote
+    def _train_partial(part, C: np.ndarray, dsub: int):
+        """Per-block (n_sub × ksub × dsub) sums + (n_sub × ksub) counts."""
+        ids, Q, h = part
+        sums = np.zeros((n_sub, ksub, dsub), np.int64)
+        counts = np.zeros((n_sub, ksub), np.int64)
+        for m in range(n_sub) if len(ids) else ():
+            Qs = Q[:, m * dsub:(m + 1) * dsub]
+            lab = _assign_sub(Qs, C[m])
+            np.add.at(sums[m], lab, Qs)
+            counts[m] = np.bincount(lab, minlength=ksub)
+        return sums, counts
+
+    @ray.remote
+    def _score(part, C: np.ndarray, dsub: int, qids: np.ndarray,
+               Qq: np.ndarray) -> pa.Table:
+        """Encode the block, then ADC partial top-k for every query."""
+        ids, Q, h = part
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "pq_dist": pa.array([], pa.int64())})
+        nq = len(qids)
+        dist = np.zeros((nq, len(ids)), np.int64)
+        for m in range(n_sub):
+            codes = _assign_sub(Q[:, m * dsub:(m + 1) * dsub], C[m])
+            qs = Qq[:, m * dsub:(m + 1) * dsub]  # (nq, dsub)
+            # lut[i, j] = ||qs_i − C_m[j]||² — exact integers
+            lut = (
+                (C[m] * C[m]).sum(axis=1)[None, :]
+                - 2 * (qs @ C[m].T)
+                + (qs * qs).sum(axis=1)[:, None]
+            )
+            dist += lut[:, codes]
+        dist = np.where(ids[None, :] == qids[:, None], np.int64(2**62), dist)
+        kk = min(k, len(ids))
+        # per-row partial top-k: ids ascend within a block read in file
+        # order is not guaranteed, so sort by (dist, id) explicitly
+        order_ids = np.argsort(ids, kind="stable")
+        d_s = dist[:, order_ids]
+        top = np.argsort(d_s, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(d_s, top, axis=1)
+        keep = (vals < 2**62).ravel()
+        qcol = np.repeat(qids.astype(np.int64), kk)[keep]
+        ncol = ids[order_ids][top.ravel()[keep]].astype(np.int64)
+        return pa.table({"query_id": pa.array(qcol, pa.int64()),
+                         "neighbor_id": pa.array(ncol, pa.int64()),
+                         "pq_dist": pa.array(vals.ravel()[keep], pa.int64())})
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "pq_dist": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    blocks = corpus.select_columns([id_col, vec_col]).to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(empty)
+    resident = [_quant.remote(r) for r in blocks]
+
+    cands = ray.get([_init_cand.remote(r) for r in resident])
+    hh = np.concatenate([c[0] for c in cands])
+    if hh.size == 0:
+        return rd.from_arrow(empty)
+    cid = np.concatenate([c[1] for c in cands])
+    cQ = np.concatenate([c[2] for c in cands])
+    dim = cQ.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    dsub = dim // n_sub
+    order = np.lexsort((cid, hh))[: min(ksub, hh.size)]
+    sel = cQ[order]
+    if sel.shape[0] < ksub:
+        sel = np.vstack([sel] + [sel[-1:]] * (ksub - sel.shape[0]))
+    # C[m] = (ksub, dsub) codebook for subspace m
+    C = np.stack([sel[:, m * dsub:(m + 1) * dsub].copy()
+                  for m in range(n_sub)])
+
+    for _ in range(int(n_iter)):
+        parts = ray.get([_train_partial.remote(r, C, dsub) for r in resident])
+        sums = np.sum([p[0] for p in parts], axis=0)
+        counts = np.sum([p[1] for p in parts], axis=0)
+        C = C.copy()
+        for m in range(n_sub):
+            nz = counts[m] > 0
+            C[m][nz] = sums[m][nz] // counts[m][nz, None]
+
+    Qq = _q(_stack(queries_table[vec_col]))
+    qids = np.asarray(queries_table[id_col].to_numpy(), np.int64)
+    partials = rd.from_arrow_refs(
+        [_score.remote(r, C, dsub, qids, Qq) for r in resident]
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(["query_id", "pq_dist", "neighbor_id"])
+            .group_by("query_id", maintain_order=True)
+            .head(k)
+            .with_columns(
+                rank=pl.col("pq_dist").rank("ordinal").over("query_id")
+                .cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                       ("pq_dist", pa.int64()), ("rank", pa.int64())])
+        )
+
+    # partial top-k tables are tiny (nq × k × nblocks): one merge group
+    return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
 def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 13):

@@ -552,6 +552,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["knn_ivf_fullprobe_top5"] = knn_ivf_fullprobe_top5
 
+    def knn_pq_top5(sf_dir):
+        """Product-quantization ANN (ops/similarity.knn_pq): integer PQ —
+        seeded-rank codebook init, one integer Lloyd iteration per
+        subspace, uint8-code encode, exact-integer ADC top-k. Deterministic
+        end to end, so the SQL twin (codebook training unrolled like
+        embed_kmeans_labels) is value-exact — an oracle-checked ANN
+        operator, not a rows-only one."""
+        from .ops.similarity import knn_pq
+
+        emb = read_parquet_clean(_t(sf_dir, "embeddings"))
+        queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
+        return knn_pq(emb, queries_table, k=5, n_sub=4, ksub=16, n_iter=1)
+
+    q["knn_pq_top5"] = knn_pq_top5
+
     def embed_near_dups_lsh(sf_dir):
         """SRP-LSH near-dup pairs over a corpus with PLANTED duplicates:
         every embedding also appears 2x-scaled under vec_id + 1_000_000.
@@ -2036,6 +2051,82 @@ SELECT vec_id, cluster::BIGINT AS cluster FROM (
   FROM af) WHERE rn = 1""")
 
 
+def _pq_oracle(n_sub: int, ksub: int, n_iter: int, quant_scale: int,
+               seed: int, k: int, nq: int) -> str:
+    """Unrolled integer product-quantization twin of ops/similarity.knn_pq:
+    quantize -> seeded mix64-rank codebook init -> n_iter x per-subspace
+    (integer-argmin assign, floor-div update, empty code keeps previous)
+    -> encode -> exact-integer ADC top-k. Ties on distance resolve to the
+    smallest code / neighbor_id on both engines; floor division uses the
+    divisible-numerator identity (DuckDB ``//`` truncates). The final
+    assignment CTE ``af`` doubles as the per-query ADC lookup table."""
+    salt = (seed * 0x9E3779B97F4A7C15) % 2**64
+    chain, last = _mix64_chain_sql("h0", "vec_id", "pq")
+    parts = [f"""raw AS (
+  SELECT t.vec_id::BIGINT AS vec_id, unnest(t.embedding) AS v,
+         unnest(range(1, len(t.embedding) + 1)) AS dim
+  FROM embeddings t),
+dm AS (SELECT (max(dim) // {n_sub})::BIGINT AS dsub FROM raw),
+pts AS (
+  SELECT vec_id,
+         CAST(floor(CAST(v AS DOUBLE) * {float(quant_scale)} + 0.5) AS BIGINT) AS q,
+         dim, ((dim - 1) // (SELECT dsub FROM dm))::BIGINT AS sub
+  FROM raw),
+h0 AS (SELECT vec_id::BIGINT AS vec_id,
+              CAST(xor(CAST(vec_id AS UBIGINT), {salt}::UBIGINT) AS HUGEINT) AS h
+       FROM embeddings),
+{chain},
+sel AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+        FROM {last} ORDER BY h, vec_id LIMIT {ksub}),
+c0 AS (SELECT s.code, p.sub, p.dim, p.q AS val
+       FROM sel s JOIN pts p USING (vec_id))"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i} AS (
+  SELECT p.vec_id, p.sub, c.code,
+         sum((p.q - c.val) * (p.q - c.val))::BIGINT AS d2
+  FROM pts p JOIN c{i - 1} c ON c.dim = p.dim GROUP BY 1, 2, 3),
+asn{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rn
+    FROM a{i}) WHERE rn = 1),
+agg{i} AS (
+  SELECT a.sub, a.code, p.dim, sum(p.q)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM asn{i} a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub
+  GROUP BY 1, 2, 3),
+c{i} AS (
+  SELECT pc.code, pc.sub, pc.dim,
+         CASE WHEN g.n IS NULL THEN pc.val
+              ELSE (g.s - (((g.s % g.n) + g.n) % g.n)) // g.n END AS val
+  FROM c{i - 1} pc LEFT JOIN agg{i} g
+    ON g.sub = pc.sub AND g.code = pc.code AND g.dim = pc.dim)""")
+    parts.append(f"""af AS (
+  SELECT p.vec_id, p.sub, c.code,
+         sum((p.q - c.val) * (p.q - c.val))::BIGINT AS d2
+  FROM pts p JOIN c{n_iter} c ON c.dim = p.dim GROUP BY 1, 2, 3),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rn
+    FROM af) WHERE rn = 1),
+qs AS (SELECT vec_id::BIGINT AS vec_id FROM embeddings
+       ORDER BY vec_id LIMIT {nq}),
+dist AS (
+  SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+         sum(l.d2)::BIGINT AS pq_dist
+  FROM enc e JOIN af l ON l.sub = e.sub AND l.code = e.code
+  WHERE l.vec_id IN (SELECT vec_id FROM qs) AND e.vec_id != l.vec_id
+  GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, pq_dist, rank::BIGINT AS rank FROM (
+  SELECT query_id, neighbor_id, pq_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_dist, neighbor_id) AS rank
+  FROM dist) WHERE rank <= {k}""")
+
+
 def _mix64_chain_sql(src: str, id_cols: str, prefix: str) -> tuple:
     """splitmix64 finalizer as 5 chained CTEs over column ``h``; returns
     (sql fragment, final CTE name). Matches kernels.vhash/_mix64 exactly."""
@@ -2513,6 +2604,9 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5""
 
     o["embed_kmeans_labels"] = _kmeans_oracle(k=8, n_iter=3,
                                               quant_scale=10**6, seed=29)
+
+    o["knn_pq_top5"] = _pq_oracle(n_sub=4, ksub=16, n_iter=1,
+                                  quant_scale=10**6, seed=31, k=5, nq=10)
 
     o["embed_near_dups_lsh"] = """
 WITH aug AS (
