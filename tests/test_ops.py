@@ -1782,3 +1782,58 @@ def test_knn_pq_differential(ray_session):
 
     assert run(np.arange(n)) == want
     assert run(rng.permutation(n)) == want
+
+
+def test_duplicate_spans_vs_bruteforce(ray_session):
+    """Exact duplicated-substring spans equal a brute-force window-count
+    replay: cross-doc dups, within-doc self-repeats (overlapping windows
+    merge into one island), docs shorter than w, stride-aligned starts,
+    and both text-attach paths (broadcast index / tagged doc-bucket
+    join)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import duplicate_spans
+
+    docs = [
+        ("d1", "abcdefghij" * 3 + "XYZ"),
+        ("d2", "qqabcdefghijzz"),
+        ("d3", "unique-text-here-0123456789!"),
+        ("d4", "short"),
+        ("d5", "mmmmmmmmmmmmmmmmmmmm"),
+        ("d6", ""),
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs]),
+                  "text": pa.array([x for _, x in docs])})
+
+    def brute(W, S):
+        from collections import Counter
+        cnt = Counter()
+        for _, tx in docs:
+            b = tx.encode()
+            for p in range(0, max(0, len(b) - W + 1), 1):
+                if p % S == 0:
+                    cnt[b[p:p + W]] += 1
+        out = {}
+        for d, tx in docs:
+            b = tx.encode()
+            dup = [p for p in range(0, max(0, len(b) - W + 1))
+                   if p % S == 0 and cnt[b[p:p + W]] >= 2]
+            spans = []
+            for p in dup:
+                if spans and p <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], p + W))
+                else:
+                    spans.append((p, p + W))
+            out[d] = (len(spans), sum(e - s for s, e in spans))
+        return out
+
+    for W, S, kw in [(10, 1, {}), (10, 1, {"broadcast_text_max_bytes": 1}),
+                     (10, 3, {}), (4, 2, {})]:
+        want = brute(W, S)
+        res = duplicate_spans(rd.from_arrow(t).repartition(3), w=W, stride=S,
+                              num_buckets=4, **kw)
+        got = {r["doc_id"]: (r["n_dup_spans"], r["dup_bytes"])
+               for r in res.take_all()}
+        assert got == want, (W, S, kw, got, want)

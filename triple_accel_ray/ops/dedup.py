@@ -1177,3 +1177,294 @@ def simhash_survivors(docs, max_hamming: int = 6, num_buckets: int = 32,
         return pa.table({id_col: t["conv_id"].filter(k)})
 
     return cc.map_batches(_keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplicated substrings
+
+def duplicate_spans(docs, w: int = 40, stride: int = 1,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_buckets: int = 32,
+                    broadcast_text_max_bytes: int = 256 << 20):
+    """Exact duplicated-substring span detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    a byte position is *duplicated* when it is covered by some ``w``-byte
+    window (taken at ``stride``-aligned starts) whose exact byte string
+    occurs >= 2 times in the corpus (across documents or within one).
+    → one row per document: (doc_id, n_dup_spans, dup_bytes) where spans
+    are the merged islands of duplicated windows.
+
+    Result is BYTE-exact, not hash-trusted (round-2 ADVICE discipline):
+    rolling hashes only *candidate* windows; every candidate group is
+    re-verified on the actual window bytes before a span is declared.
+
+    Scale shape:
+      1. window stage — per-block rolling 64-bit hashes in cache-resident
+         chunks; emits id-width (doc_id, pos, h) rows, text never rides;
+      2. h-bucket shuffle + per-bucket group-count — candidates are only
+         the windows whose hash occurs >= 2 times globally (identical
+         bytes => identical h => same bucket, so bucket-local counts are
+         global);
+      3. byte attach — window bytes gathered for candidates only
+         (broadcast text index under ``broadcast_text_max_bytes``, tagged
+         doc_id-bucket join at scale), then one candidate-width shuffle
+         re-groups by hash and splits groups on the true bytes;
+      4. span stage — duplicated windows + a zero-row per document ride
+         one doc-bucket shuffle; gaps-and-islands merge is vectorized.
+    At 100 TB, stride is the knob: stride=1 is the full Lee-et-al
+    semantics; stride=s ships 1/s of the window rows and the SQL-visible
+    contract (``p % s == 0`` starts) degrades coverage gracefully.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.vhash import row_chunks
+    from ..pipeline.shuffle import bucket_partition
+
+    W, S = int(w), int(stride)
+    win_schema = pa.schema([
+        ("doc_id", pa.string()), ("pos", pa.int64()), ("h", pa.uint64()),
+        ("bucket", pa.int32()),
+    ])
+
+    def _windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return win_schema.empty_table()
+        data, offsets = to_byte_rows(t[text_col])
+        n = len(offsets) - 1
+        lens = np.diff(offsets)
+        counts = np.maximum(0, lens - W + 1)
+        scounts = ((counts + S - 1) // S).astype(np.int64)
+        ccum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(scounts, out=ccum[1:])
+        ids = pc.cast(t[id_col], pa.string())
+        outs = []
+        # row-aligned cache-resident chunks (fingerprint_batch discipline)
+        for i0, i1 in row_chunks(ccum, 1 << 15):
+            ctot = int(ccum[i1] - ccum[i0])
+            if not ctot:
+                continue
+            cc = scounts[i0:i1]
+            doc_of = np.repeat(np.arange(i1 - i0), cc)
+            cum = (ccum[i0:i1] - ccum[i0]).astype(np.int64)
+            local = (np.arange(ctot) - cum[doc_of]) * S
+            posa = offsets[i0:i1][doc_of] + local
+            h = np.zeros(ctot, dtype=np.uint64)
+            for kk in range(W):
+                h = h * POLY_COEF + data[posa + kk].astype(np.uint64)
+            outs.append(pa.table({
+                "doc_id": ids.take(pa.array(doc_of + i0)),
+                "pos": pa.array(local, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "bucket": pa.array(
+                    (_mix64(h) % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32()),
+            }))
+        if not outs:
+            return win_schema.empty_table()
+        return pa.concat_tables(outs).cast(win_schema)
+
+    def _cand(t: pa.Table) -> pa.Table:
+        """Keep rows whose hash occurs >= 2 times (bucket-local == global)."""
+        if t.num_rows == 0:
+            return win_schema.empty_table()
+        h = t["h"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        cnt = np.diff(np.r_[starts, len(hs)])
+        keep = np.repeat(cnt >= 2, cnt)
+        return t.take(pa.array(order[keep]))
+
+    windows = docs.map_batches(_windows, batch_format="pyarrow")
+    cands = bucket_partition(windows, _cand, num_buckets)
+
+    def _extract(doc_ids, pos, ids, texts) -> pa.Array:
+        """Gather the W window bytes per candidate row (chunked)."""
+        taken = texts.take(pc.index_in(doc_ids, value_set=ids))
+        data, offsets = to_byte_rows(taken)
+        p = np.asarray(pos, np.int64)
+        m = len(p)
+        parts = []
+        for c0 in range(0, m, 1 << 16):
+            c1 = min(m, c0 + (1 << 16))
+            idx = (offsets[c0:c1] + p[c0:c1])[:, None] + np.arange(W)
+            M = np.ascontiguousarray(data[idx])
+            parts.append(pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(W), c1 - c0, [None, pa.py_buffer(M.tobytes())]))
+        if not parts:
+            return pa.array([], pa.binary(W))
+        return pa.concat_arrays(parts)
+
+    size = docs.size_bytes() or (1 << 62)
+    if size <= broadcast_text_max_bytes:
+        import ray
+
+        tparts = [
+            tt for tt in ray.get(
+                docs.map_batches(
+                    lambda t: pa.table(
+                        {"id": pc.cast(t[id_col], pa.string()),
+                         "txt": t[text_col]}),
+                    batch_format="pyarrow").to_arrow_refs())
+            if tt.num_rows > 0
+        ]
+        tab = pa.concat_tables(tparts)
+        index_ref = ray.put((tab["id"].combine_chunks(),
+                             tab["txt"].combine_chunks()))
+
+        class _AttachG:
+            def __init__(self, ref):
+                self._ref, self._idx = ref, None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return win_schema.empty_table().append_column(
+                        "g", pa.array([], pa.binary(W)))
+                if self._idx is None:
+                    self._idx = ray.get(self._ref)
+                ids, texts = self._idx
+                g = _extract(t["doc_id"], t["pos"].to_numpy(), ids, texts)
+                return t.append_column("g", g)
+
+        with_g = cands.map_batches(_AttachG(index_ref), batch_format="pyarrow")
+    else:
+        # tagged doc_id-bucket join: texts + candidates co-partitioned;
+        # candidates are already the pruned set, so W bytes ride per
+        # candidate once
+        gs = pa.schema(list(win_schema) + [("g", pa.binary(W)),
+                                           ("txt", pa.string())])
+
+        def _tag_txt(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.string())
+            df = pl.from_arrow(pa.table({"doc_id": ids}))
+            bkt = (df["doc_id"].hash(seed=9) % np.uint64(num_buckets)).cast(
+                pl.Int32).to_numpy()
+            return pa.table({
+                "doc_id": ids, "pos": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "h": pa.array(np.zeros(t.num_rows, np.uint64), pa.uint64()),
+                "bucket": pa.array(bkt, pa.int32()),
+                "g": pa.nulls(t.num_rows, pa.binary(W)),
+                "txt": t[text_col].cast(pa.string()),
+            }).cast(gs)
+
+        def _tag_cand(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.select(["doc_id"]))
+            bkt = (df["doc_id"].hash(seed=9) % np.uint64(num_buckets)).cast(
+                pl.Int32).to_numpy()
+            return pa.table({
+                "doc_id": t["doc_id"], "pos": t["pos"], "h": t["h"],
+                "bucket": pa.array(bkt, pa.int32()),
+                "g": pa.nulls(t.num_rows, pa.binary(W)),
+                "txt": pa.nulls(t.num_rows, pa.string()),
+            }).cast(gs)
+
+        def _join_extract(t: pa.Table) -> pa.Table:
+            is_txt = pc.equal(t["pos"], -1)
+            txts = t.filter(is_txt)
+            cnd = t.filter(pc.invert(is_txt))
+            if cnd.num_rows == 0:
+                return win_schema.empty_table().append_column(
+                    "g", pa.array([], pa.binary(W)))
+            g = _extract(cnd["doc_id"], cnd["pos"].to_numpy(),
+                         txts["doc_id"].combine_chunks(),
+                         txts["txt"].combine_chunks())
+            return cnd.select(win_schema.names).cast(
+                win_schema).append_column("g", g)
+
+        tagged = docs.map_batches(_tag_txt, batch_format="pyarrow").union(
+            cands.map_batches(_tag_cand, batch_format="pyarrow"))
+        with_g = bucket_partition(tagged, _join_extract, num_buckets)
+
+    def _rebucket_h(t: pa.Table) -> pa.Table:
+        # restore h-derived buckets (the join path leaves doc buckets)
+        h = t["h"].to_numpy()
+        b = (_mix64(h) % np.uint64(num_buckets)).astype(np.int32)
+        return t.set_column(t.schema.get_field_index("bucket"), "bucket",
+                            pa.array(b, pa.int32()))
+
+    def _bytedup(t: pa.Table) -> pa.Table:
+        """Split hash groups on true bytes; keep byte-groups with >= 2."""
+        out_schema = pa.schema([("doc_id", pa.string()),
+                                ("pos", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t["g"].combine_chunks()
+        buf = np.frombuffer(g.buffers()[1], np.uint8)
+        M = buf[g.offset * W:(g.offset + len(g)) * W].reshape(-1, W)
+        h = t["h"].to_numpy()
+        order = np.lexsort(tuple(M[:, j] for j in range(W - 1, -1, -1))
+                           + (h,))
+        Ms, hs = M[order], h[order]
+        neq = (hs[1:] != hs[:-1]) | (Ms[1:] != Ms[:-1]).any(axis=1)
+        starts = np.flatnonzero(np.r_[True, neq])
+        cnt = np.diff(np.r_[starts, len(hs)])
+        keep = np.repeat(cnt >= 2, cnt)
+        sel = t.take(pa.array(order[keep]))
+        return pa.table({"doc_id": sel["doc_id"], "pos": sel["pos"]})
+
+    dup_windows = bucket_partition(
+        with_g.map_batches(_rebucket_h, batch_format="pyarrow"),
+        _bytedup, num_buckets,
+    )
+
+    # span stage: duplicated windows + one zero-row per doc, one shuffle
+    span_in = pa.schema([("doc_id", pa.string()), ("pos", pa.int64()),
+                         ("bucket", pa.int32())])
+
+    def _doc_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return span_in.empty_table()
+        df = pl.from_arrow(t.select(["doc_id"]))
+        bkt = (df["doc_id"].hash(seed=9) % np.uint64(num_buckets)).cast(
+            pl.Int32).to_numpy()
+        return pa.table({"doc_id": t["doc_id"], "pos": t["pos"],
+                         "bucket": pa.array(bkt, pa.int32())}).cast(span_in)
+
+    def _zero_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string())
+        return pa.table({
+            "doc_id": ids,
+            "pos": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+        })
+
+    # ids ride as strings internally (uniform hashing/grouping); the
+    # output restores the input id type
+    _sch = docs.schema()
+    id_type = _sch.types[_sch.names.index(id_col)]
+    out_schema = pa.schema([("doc_id", id_type),
+                            ("n_dup_spans", pa.int64()),
+                            ("dup_bytes", pa.int64())])
+
+    def _spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t.select(["doc_id", "pos"]))
+        uni = df.filter(pl.col("pos") < 0).select("doc_id").unique()
+        wnd = df.filter(pl.col("pos") >= 0).sort(["doc_id", "pos"])
+        if wnd.height:
+            doc = wnd["doc_id"].to_numpy()
+            p = wnd["pos"].to_numpy()
+            brk = np.r_[True, (doc[1:] != doc[:-1]) | (p[1:] > p[:-1] + W)]
+            starts = p[brk]
+            # islands are contiguous runs: last pos of island i sits just
+            # before the next island start
+            last = p[np.r_[np.flatnonzero(brk)[1:] - 1, len(p) - 1]]
+            span_doc = doc[brk]
+            spans = pl.DataFrame({
+                "doc_id": span_doc,
+                "blen": (last + W - starts).astype(np.int64)})
+            agg = spans.group_by("doc_id").agg(
+                n_dup_spans=pl.len().cast(pl.Int64),
+                dup_bytes=pl.col("blen").sum().cast(pl.Int64))
+        else:
+            agg = pl.DataFrame({"doc_id": pl.Series([], dtype=pl.String),
+                                "n_dup_spans": pl.Series([], dtype=pl.Int64),
+                                "dup_bytes": pl.Series([], dtype=pl.Int64)})
+        out = uni.join(agg, on="doc_id", how="left").fill_null(0)
+        return out.to_arrow().select(out_schema.names).cast(out_schema)
+
+    span_rows = dup_windows.map_batches(
+        _doc_bucket, batch_format="pyarrow"
+    ).union(docs.map_batches(_zero_rows, batch_format="pyarrow").map_batches(
+        _doc_bucket, batch_format="pyarrow"))
+    return bucket_partition(span_rows, _spans, num_buckets)

@@ -1905,6 +1905,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["dedup_normalized"] = dedup_normalized
 
+    def dup_substring_spans(sf_dir):
+        """Exact duplicated-substring span detection (ops/dedup.
+        duplicate_spans — the Lee et al. 2021 exact-substring-dedup
+        shape): per document, the merged spans of 24-byte windows whose
+        byte string occurs >= 2 times anywhere in the corpus. Hash
+        candidates, BYTE-verified groups, gaps-and-islands merge — the
+        SQL twin groups on the actual substring, so the check proves the
+        byte-exactness claim."""
+        from .ops.dedup import duplicate_spans
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"))
+        return duplicate_spans(docs, w=24, stride=1)
+
+    q["dup_substring_spans"] = dup_substring_spans
+
     def join_size_orders_events(sf_dir):
         """Sketch-based join planning (ops/sketch.cms_join_size): exact
         |orders JOIN events| on custkey == user_id next to the CMS
@@ -3938,6 +3953,39 @@ SELECT doc_id,
        min(doc_id) OVER (PARTITION BY ntext) AS dup_group,
        (count(*) OVER (PARTITION BY ntext))::BIGINT AS group_size
 FROM norm"""
+
+    # Duplicated-substring spans: the SQL groups windows on the ACTUAL
+    # substring (not a hash), so agreement proves the Ray side's
+    # hash-candidate + byte-verify pipeline is byte-exact. Islands merge
+    # with lag(): fixed width + ascending pos make the running span end
+    # equal lag(pos) + w, so a window starts a new island iff
+    # pos > lag(pos) + w (touching spans merge).
+    _DSW = 24
+    o["dup_substring_spans"] = f"""
+WITH wnd AS (
+  SELECT doc_id, p AS pos, substr(text, p + 1, {_DSW}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(0, greatest(strlen(text) - {_DSW} + 1, 0))) AS p
+        FROM documents)),
+dupw AS (
+  SELECT doc_id, pos FROM wnd
+  WHERE g IN (SELECT g FROM wnd GROUP BY g HAVING count(*) >= 2)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) + {_DSW}
+              THEN 1 ELSE 0 END AS brk
+  FROM dupw),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {_DSW} AS e
+          FROM grp GROUP BY doc_id, gid)
+SELECT d.doc_id, count(s.s)::BIGINT AS n_dup_spans,
+       coalesce(sum(s.e - s.s), 0)::BIGINT AS dup_bytes
+FROM documents d LEFT JOIN spans s USING (doc_id)
+GROUP BY d.doc_id"""
 
     # join-size: exact join count next to the CMS inner-product estimate,
     # both sketches replayed in the same HUGEINT mix64 chain as
