@@ -294,3 +294,45 @@ def test_hll_registers_by_groupwise_replay(ray_session):
                           reg["rho_max"].to_pylist()):
             want[(str(g), b)] = rho
     assert got == want
+
+
+def test_bloom_prune_semi_differential(ray_session):
+    """Bloom-pruned semi-join equals a numpy replay of the same salted
+    bits, with a filter small enough (m=64) to force false positives —
+    n_pass > n_true exercises the verify, and n_true always equals the
+    exact semi-join count (no false negatives)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import BLOOM_SALTS, bloom_prune_semi
+    from triple_accel_ray.pipeline.blocking import _mix64
+
+    rng = np.random.default_rng(5)
+    build_keys = rng.choice(10_000, size=40, replace=False).astype(np.int64)
+    probe_keys = rng.choice(10_000, size=3_000, replace=True).astype(np.int64)
+    m = 64
+
+    def replay():
+        dense = np.zeros(m, bool)
+        for s in BLOOM_SALTS:
+            dense[(_mix64(build_keys.view(np.uint64) ^ np.uint64(s))
+                   % np.uint64(m)).astype(np.int64)] = True
+        ok = np.ones(len(probe_keys), bool)
+        for s in BLOOM_SALTS:
+            ok &= dense[(_mix64(probe_keys.view(np.uint64) ^ np.uint64(s))
+                         % np.uint64(m)).astype(np.int64)]
+        true = np.isin(probe_keys, build_keys)
+        assert not (true & ~ok).any()  # no false negatives
+        return (len(probe_keys), int(ok.sum()), int(true.sum()),
+                int(ok.sum()) - int(true.sum()))
+
+    want = replay()
+    assert want[3] > 0  # false positives actually forced
+
+    b = rd.from_arrow(pa.table({"k": pa.array(build_keys)})).repartition(3)
+    p = rd.from_arrow(pa.table({"k": pa.array(probe_keys)})).repartition(5)
+    row = bloom_prune_semi(b, p, "k", "k", m=m, num_buckets=4).take_all()[0]
+    got = (row["n_probe"], row["n_pass_bloom"], row["n_true_semi"],
+           row["n_false_pos"])
+    assert got == want

@@ -426,6 +426,125 @@ def bloom_contains(registers: pa.Table, values: np.ndarray,
     return ok
 
 
+def bloom_prune_semi(build, probe, build_col: str, probe_col: str,
+                     m: int = BLOOM_M, salts=BLOOM_SALTS,
+                     num_buckets: int = 16):
+    """Bloom-pruned semi-join — the broadcast-filter planner primitive:
+    build a Bloom filter over the (small) build side's keys, broadcast
+    the dense bits (m/8 bytes), stream the (large) probe side through a
+    membership filter BEFORE anything shuffles, then verify the
+    survivors exactly. → one row:
+
+      n_probe      probe rows scanned
+      n_pass_bloom probe rows surviving the broadcast Bloom filter
+                   (deterministic given m + the public salts)
+      n_true_semi  probe rows whose key truly exists in build (the exact
+                   semi-join count; Bloom has no false negatives, so the
+                   verify only ever REMOVES false positives)
+      n_false_pos  n_pass_bloom − n_true_semi (the cost of the sketch)
+
+    At 100 TB this is the shape that turns a fact-table shuffle join
+    into a scan: the probe side never moves — only per-block DISTINCT
+    (key, count) partials of the *surviving* keys ride one key-bucket
+    shuffle for the exact verify, and the build side ships register
+    rows (<= m) plus distinct-key markers. All counts integer; the SQL
+    twin replays the same bits in the mix64 HUGEINT chain."""
+    import ray
+    import ray.data as rd
+
+    regs = pa.concat_tables(
+        ray.get(bloom_registers(build, build_col, m=m, salts=salts)
+                .to_arrow_refs()))
+    dense = np.zeros(m, dtype=bool)
+    if regs.num_rows:
+        dense[regs["bit"].to_numpy()] = True
+    dense_ref = ray.put(dense)
+
+    part_schema = pa.schema([
+        ("key", pa.int64()), ("n", pa.int64()), ("side", pa.int8()),
+        ("bucket", pa.int32()),
+    ])
+
+    class _ProbePartial:
+        def __init__(self, ref):
+            self._ref, self._dense = ref, None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return part_schema.empty_table()
+            if self._dense is None:
+                self._dense = ray.get(self._ref)
+            keys = np.asarray(t[probe_col].to_numpy(), np.int64)
+            v = keys.view(np.uint64)
+            ok = np.ones(len(keys), dtype=bool)
+            for s in salts:
+                ok &= self._dense[
+                    (_mix64(v ^ np.uint64(s)) % np.uint64(m)).astype(np.int64)
+                ]
+            uk, n = np.unique(keys[ok], return_counts=True)
+            bkt = (_mix64(uk.view(np.uint64)) % np.uint64(num_buckets)
+                   ).astype(np.int32)
+            return pa.table({
+                "key": pa.array(np.r_[uk, 0], pa.int64()),
+                "n": pa.array(np.r_[n.astype(np.int64), len(keys)]),
+                "side": pa.array(
+                    np.r_[np.zeros(len(uk), np.int8), np.int8(2)],
+                    pa.int8()),
+                "bucket": pa.array(np.r_[bkt, np.int32(0)], pa.int32()),
+            }).cast(part_schema)
+
+    def _build_marker(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        uk = np.unique(np.asarray(t[build_col].to_numpy(), np.int64))
+        bkt = (_mix64(uk.view(np.uint64)) % np.uint64(num_buckets)
+               ).astype(np.int32)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "n": pa.array(np.zeros(len(uk), np.int64)),
+            "side": pa.array(np.ones(len(uk), np.int8), pa.int8()),
+            "bucket": pa.array(bkt, pa.int32()),
+        }).cast(part_schema)
+
+    out_schema = pa.schema([
+        ("n_probe", pa.int64()), ("n_pass_bloom", pa.int64()),
+        ("n_true_semi", pa.int64()), ("n_false_pos", pa.int64()),
+    ])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        n_probe = int(df.filter(pl.col("side") == 2)["n"].sum() or 0)
+        passed = (df.filter(pl.col("side") == 0)
+                  .group_by("key").agg(n=pl.col("n").sum()))
+        n_pass = int(passed["n"].sum() or 0)
+        present = df.filter(pl.col("side") == 1).select("key").unique()
+        n_true = int(passed.join(present, on="key", how="semi")["n"].sum()
+                     or 0)
+        return pa.table({
+            "n_probe": pa.array([n_probe], pa.int64()),
+            "n_pass_bloom": pa.array([n_pass], pa.int64()),
+            "n_true_semi": pa.array([n_true], pa.int64()),
+            "n_false_pos": pa.array([n_pass - n_true], pa.int64()),
+        })
+
+    from ..pipeline.shuffle import bucket_partition
+
+    parts = bucket_partition(
+        probe.map_batches(_ProbePartial(dense_ref), batch_format="pyarrow")
+        .union(build.map_batches(_build_marker, batch_format="pyarrow")),
+        _combine, num_buckets,
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return pa.table({
+            c: pa.array([int(df[c].sum() or 0)], pa.int64())
+            for c in out_schema.names
+        }).cast(out_schema)
+
+    return parts.repartition(1).map_batches(_final, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- histogram ranks
 def grouped_ranks(ds, group_col: str, col: str):
     """→ one output row per input row: (row key columns passed through,

@@ -1343,6 +1343,23 @@ def build_queries() -> Dict[str, Callable]:
 
     q["bloom_membership"] = bloom_membership
 
+    def bloom_pruned_orders(sf_dir):
+        """Bloom-pruned semi-join (ops/sketch.bloom_prune_semi): the
+        broadcast-filter planner primitive — the orders fact side streams
+        through a Bloom filter built over events.user_id before anything
+        shuffles; only surviving DISTINCT (key, count) partials ride one
+        key-bucket shuffle for the exact verify. Returns the scan/prune/
+        verify counts a planner acts on, all deterministic + SQL-replayed
+        (including any false positives)."""
+        from .ops.sketch import bloom_prune_semi
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+        orders = read_parquet_clean(
+            _t(sf_dir, "orders"), columns=["o_custkey"])
+        return bloom_prune_semi(ev, orders, "user_id", "o_custkey")
+
+    q["bloom_pruned_orders"] = bloom_pruned_orders
+
     def running_user_totals(sf_dir):
         """Per-user cumulative event count / value-cents in event-time
         order (ops/windows.running_totals) — the cumulative
@@ -3575,6 +3592,40 @@ SELECT p.probe_id,
        any_value(p.present) AS present
 FROM pbits p LEFT JOIN bits b ON b.bit = p.bit
 GROUP BY p.probe_id"""
+
+    # Bloom-pruned semi-join: bits over events.user_id (the small build
+    # side), probed by DISTINCT o_custkey; n_true uses ground truth (no
+    # false negatives by construction), n_pass replays the exact bits so
+    # false positives must match too.
+    _bps_sql, _bps_f = _mix64_chain_sql("bp0", "key, n, r", "bps")
+    o["bloom_pruned_orders"] = f"""
+WITH {_bloom_bits_ctes},
+pk AS (SELECT o_custkey::BIGINT AS key, count(*)::BIGINT AS n
+       FROM orders GROUP BY 1),
+bp0 AS (
+  SELECT p.key, p.n, ss.r,
+         CAST(xor(CAST(p.key AS UBIGINT), ss.s) AS HUGEINT) AS h
+  FROM pk p, (VALUES {_cms_vals}) AS ss(r, s)
+),
+{_bps_sql},
+hits AS (
+  SELECT pb.key, any_value(pb.n) AS n,
+         bool_and(b.bit IS NOT NULL) AS hit
+  FROM (SELECT key, n, CAST(h % {BLOOM_M} AS BIGINT) AS bit FROM {_bps_f}) pb
+  LEFT JOIN bits b ON b.bit = pb.bit
+  GROUP BY pb.key
+),
+j AS (
+  SELECT h.key, h.n, h.hit,
+         h.key IN (SELECT DISTINCT user_id FROM events) AS present
+  FROM hits h
+)
+SELECT (SELECT count(*) FROM orders)::BIGINT AS n_probe,
+       coalesce(sum(n) FILTER (hit), 0)::BIGINT AS n_pass_bloom,
+       coalesce(sum(n) FILTER (present), 0)::BIGINT AS n_true_semi,
+       (coalesce(sum(n) FILTER (hit), 0)
+        - coalesce(sum(n) FILTER (present), 0))::BIGINT AS n_false_pos
+FROM j"""
 
     # cumulative window function: same integer-cents rule as the engine
     o["running_user_totals"] = """
