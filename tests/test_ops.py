@@ -1837,3 +1837,38 @@ def test_duplicate_spans_vs_bruteforce(ray_session):
         got = {r["doc_id"]: (r["n_dup_spans"], r["dup_bytes"])
                for r in res.take_all()}
         assert got == want, (W, S, kw, got, want)
+
+
+def test_moving_frame_sum_vs_bruteforce(ray_session):
+    """Bounded ROWS-frame moving sum equals a per-user python replay:
+    users with fewer events than the frame, exact-frame users, ts ties
+    broken by event_id, and repartition invariance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import moving_frame_sum
+
+    rng = np.random.default_rng(7)
+    n, frame = 120, 3
+    eid = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 9, n).astype(np.int64)
+    ts = rng.integers(0, 20, n).astype("datetime64[us]")  # many ties
+    val = rng.uniform(0, 50, n)
+
+    cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+    want = {}
+    for u in np.unique(uid):
+        rows = np.flatnonzero(uid == u)
+        order = rows[np.lexsort((eid[rows], ts[rows]))]
+        for i, r in enumerate(order):
+            lo = max(0, i - frame + 1)
+            w = order[lo:i + 1]
+            want[int(eid[r])] = (len(w), int(cents[w].sum()))
+
+    t = pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                  "ts": pa.array(ts), "value": pa.array(val)})
+    out = moving_frame_sum(rd.from_arrow(t).repartition(5), frame=frame,
+                           num_buckets=4).take_all()
+    got = {r["event_id"]: (r["frame_n"], r["frame_cents"]) for r in out}
+    assert got == want

@@ -184,6 +184,57 @@ def running_totals(events, num_buckets: int = 32):
     )
 
 
+def moving_frame_sum(events, frame: int = 3, num_buckets: int = 32):
+    """→ (event_id, user_id, frame_n, frame_cents): per-user moving sum
+    over the last ``frame`` events in event-time order — the BOUNDED
+    ROWS-frame window shape (``SUM(...) OVER (PARTITION BY user ORDER BY
+    ts, event_id ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``),
+    complementing :func:`running_totals`' unbounded frame. frame_n is
+    the actual row count in the frame (< frame near a user's start), so
+    a caller gets the moving average as frame_cents / frame_n exactly.
+
+    Scale shape: identical to running_totals — ONE hash(user_id) bucket
+    shuffle of (event_id, user_id, ts, cents); each bucket owns whole
+    users; the frame sum is a vectorized rolling_sum per user group.
+    Tie-break (ts, event_id) is total (event_id unique) so the result
+    is deterministic under any partitioning."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_id", "user_id", "ts", "value"]))
+        df = df.with_columns(
+            cents=(pl.col("value") * 100.0 + 0.5).floor().cast(pl.Int64),
+            bucket=(pl.col("user_id").hash(seed=33) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).drop("value")
+        return df.to_arrow()
+
+    def _frame(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["event_id", "user_id", "ts", "cents"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                frame_n=pl.min_horizontal(
+                    pl.int_range(1, pl.len() + 1).over("user_id"),
+                    pl.lit(frame),
+                ).cast(pl.Int64),
+                frame_cents=pl.col("cents")
+                .rolling_sum(window_size=frame, min_samples=1)
+                .over("user_id").cast(pl.Int64),
+            )
+        )
+        return df.select(
+            ["event_id", "user_id", "frame_n", "frame_cents"]
+        ).to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("frame_n", pa.int64()), ("frame_cents", pa.int64())]))
+
+    return bucket_partition(
+        events.map_batches(_bucket, batch_format="pyarrow"),
+        _frame, num_buckets,
+    )
+
+
 def funnel_conversions(events, step_a: str = "click",
                        step_b: str = "purchase",
                        within_sec: int = 3600, num_buckets: int = 32):

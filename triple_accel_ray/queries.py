@@ -1375,6 +1375,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["running_user_totals"] = running_user_totals
 
+    def moving_user_frame_sums(sf_dir):
+        """Per-user moving sum over the last 3 events
+        (ops/windows.moving_frame_sum) — the BOUNDED ROWS-frame window
+        shape (SUM OVER ... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        next to running_user_totals' unbounded frame. Same single
+        user-bucket shuffle; vectorized per-user rolling_sum."""
+        from .ops.windows import moving_frame_sum
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "value"])
+        return moving_frame_sum(ev, frame=3)
+
+    q["moving_user_frame_sums"] = moving_user_frame_sums
+
     def funnel_click_purchase(sf_dir):
         """Funnel / sequential-pattern op (ops/windows.funnel_conversions):
         a purchase converts iff some click of the same user strictly
@@ -3635,6 +3650,14 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)"""
+
+    o["moving_user_frame_sums"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS frame_n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS frame_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
 
     # funnel: conversion = EXISTS a strictly-earlier click within 1 h,
     # stated as the distinct-purchase join the engine's cum_max window
