@@ -1872,3 +1872,37 @@ def test_moving_frame_sum_vs_bruteforce(ray_session):
                            num_buckets=4).take_all()
     got = {r["event_id"]: (r["frame_n"], r["frame_cents"]) for r in out}
     assert got == want
+
+
+def test_trailing_time_sum_vs_bruteforce(ray_session):
+    """RANGE-interval trailing sums equal a per-row python replay of the
+    value-based frame [ts - W, ts] (peers with equal ts included on both
+    sides — no tie-break), across repartitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import trailing_time_sum
+
+    rng = np.random.default_rng(13)
+    n = 150
+    eid = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 6, n).astype(np.int64)
+    # second granularity over a 90 s span -> lots of in-window rows + ties
+    tsec = rng.integers(0, 90, n).astype(np.int64)
+    ts = (tsec * 1_000_000).astype("datetime64[us]")
+    val = rng.uniform(0, 50, n)
+    cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+
+    W = 10  # seconds
+    want = {}
+    for i in range(n):
+        inw = (uid == uid[i]) & (tsec >= tsec[i] - W) & (tsec <= tsec[i])
+        want[int(eid[i])] = (int(inw.sum()), int(cents[inw].sum()))
+
+    t = pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                  "ts": pa.array(ts), "value": pa.array(val)})
+    out = trailing_time_sum(rd.from_arrow(t).repartition(5), window="10s",
+                            num_buckets=4).take_all()
+    got = {r["event_id"]: (r["w_n"], r["w_cents"]) for r in out}
+    assert got == want

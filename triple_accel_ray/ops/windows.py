@@ -235,6 +235,56 @@ def moving_frame_sum(events, frame: int = 3, num_buckets: int = 32):
     )
 
 
+def trailing_time_sum(events, window: str = "1h", num_buckets: int = 32):
+    """→ (event_id, user_id, w_n, w_cents): per-row trailing TIME-window
+    sum — the RANGE-frame window shape (``SUM(...) OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW)``), completing the frame family next to :func:`running_totals`
+    (unbounded) and :func:`moving_frame_sum` (bounded ROWS). RANGE
+    semantics are value-based: every row whose ts falls in
+    [ts_i − window, ts_i] participates, INCLUDING peers that share ts_i
+    — so the result is deterministic with no tie-break at all.
+
+    Scale shape: one hash(user_id) bucket shuffle of id-width rows;
+    per-bucket vectorized value-based rolling (closed='both' matches
+    the SQL frame's two inclusive endpoints exactly)."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_id", "user_id", "ts", "value"]))
+        df = df.with_columns(
+            cents=(pl.col("value") * 100.0 + 0.5).floor().cast(pl.Int64),
+            bucket=(pl.col("user_id").hash(seed=33) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).drop("value")
+        return df.to_arrow()
+
+    def _trail(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["event_id", "user_id", "ts", "cents"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(one=pl.lit(1, dtype=pl.Int64))
+            .with_columns(
+                w_n=pl.col("one")
+                .rolling_sum_by("ts", window_size=window, closed="both")
+                .over("user_id").cast(pl.Int64),
+                w_cents=pl.col("cents")
+                .rolling_sum_by("ts", window_size=window, closed="both")
+                .over("user_id").cast(pl.Int64),
+            )
+        )
+        return df.select(
+            ["event_id", "user_id", "w_n", "w_cents"]
+        ).to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("w_n", pa.int64()), ("w_cents", pa.int64())]))
+
+    return bucket_partition(
+        events.map_batches(_bucket, batch_format="pyarrow"),
+        _trail, num_buckets,
+    )
+
+
 def funnel_conversions(events, step_a: str = "click",
                        step_b: str = "purchase",
                        within_sec: int = 3600, num_buckets: int = 32):

@@ -1390,6 +1390,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["moving_user_frame_sums"] = moving_user_frame_sums
 
+    def trailing_1h_user_sums(sf_dir):
+        """Per-row trailing 1-hour sums (ops/windows.trailing_time_sum)
+        — the RANGE-interval frame shape (value-based window, peers with
+        equal ts included, no tie-break needed). Completes the window
+        frame family: unbounded / bounded ROWS / RANGE interval."""
+        from .ops.windows import trailing_time_sum
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "value"])
+        return trailing_time_sum(ev, window="1h")
+
+    q["trailing_1h_user_sums"] = trailing_1h_user_sums
+
     def funnel_click_purchase(sf_dir):
         """Funnel / sequential-pattern op (ops/windows.funnel_conversions):
         a purchase converts iff some click of the same user strictly
@@ -3658,6 +3672,17 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+    # RANGE frame: value-based, includes ts peers — no tie-break exists
+    # or is needed; closed='both' on the engine side mirrors the two
+    # inclusive endpoints.
+    o["trailing_1h_user_sums"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS w_n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS w_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
 
     # funnel: conversion = EXISTS a strictly-earlier click within 1 h,
     # stated as the distinct-purchase join the engine's cum_max window
