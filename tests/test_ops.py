@@ -1906,3 +1906,49 @@ def test_trailing_time_sum_vs_bruteforce(ray_session):
                             num_buckets=4).take_all()
     got = {r["event_id"]: (r["w_n"], r["w_cents"]) for r in out}
     assert got == want
+
+
+def test_kcore_stationary_vs_bruteforce(ray_session):
+    """Stationary k-core peeling equals a python replay of synchronous
+    rounds (degree over the induced subgraph, drop < k, repeat),
+    including rounds past the fixpoint and varying k."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.graph import kcore_stationary
+
+    rng = np.random.default_rng(3)
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+    t = pa.table({"a_id": pa.array([f"n{a}" for a, _ in pairs]),
+                  "b_id": pa.array([f"n{b}" for _, b in pairs])})
+
+    def brute(k, rounds):
+        alive = ({f"n{a}" for a, _ in pairs}
+                 | {f"n{b}" for _, b in pairs})
+        E = [(f"n{a}", f"n{b}") for a, b in pairs]
+        for _ in range(rounds):
+            deg = {}
+            for a, b in E:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            alive = {x for x in alive if deg.get(x, 0) >= k}
+            E = [(a, b) for a, b in E if a in alive and b in alive]
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return {x: deg.get(x, 0) for x in alive}
+
+    for k, rounds in [(2, 3), (3, 2), (2, 10)]:
+        want = brute(k, rounds)
+        got = {r["conv_id"]: r["core_deg"]
+               for r in kcore_stationary(
+                   rd.from_arrow(t).repartition(4), k=k, rounds=rounds,
+                   num_buckets=4).take_all()}
+        assert got == want, (k, rounds)

@@ -651,3 +651,144 @@ def pagerank(edges, n_iter: int = 3, scale: int = 10**12,
         lambda t: pa.table({"conv_id": t["node"],
                             "pr": t["pr"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def kcore_stationary(edges, k: int = 2, rounds: int = 3,
+                     num_buckets: int = 32):
+    """Distributed k-core peeling over an undirected edge table →
+    (conv_id, core_deg): the nodes surviving ``rounds`` synchronous
+    peels (each peel removes every node whose degree in the current
+    subgraph is < k), with their degree in the final induced subgraph.
+    Fixed-round semantics ON PURPOSE: the unrolled SQL twin replays the
+    exact same rounds, so the result is value-checkable rather than
+    convergence-dependent (k-core converges in a few rounds on
+    short-diameter match graphs; callers needing the fixpoint raise
+    ``rounds``).
+
+    Scale shape — iterate-over-stationary-data like
+    :func:`pagerank_stationary`: each undirected edge is materialized
+    once in BOTH endpoint owners' buckets (hash(src), one edge-width
+    exchange at build). Per round, bucket b computes its owned nodes'
+    degrees LOCALLY (every incident edge is resident by construction),
+    peels, and notifies the mirror copies: the only shuffled payload is
+    (other, dead) drop pairs for edges incident to nodes that died this
+    round — a volume that telescopes to at most 2|E| over ALL rounds
+    combined. Every step is a count/filter, so outputs are
+    order-independent and bit-exact under any partitioning."""
+    import ray
+
+    B = max(2, int(num_buckets))
+    KK = int(k)
+
+    @ray.remote
+    def _split_edges(t: pa.Table):
+        df = pl.from_arrow(t.select(["a_id", "b_id"]))
+        de = pl.concat([
+            df.select(src=pl.col("a_id"), dst=pl.col("b_id")),
+            df.select(src=pl.col("b_id"), dst=pl.col("a_id")),
+        ]).with_columns(b=(pl.col("src").hash(seed=61)
+                           % np.uint64(B)).cast(pl.Int32))
+        parts = de.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), de.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    _EMPTY_E = pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string())})
+
+    @ray.remote
+    def _build_bucket(*parts):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return _EMPTY_E, pa.table({"node": pa.array([], pa.string())})
+        de = pl.from_arrow(pa.concat_tables(tabs))
+        nodes = de.select(node=pl.col("src")).unique()
+        return de.to_arrow(), nodes.to_arrow()
+
+    @ray.remote
+    def _round_map(my_b: int, edge_t: pa.Table, node_t: pa.Table):
+        """Peel once: emit B payloads (drop pairs routed to the mirror
+        copy's owner; ONLY the self-routed payload carries the
+        locally-updated state — shipping it in every slice would copy
+        the edge table B times)."""
+        ed = pl.from_arrow(edge_t)
+        nd = pl.from_arrow(node_t)
+        deg = ed.group_by("src").agg(d=pl.len().cast(pl.Int64))
+        nd2 = nd.join(deg.rename({"src": "node"}), on="node", how="left"
+                      ).with_columns(d=pl.col("d").fill_null(0))
+        dead = nd2.filter(pl.col("d") < KK).select("node")
+        alive_nodes = nd2.filter(pl.col("d") >= KK).select("node")
+        dying_edges = ed.join(dead.rename({"node": "src"}), on="src",
+                              how="semi")
+        new_edges = ed.join(dead.rename({"node": "src"}), on="src",
+                            how="anti")
+        # notify owner(other): drop the mirror copy (other, dead)
+        drops = dying_edges.select(
+            src=pl.col("dst"), dst=pl.col("src")
+        ).with_columns(b=(pl.col("src").hash(seed=61)
+                          % np.uint64(B)).cast(pl.Int32))
+        parts = drops.partition_by("b", as_dict=True, include_key=False)
+        ne, an = new_edges.to_arrow(), alive_nodes.to_arrow()
+        return tuple(
+            (parts.get((b,), drops.clear().drop("b")).to_arrow(),
+             ne if b == my_b else None, an if b == my_b else None)
+            for b in range(B)
+        )
+
+    @ray.remote
+    def _round_reduce(b: int, *payloads):
+        """Apply every bucket's drop notifications to this bucket's
+        locally-updated state."""
+        _, new_edges, alive_nodes = payloads[b]
+        drops = [p[0] for p in payloads if p[0].num_rows]
+        ed = pl.from_arrow(new_edges)
+        if drops:
+            dd = pl.from_arrow(pa.concat_tables(drops))
+            ed = ed.join(dd, on=["src", "dst"], how="anti")
+        return ed.to_arrow(), alive_nodes
+
+    @ray.remote
+    def _final(edge_t: pa.Table, node_t: pa.Table) -> pa.Table:
+        ed = pl.from_arrow(edge_t)
+        nd = pl.from_arrow(node_t)
+        deg = ed.group_by("src").agg(
+            core_deg=pl.len().cast(pl.Int64)).rename({"src": "node"})
+        out = nd.join(deg, on="node", how="left").with_columns(
+            core_deg=pl.col("core_deg").fill_null(0))
+        return out.rename({"node": "conv_id"}).to_arrow().cast(
+            pa.schema([("conv_id", pa.string()),
+                       ("core_deg", pa.int64())]))
+
+    import ray.data as rd
+
+    blocks = edges.select_columns(["a_id", "b_id"]).to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(pa.table({"conv_id": pa.array([], pa.string()),
+                                       "core_deg": pa.array([], pa.int64())}))
+    split = [_split_edges.options(num_returns=B).remote(r) for r in blocks]
+    built = [
+        _build_bucket.options(num_returns=2).remote(
+            *[split[m][b] for m in range(len(split))])
+        for b in range(B)
+    ]
+    edge_refs = [t[0] for t in built]
+    node_refs = [t[1] for t in built]
+
+    for _ in range(int(rounds)):
+        partials = [
+            _round_map.options(num_returns=B).remote(b, edge_refs[b],
+                                                     node_refs[b])
+            for b in range(B)
+        ]
+        states = [
+            _round_reduce.options(num_returns=2).remote(
+                b, *[partials[m][b] for m in range(B)])
+            for b in range(B)
+        ]
+        edge_refs = [s[0] for s in states]
+        node_refs = [s[1] for s in states]
+
+    return rd.from_arrow_refs(
+        [_final.remote(edge_refs[b], node_refs[b]) for b in range(B)]
+    )

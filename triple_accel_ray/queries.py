@@ -1688,6 +1688,22 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_pagerank"] = er_pagerank
 
+    def er_kcore2(sf_dir):
+        """Distributed k-core peeling over the ER match graph
+        (ops/graph.kcore_stationary, k=2, 3 synchronous rounds): nodes
+        surviving the peels with their induced-subgraph degree. Fixed
+        rounds keep the unrolled SQL twin value-exact; the edge table is
+        partitioned once into both endpoint owners' buckets and stays
+        resident — per round only (other, dead) drop pairs move, a
+        volume that telescopes to <= 2|E| across ALL rounds."""
+        from .ops.graph import kcore_stationary
+
+        return kcore_stationary(
+            _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
+            k=2, rounds=3, num_buckets=8)
+
+    q["er_kcore2"] = er_kcore2
+
     def er_cluster_metrics(sf_dir):
         """Pairwise ER evaluation (precision/recall/F1) as a distributed
         op: TP = labeled positive pairs whose endpoints share a predicted
@@ -3919,6 +3935,29 @@ pr3 AS (SELECT s3.node,
                 + (85 * s) // 100)::BIGINT AS pr
         FROM s3, nn)
 SELECT node AS conv_id, pr FROM pr3"""
+
+    # k-core: 3 unrolled synchronous peels (k=2). Round i recomputes
+    # degrees over the subgraph induced by the previous survivors; a
+    # survivor absent from the next degree table has degree 0 < k and is
+    # correctly dropped by the d >= k filter (it has no d-row at all).
+    _kc = []
+    for _i in range(1, 4):
+        _prev = "de0" if _i == 1 else f"de{_i - 1}"
+        _kc.append(f"""d{_i} AS (SELECT src AS node, count(*)::BIGINT AS d
+       FROM {_prev} GROUP BY 1),
+a{_i} AS (SELECT node FROM d{_i} WHERE d >= 2),
+de{_i} AS (SELECT src, dst FROM {_prev}
+       WHERE src IN (SELECT node FROM a{_i})
+         AND dst IN (SELECT node FROM a{_i}))""")
+    o["er_kcore2"] = f"""
+WITH {docs_cte}, {sig_pairs_cte}, {scored_cte},
+e0 AS (SELECT a_id, b_id FROM edges),
+de0 AS (SELECT a_id AS src, b_id AS dst FROM e0
+        UNION ALL SELECT b_id, a_id FROM e0),
+{','.join(_kc)},
+dfin AS (SELECT src AS node, count(*)::BIGINT AS d FROM de3 GROUP BY 1)
+SELECT a3.node AS conv_id, coalesce(dfin.d, 0)::BIGINT AS core_deg
+FROM a3 LEFT JOIN dfin USING (node)"""
 
     # profiling: typed min/max cast to VARCHAR after aggregation (the
     # engine computes min/max on the typed column, then stringifies —
