@@ -1788,6 +1788,63 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_cluster_metrics"] = er_cluster_metrics
 
+    def er_blocking_metrics(sf_dir):
+        """Blocking-quality evaluation (the ER literature's reduction
+        ratio + pair completeness), distributed: reduction = 1 −
+        candidates / C(n,2); completeness = labeled positive pairs that
+        survive blocking / positives. Candidates never leave the
+        cluster: the label pairs (tiny) ride one pair-key bucket join
+        against the candidate table; everything reaching the driver is
+        a scalar. Integer per-mille, value-exact SQL twin."""
+        from .pipeline.shuffle import bucket_join
+
+        _, lbl_path = ensure_fixture(sf_dir)
+        n_docs = _er_docs_ds(sf_dir).select_columns(["conv_id"]).count()
+        all_pairs = n_docs * (n_docs - 1) // 2
+
+        def _pk(t: pa.Table, a: str, b: str) -> pa.Table:
+            df = pl.from_arrow(t.select([a, b]))
+            return df.select(
+                pk=pl.min_horizontal(a, b) + "|" + pl.max_horizontal(a, b)
+            ).to_arrow().cast(pa.schema([("pk", pa.string())]))
+
+        cands = _sig_pairs(_er_docs_ds(sf_dir)).map_batches(
+            lambda t: _pk(t, "a_id", "b_id"), batch_format="pyarrow")
+        n_cand = cands.count()
+
+        lbl = read_parquet_clean(
+            lbl_path, columns=["a_id", "b_id", "is_match"]
+        ).map_batches(
+            lambda t: _pk(t.filter(t["is_match"]), "a_id", "b_id"),
+            batch_format="pyarrow")
+        pos = lbl.count()
+
+        j = bucket_join(
+            lbl,
+            cands.map_batches(
+                lambda t: t.append_column("one", pa.array(
+                    np.ones(t.num_rows, np.int64))),
+                batch_format="pyarrow"),
+            "pk", "pk",
+            pa.schema([("pk", pa.string())]),
+            pa.schema([("pk", pa.string()), ("one", pa.int64())]),
+            num_buckets=8)
+        covered = j.count()
+
+        rr = 1000 - (1000 * n_cand) // all_pairs if all_pairs else 0
+        pcm = (1000 * covered) // pos if pos else 1000
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "all_pairs": pa.array([all_pairs], pa.int64()),
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "positive_pairs": pa.array([pos], pa.int64()),
+            "covered_positives": pa.array([covered], pa.int64()),
+            "reduction_ratio_permille": pa.array([rr], pa.int64()),
+            "pair_completeness_permille": pa.array([pcm], pa.int64()),
+        })
+
+    q["er_blocking_metrics"] = er_blocking_metrics
+
     def docs_profile(sf_dir):
         """Single-pass table profiling (ops/profile.profile_columns):
         per-column rows/nulls/exact distinct/typed min-max over the full
@@ -2438,6 +2495,30 @@ SELECT tp, pred AS predicted_pairs, pos AS positive_pairs,
        CASE WHEN pred + pos > 0 THEN (2000 * tp) // (pred + pos)
             ELSE 1000 END::BIGINT AS f1_permille
 FROM tpx, pp, posx"""
+
+    o["er_blocking_metrics"] = f"""
+WITH {docs_cte}, {sig_pairs_cte},
+nd AS (SELECT count(*)::BIGINT AS n FROM docs2),
+cnd AS (SELECT least(a_id, b_id) AS a, greatest(a_id, b_id) AS b
+        FROM sig_pairs),
+ncand AS (SELECT count(*)::BIGINT AS n FROM cnd),
+lb AS (SELECT least(a_id, b_id) AS a, greatest(a_id, b_id) AS b
+       FROM read_parquet('{_lbl_fx}') WHERE is_match),
+posx AS (SELECT count(*)::BIGINT AS n FROM lb),
+cov AS (SELECT count(*)::BIGINT AS n FROM lb
+        WHERE EXISTS (SELECT 1 FROM cnd
+                      WHERE cnd.a = lb.a AND cnd.b = lb.b))
+SELECT nd.n AS n_docs,
+       (nd.n * (nd.n - 1) // 2)::BIGINT AS all_pairs,
+       ncand.n AS n_candidates,
+       posx.n AS positive_pairs,
+       cov.n AS covered_positives,
+       CASE WHEN nd.n > 1
+            THEN 1000 - (1000 * ncand.n) // (nd.n * (nd.n - 1) // 2)
+            ELSE 0 END::BIGINT AS reduction_ratio_permille,
+       CASE WHEN posx.n > 0 THEN (1000 * cov.n) // posx.n
+            ELSE 1000 END::BIGINT AS pair_completeness_permille
+FROM nd, ncand, posx, cov"""
 
     o["lev_adjacent"] = """
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
