@@ -1952,3 +1952,35 @@ def test_kcore_stationary_vs_bruteforce(ray_session):
                    rd.from_arrow(t).repartition(4), k=k, rounds=rounds,
                    num_buckets=4).take_all()}
         assert got == want, (k, rounds)
+
+
+def test_event_transitions_vs_bruteforce(ray_session):
+    """Transition counts equal a python replay over per-user (ts,
+    event_id)-ordered streams, with ts ties and single-event users."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import event_transitions
+
+    rng = np.random.default_rng(17)
+    n = 200
+    eid = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 12, n).astype(np.int64)  # some 1-event users
+    ts = (rng.integers(0, 40, n) * 1_000_000).astype("datetime64[us]")
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+
+    want = {}
+    for u in np.unique(uid):
+        rows = np.flatnonzero(uid == u)
+        order = rows[np.lexsort((eid[rows], ts[rows]))]
+        for i in range(1, len(order)):
+            k = (str(types[order[i - 1]]), str(types[order[i]]))
+            want[k] = want.get(k, 0) + 1
+
+    t = pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                  "ts": pa.array(ts), "event_type": pa.array(types)})
+    out = event_transitions(rd.from_arrow(t).repartition(5),
+                            num_buckets=4).take_all()
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in out}
+    assert got == want

@@ -285,6 +285,60 @@ def trailing_time_sum(events, window: str = "1h", num_buckets: int = 32):
     )
 
 
+def event_transitions(events, num_buckets: int = 32):
+    """→ (prev_type, next_type, n): first-order transition counts over
+    each user's event stream in (ts, event_id) order — the Markov-chain
+    mining shape (a LAG window + group-count). Output is
+    event-type-vocabulary-sized (|types|² rows max).
+
+    Scale shape: one hash(user_id) bucket shuffle of (user_id, ts,
+    event_id, event_type); each bucket owns whole users, computes its
+    transition counts vectorized (sorted shift + drop user boundaries),
+    and emits vocabulary-sized partials into a tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    from ..pipeline.shuffle import bucket_partition
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            t.select(["event_id", "user_id", "ts", "event_type"]))
+        return df.with_columns(
+            bucket=(pl.col("user_id").hash(seed=33) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).to_arrow()
+
+    def _trans(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("prev_type", pa.string()),
+                            ("next_type", pa.string()),
+                            ("n", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = (
+            pl.from_arrow(t.select(["event_id", "user_id", "ts",
+                                    "event_type"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                prev_type=pl.col("event_type").shift(1),
+                prev_user=pl.col("user_id").shift(1),
+            )
+            .filter(pl.col("prev_user") == pl.col("user_id"))
+            .group_by(["prev_type", "event_type"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .rename({"event_type": "next_type"})
+        )
+        return df.select(["prev_type", "next_type", "n"]).to_arrow().cast(
+            schema)
+
+    return (
+        bucket_partition(
+            events.map_batches(_bucket, batch_format="pyarrow"),
+            _trans, num_buckets,
+        )
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def funnel_conversions(events, step_a: str = "click",
                        step_b: str = "purchase",
                        within_sec: int = 3600, num_buckets: int = 32):

@@ -1404,6 +1404,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["trailing_1h_user_sums"] = trailing_1h_user_sums
 
+    def event_type_transitions(sf_dir):
+        """First-order event-type transition counts per user stream
+        (ops/windows.event_transitions) — the Markov-chain mining shape:
+        LAG over (ts, event_id) order inside one user-bucket shuffle,
+        vocabulary-sized partials, tiny grouped sum."""
+        from .ops.windows import event_transitions
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "event_type"])
+        return event_transitions(ev)
+
+    q["event_type_transitions"] = event_type_transitions
+
     def funnel_click_purchase(sf_dir):
         """Funnel / sequential-pattern op (ops/windows.funnel_conversions):
         a purchase converts iff some click of the same user strictly
@@ -3780,6 +3794,16 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+
+    o["event_type_transitions"] = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type"""
 
     # funnel: conversion = EXISTS a strictly-earlier click within 1 h,
     # stated as the distinct-purchase join the engine's cum_max window
