@@ -1984,3 +1984,53 @@ def test_event_transitions_vs_bruteforce(ray_session):
                             num_buckets=4).take_all()
     got = {(r["prev_type"], r["next_type"]): r["n"] for r in out}
     assert got == want
+
+
+def test_user_value_trends_vs_bruteforce(ray_session):
+    """Sufficient-statistics slope equals a python floor-division replay,
+    including negative slopes (floor, not truncation), single-event
+    users, and all-same-minute users (degenerate -> 0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.windows import user_value_trends
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # user 0: decreasing values -> negative slope
+    for i in range(6):
+        rows.append((0, i * 60_000_000, 1000.0 - 117.3 * i))
+    # user 1: single event
+    rows.append((1, 0, 5.0))
+    # user 2: all in one minute (den == 0)
+    for i in range(4):
+        rows.append((2, i * 1_000_000, 10.0 * i))
+    # user 3: noisy increasing
+    for i in range(10):
+        rows.append((3, i * 90_000_000, 3.0 * i + float(rng.uniform(0, 2))))
+
+    uid = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], "datetime64[us]")
+    val = np.array([r[2] for r in rows])
+
+    cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+    want = {}
+    for u in np.unique(uid):
+        mask = uid == u
+        x = (ts[mask].astype(np.int64)
+             - ts[mask].astype(np.int64).min()) // 60_000_000
+        y = cents[mask]
+        n = int(mask.sum())
+        den = n * int((x * x).sum()) - int(x.sum()) ** 2
+        num = 1000 * (n * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+        want[int(u)] = (n, num // den if den > 0 else 0)
+    assert want[0][1] < 0  # negative-slope floor path exercised
+    assert want[2][1] == 0
+
+    t = pa.table({"user_id": pa.array(uid), "ts": pa.array(ts),
+                  "value": pa.array(val)})
+    out = user_value_trends(rd.from_arrow(t).repartition(3),
+                            num_buckets=4).take_all()
+    got = {r["user_id"]: (r["n_events"], r["slope_permille"]) for r in out}
+    assert got == want

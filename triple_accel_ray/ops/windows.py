@@ -339,6 +339,70 @@ def event_transitions(events, num_buckets: int = 32):
     )
 
 
+def user_value_trends(events, num_buckets: int = 32):
+    """→ (user_id, n_events, slope_permille): per-user least-squares
+    trend of event value over time, computed entirely from integer
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the mergeable-moments
+    shape every distributed regression/variance reduces to. x = whole
+    minutes since the user's first event (floor of the µs delta — both
+    non-negative, so SQL truncation equals floor); y = value cents;
+    slope_permille = floor(1000·(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)), 0 for
+    degenerate users (single event / all same minute). Negative slopes
+    floor like Python — the SQL twin uses the divisible-numerator
+    identity since DuckDB ``//`` truncates.
+
+    Scale shape: one hash(user_id) bucket shuffle of id-width rows;
+    whole users per bucket, so x's per-user origin and the final slope
+    are local; at larger user cardinality the statistics themselves
+    merge associatively (documented; here users fit their bucket)."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["user_id", "ts", "value"]))
+        return df.with_columns(
+            cents=(pl.col("value") * 100.0 + 0.5).floor().cast(pl.Int64),
+            bucket=(pl.col("user_id").hash(seed=33) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).drop("value").to_arrow()
+
+    schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                        ("slope_permille", pa.int64())])
+
+    def _trend(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = pl.from_arrow(t.select(["user_id", "ts", "cents"]))
+        s = (
+            df.with_columns(
+                x=((pl.col("ts").cast(pl.Int64)
+                    - pl.col("ts").cast(pl.Int64).min().over("user_id"))
+                   // 60_000_000).cast(pl.Int64))
+            .group_by("user_id")
+            .agg(
+                n=pl.len().cast(pl.Int64),
+                sx=pl.col("x").sum().cast(pl.Int64),
+                sy=pl.col("cents").sum().cast(pl.Int64),
+                sxy=(pl.col("x") * pl.col("cents")).sum().cast(pl.Int64),
+                sxx=(pl.col("x") * pl.col("x")).sum().cast(pl.Int64),
+            )
+        )
+        n = s["n"].to_numpy()
+        num = 1000 * (n * s["sxy"].to_numpy() - s["sx"].to_numpy()
+                      * s["sy"].to_numpy())
+        den = n * s["sxx"].to_numpy() - s["sx"].to_numpy() ** 2
+        slope = np.where(den > 0, num // np.where(den > 0, den, 1), 0)
+        return pa.table({
+            "user_id": pa.array(s["user_id"].to_numpy(), pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "slope_permille": pa.array(slope, pa.int64()),
+        }).cast(schema)
+
+    return bucket_partition(
+        events.map_batches(_bucket, batch_format="pyarrow"),
+        _trend, num_buckets,
+    )
+
+
 def funnel_conversions(events, step_a: str = "click",
                        step_b: str = "purchase",
                        within_sec: int = 3600, num_buckets: int = 32):

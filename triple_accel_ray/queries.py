@@ -1418,6 +1418,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["event_type_transitions"] = event_type_transitions
 
+    def user_value_trends(sf_dir):
+        """Per-user least-squares value trend from integer sufficient
+        statistics (ops/windows.user_value_trends) — the mergeable-
+        moments shape of every distributed regression. slope in integer
+        per-mille of cents/minute; value-exact SQL twin (floor-division
+        identity for negative slopes)."""
+        from .ops.windows import user_value_trends
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+        return user_value_trends(ev)
+
+    q["user_value_trends"] = user_value_trends
+
     def funnel_click_purchase(sf_dir):
         """Funnel / sequential-pattern op (ops/windows.funnel_conversions):
         a purchase converts iff some click of the same user strictly
@@ -3804,6 +3818,31 @@ WITH lagged AS (
 SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
 FROM lagged WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type"""
+
+    # least-squares slope from integer sufficient statistics; x and the
+    # denominator are non-negative, but the NUMERATOR can be negative —
+    # divisible-numerator identity makes DuckDB's truncating // a floor.
+    o["user_value_trends"] = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+         ((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+          // 60000000)::BIGINT AS x
+  FROM events),
+s AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx
+  FROM b GROUP BY 1)
+SELECT user_id, n AS n_events,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN ((1000 * (n * sxy - sx * sy))
+                  - ((((1000 * (n * sxy - sx * sy))
+                       % (n * sxx - sx * sx)) + (n * sxx - sx * sx))
+                     % (n * sxx - sx * sx)))
+                 // (n * sxx - sx * sx)
+            ELSE 0 END::BIGINT AS slope_permille
+FROM s"""
 
     # funnel: conversion = EXISTS a strictly-earlier click within 1 h,
     # stated as the distinct-purchase join the engine's cum_max window
