@@ -2034,3 +2034,43 @@ def test_user_value_trends_vs_bruteforce(ray_session):
                             num_buckets=4).take_all()
     got = {r["user_id"]: (r["n_events"], r["slope_permille"]) for r in out}
     assert got == want
+
+
+def test_gram_novelty_vs_bruteforce(ray_session):
+    """First-occurrence gram attribution equals a python set replay:
+    shared grams attribute to the smallest doc_id, self-repeats count
+    once (distinct grams), sub-gram docs score 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import gram_novelty
+
+    G = 4
+    docs = [
+        (10, "abcdefgh"),        # first occurrence of everything
+        (20, "abcdxyzw"),        # shares 'abcd' with doc 10
+        (5, "zzabcdzz"),         # smaller id: owns 'abcd' instead
+        (30, "ab"),              # sub-gram -> 0 grams
+        (40, "aaaaaaa"),         # one distinct gram, owned by itself
+    ]
+    first = {}
+    for d, tx in sorted(docs):
+        for p in range(len(tx) - G + 1):
+            g = tx[p:p + G]
+            first.setdefault(g, d)
+    want = {}
+    for d, tx in docs:
+        gs = {tx[p:p + G] for p in range(len(tx) - G + 1)}
+        novel = sum(1 for g in gs if first[g] == d)
+        want[d] = (len(gs), novel,
+                   (1000 * novel) // len(gs) if gs else 0)
+
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    out = gram_novelty(rd.from_arrow(t).repartition(3), gram=G,
+                       num_buckets=4).take_all()
+    got = {r["doc_id"]: (r["n_grams"], r["novel_grams"],
+                         r["novelty_permille"]) for r in out}
+    assert got == want
+    assert want[5][1] > 0 and want[20][1] < want[20][0]

@@ -703,3 +703,136 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
     return df.to_arrow().cast(pa.schema(
         list(zip(batch.schema.names, batch.schema.types))
         + [(out_col, pa.string())]))
+
+
+def gram_novelty(docs, gram: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text", num_buckets: int = 32):
+    """→ (doc_id, n_grams, novel_grams, novelty_permille): per document,
+    how many of its DISTINCT ``gram``-byte windows occur for the FIRST
+    time in the corpus (first = smallest doc_id containing the window) —
+    the first-occurrence-attribution shape behind incremental-corpus
+    novelty / contamination-over-time tracking. novelty_permille =
+    floor(1000 · novel / n_grams), 0 for sub-gram documents.
+
+    Window identity is the fingerprint family's 64-bit polynomial gram
+    hash (mod 2^64), which the SQL twin replays bit-for-bit — so parity
+    is exact by construction, collisions included (the documented
+    contract of every gram-hash op here; cf. fingerprint_batch).
+
+    Scale shape: per-block distinct (h, doc_id) pairs (a doc lives in
+    one row, so its pairs are globally distinct); one h-bucket shuffle
+    assigns min-doc ownership and counts per-doc (grams, novel)
+    partials inside the bucket; a doc-bucket shuffle sums partials onto
+    the zero-row document universe."""
+    import pyarrow.compute as pc
+
+    from ..kernels.vhash import POLY_COEF, row_chunks
+    from ..pipeline.blocking import _mix64
+    from ..pipeline.shuffle import bucket_partition
+
+    G = int(gram)
+    pair_schema = pa.schema([("h", pa.uint64()), ("doc_id", pa.int64()),
+                             ("bucket", pa.int32())])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        data, offsets = to_byte_rows(t[text_col])
+        n = len(offsets) - 1
+        ids = np.asarray(t[id_col].to_numpy(), np.int64)
+        lens = np.diff(offsets)
+        counts = np.maximum(0, lens - G + 1).astype(np.int64)
+        ccum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=ccum[1:])
+        hs, ds = [], []
+        for i0, i1 in row_chunks(ccum, 1 << 15):
+            ctot = int(ccum[i1] - ccum[i0])
+            if not ctot:
+                continue
+            cc = counts[i0:i1]
+            doc_of = np.repeat(np.arange(i1 - i0), cc)
+            cum = (ccum[i0:i1] - ccum[i0]).astype(np.int64)
+            pos = offsets[i0:i1][doc_of] + (np.arange(ctot) - cum[doc_of])
+            h = np.zeros(ctot, dtype=np.uint64)
+            for kk in range(G):
+                h = h * POLY_COEF + data[pos + kk].astype(np.uint64)
+            # distinct (h, doc) within the chunk == globally distinct
+            # (each doc is one row of one block)
+            order = np.lexsort((doc_of, h))
+            hh, dd = h[order], doc_of[order]
+            keep = np.r_[True, (hh[1:] != hh[:-1]) | (dd[1:] != dd[:-1])]
+            hs.append(hh[keep])
+            ds.append(ids[i0:i1][dd[keep]])
+        if not hs:
+            return pair_schema.empty_table()
+        h = np.concatenate(hs)
+        d = np.concatenate(ds)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "bucket": pa.array(
+                (_mix64(h) % np.uint64(num_buckets)).astype(np.int32),
+                pa.int32()),
+        }).cast(pair_schema)
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("grams", pa.int64()),
+                             ("novel", pa.int64()), ("bucket", pa.int32())])
+
+    def _attrib(t: pa.Table) -> pa.Table:
+        """Within an h-bucket: min-doc ownership + per-doc partials."""
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = pl.from_arrow(t.select(["h", "doc_id"]))
+        out = (
+            df.with_columns(fd=pl.col("doc_id").min().over("h"))
+            .group_by("doc_id")
+            .agg(
+                grams=pl.len().cast(pl.Int64),
+                novel=(pl.col("fd") == pl.col("doc_id")).sum()
+                .cast(pl.Int64),
+            )
+        )
+        uid = out["doc_id"].to_numpy()
+        bkt = (_mix64(uid.view(np.uint64)) % np.uint64(num_buckets)
+               ).astype(np.int32)
+        return out.to_arrow().append_column(
+            "bucket", pa.array(bkt, pa.int32())).cast(part_schema)
+
+    def _zero(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(), np.int64)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "grams": pa.array(z), "novel": pa.array(z),
+            "bucket": pa.array(
+                (_mix64(ids.view(np.uint64)) % np.uint64(num_buckets)
+                 ).astype(np.int32), pa.int32()),
+        }).cast(part_schema)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+        ("novel_grams", pa.int64()), ("novelty_permille", pa.int64()),
+    ])
+
+    def _sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t.select(["doc_id", "grams", "novel"]))
+              .group_by("doc_id")
+              .agg(n_grams=pl.col("grams").sum().cast(pl.Int64),
+                   novel_grams=pl.col("novel").sum().cast(pl.Int64)))
+        ng = df["n_grams"].to_numpy()
+        nv = df["novel_grams"].to_numpy()
+        permille = np.where(ng > 0, (1000 * nv) // np.where(ng > 0, ng, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "novel_grams": pa.array(nv, pa.int64()),
+            "novelty_permille": pa.array(permille, pa.int64()),
+        }).cast(out_schema)
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow")
+    partials = bucket_partition(pairs, _attrib, num_buckets)
+    allrows = partials.union(
+        docs.map_batches(_zero, batch_format="pyarrow"))
+    return bucket_partition(allrows, _sum, num_buckets)

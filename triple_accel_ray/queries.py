@@ -665,6 +665,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["fingerprints"] = fingerprints
 
+    def gram_novelty_scores(sf_dir):
+        """First-occurrence gram attribution (ops/text.gram_novelty):
+        per document, the share of its distinct 8-byte windows whose
+        smallest containing doc_id is itself — the novelty /
+        contamination-over-time signal for incrementally grown corpora.
+        Window identity is the fingerprint family's polynomial gram
+        hash, replayed bit-for-bit by the SQL twin."""
+        from .ops.text import gram_novelty
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return gram_novelty(docs, gram=8)
+
+    q["gram_novelty_scores"] = gram_novelty_scores
+
     # ---- stream-shaped --------------------------------------------------
     def events_tumbling_1h(sf_dir):
         ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
@@ -2289,6 +2304,47 @@ SELECT query_id, neighbor_id, pq_dist, rank::BIGINT AS rank FROM (
   FROM dist) WHERE rank <= {k}""")
 
 
+def _gram_novelty_oracle(gram: int = 8) -> str:
+    """SQL twin of ops/text.gram_novelty: the same mod-2^64 polynomial
+    gram hash as the fingerprints oracle (documents are ASCII, so
+    ascii(substr()) equals the UTF-8 byte), then min-doc attribution and
+    per-doc integer per-mille."""
+    coef = 0x9E3779B97F4A7C15
+    pw = [pow(coef, j, _P64) for j in range(gram)]
+    pw_case = " ".join(f"WHEN {kk} THEN {pw[gram - 1 - kk]}"
+                       for kk in range(gram))
+    return f"""
+WITH chars AS (
+  SELECT doc_id, strlen(text) AS len, s AS pos,
+         ascii(substr(text, s+1, 1))::HUGEINT AS byte
+  FROM (SELECT doc_id, text, unnest(range(0, strlen(text))) AS s
+        FROM documents)
+),
+gcontrib AS (
+  SELECT doc_id, pos - kk AS w,
+         (byte * (CASE kk {pw_case} END)::HUGEINT) % {_P64}::HUGEINT
+           AS contrib
+  FROM (SELECT doc_id, len, pos, byte, unnest(range(0, {gram})) AS kk
+        FROM chars)
+  WHERE pos - kk >= 0 AND pos - kk <= len - {gram}
+),
+graw AS (SELECT doc_id, w, sum(contrib) % {_P64}::HUGEINT AS h
+         FROM gcontrib GROUP BY doc_id, w),
+grams AS (SELECT DISTINCT doc_id, h FROM graw),
+firstd AS (SELECT h, min(doc_id) AS fd FROM grams GROUP BY h),
+pd AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         count(*) FILTER (WHERE f.fd = g.doc_id)::BIGINT AS novel
+  FROM grams g JOIN firstd f USING (h) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(pd.novel, 0)::BIGINT AS novel_grams,
+       CASE WHEN coalesce(pd.n_grams, 0) > 0
+            THEN (1000 * pd.novel) // pd.n_grams
+            ELSE 0 END::BIGINT AS novelty_permille
+FROM documents d LEFT JOIN pd USING (doc_id)"""
+
+
 def _mix64_chain_sql(src: str, id_cols: str, prefix: str) -> tuple:
     """splitmix64 finalizer as 5 chained CTEs over column ``h``; returns
     (sql fragment, final CTE name). Matches kernels.vhash/_mix64 exactly."""
@@ -2916,6 +2972,8 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
   ON d.doc_id = b.doc_id"""
 
     o["fingerprints"] = _fingerprints_oracle()
+
+    o["gram_novelty_scores"] = _gram_novelty_oracle(gram=8)
 
     o["events_tumbling_1h"] = """
 SELECT user_id,
