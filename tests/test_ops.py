@@ -2074,3 +2074,44 @@ def test_gram_novelty_vs_bruteforce(ray_session):
                          r["novelty_permille"]) for r in out}
     assert got == want
     assert want[5][1] > 0 and want[20][1] < want[20][0]
+
+
+def test_source_vocab_overlap_vs_bruteforce(ray_session):
+    """Pairwise vocabulary Jaccard equals a python set replay: case
+    folding, duplicate tokens collapse, disjoint sources emit a
+    zero-intersection row, non-letter separators ignored."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import source_vocab_overlap
+
+    docs = [
+        ("s1", "Alpha beta GAMMA alpha"),
+        ("s1", "beta delta"),
+        ("s2", "alpha epsilon 123 zeta!"),
+        ("s3", "omega"),                      # disjoint from s1, s2
+        ("s2", "gamma"),
+    ]
+    import re
+    vocab = {}
+    for s, tx in docs:
+        vocab.setdefault(s, set()).update(
+            w.lower() for w in re.findall(r"[A-Za-z]+", tx))
+    srcs = sorted(vocab)
+    want = {}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            inter = len(vocab[a] & vocab[b])
+            uni = len(vocab[a] | vocab[b])
+            want[(a, b)] = (inter, uni, (1000 * inter) // uni)
+
+    t = pa.table({"source": pa.array([s for s, _ in docs]),
+                  "text": pa.array([x for _, x in docs])})
+    out = source_vocab_overlap(rd.from_arrow(t).repartition(3),
+                               num_buckets=4).take_all()
+    got = {(r["src_a"], r["src_b"]): (r["inter"], r["uni"],
+                                      r["jaccard_permille"]) for r in out}
+    assert got == want
+    assert got[("s1", "s3")][0] == 0  # zero-intersection pair present

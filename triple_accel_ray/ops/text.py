@@ -836,3 +836,106 @@ def gram_novelty(docs, gram: int = 8, id_col: str = "doc_id",
     allrows = partials.union(
         docs.map_batches(_zero, batch_format="pyarrow"))
     return bucket_partition(allrows, _sum, num_buckets)
+
+
+def source_vocab_overlap(docs, source_col: str = "source",
+                         text_col: str = "text", num_buckets: int = 32):
+    """→ (src_a, src_b, inter, uni, jaccard_permille) for every source
+    pair (src_a < src_b): pairwise token-VOCABULARY Jaccard between
+    sources — the corpus-mixing diagnostic (which slices duplicate each
+    other's vocabulary). Tokens are the tri-engine letter-run class
+    ([A-Za-z]+, lowercased), the same contract as term_cooccurrence.
+
+    Scale shape: per-block distinct (source, token) pairs (vocabulary-
+    ×-sources sized, tiny next to the text) ride one token-bucket
+    shuffle; each bucket re-dedups (same token ⇒ same bucket, so
+    dedup is global), emits per-token source-pair intersection partials
+    (≤ C(|sources|,2) per token) and per-source vocabulary-size
+    partials; one scalar-sized merge builds the matrix, including
+    zero-intersection pairs."""
+    from ..pipeline.shuffle import bucket_partition
+
+    tok_schema = pa.schema([("source", pa.string()), ("w", pa.string()),
+                            ("bucket", pa.int32())])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tok_schema.empty_table()
+        df = (
+            pl.from_arrow(t.select([source_col, text_col]))
+            .select(pl.col(source_col).alias("source"),
+                    pl.col(text_col).str.extract_all(r"[A-Za-z]+")
+                    .alias("w"))
+            .explode("w")
+            .drop_nulls()
+            .with_columns(pl.col("w").str.to_lowercase())
+            .unique()
+            .with_columns(bucket=(pl.col("w").hash(seed=21)
+                                  % np.uint64(num_buckets)).cast(pl.Int32))
+        )
+        return df.to_arrow().cast(tok_schema)
+
+    part_schema = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                             ("n", pa.int64()), ("kind", pa.int8())])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = pl.from_arrow(t.select(["source", "w"])).unique()
+        sizes = (df.group_by("source").agg(n=pl.len().cast(pl.Int64))
+                 .select(src_a=pl.col("source"),
+                         src_b=pl.col("source"),
+                         n=pl.col("n"))
+                 .with_columns(kind=pl.lit(1, pl.Int8)))
+        inter = (
+            df.join(df, on="w", suffix="_r")
+            .filter(pl.col("source") < pl.col("source_r"))
+            .group_by(["source", "source_r"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .select(src_a=pl.col("source"), src_b=pl.col("source_r"),
+                    n=pl.col("n"))
+            .with_columns(kind=pl.lit(0, pl.Int8))
+        )
+        return pl.concat([inter, sizes]).to_arrow().cast(part_schema)
+
+    out_schema = pa.schema([
+        ("src_a", pa.string()), ("src_b", pa.string()),
+        ("inter", pa.int64()), ("uni", pa.int64()),
+        ("jaccard_permille", pa.int64()),
+    ])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        sizes = (df.filter(pl.col("kind") == 1).group_by("src_a")
+                 .agg(n=pl.col("n").sum()).sort("src_a"))
+        inter = (df.filter(pl.col("kind") == 0)
+                 .group_by(["src_a", "src_b"]).agg(i=pl.col("n").sum()))
+        srcs = sizes["src_a"].to_list()
+        size_of = dict(zip(srcs, sizes["n"].to_list()))
+        imap = {(r["src_a"], r["src_b"]): r["i"]
+                for r in inter.iter_rows(named=True)}
+        rows = []
+        for ai in range(len(srcs)):
+            for bi in range(ai + 1, len(srcs)):
+                a, b = srcs[ai], srcs[bi]
+                i = int(imap.get((a, b), 0))
+                u = int(size_of[a]) + int(size_of[b]) - i
+                rows.append((a, b, i, u, (1000 * i) // u if u else 1000))
+        if not rows:
+            return out_schema.empty_table()
+        cols = list(zip(*rows))
+        return pa.table({
+            "src_a": pa.array(cols[0], pa.string()),
+            "src_b": pa.array(cols[1], pa.string()),
+            "inter": pa.array(cols[2], pa.int64()),
+            "uni": pa.array(cols[3], pa.int64()),
+            "jaccard_permille": pa.array(cols[4], pa.int64()),
+        })
+
+    partials = bucket_partition(
+        docs.map_batches(_tok, batch_format="pyarrow"),
+        _partial, num_buckets,
+    )
+    # partials are (sources² + sources) × buckets rows — scalar-sized
+    return partials.repartition(1).map_batches(_merge,
+                                               batch_format="pyarrow")

@@ -680,6 +680,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["gram_novelty_scores"] = gram_novelty_scores
 
+    def source_vocab_overlap(sf_dir):
+        """Pairwise token-vocabulary Jaccard between sources
+        (ops/text.source_vocab_overlap) — the corpus-mixing diagnostic:
+        which slices duplicate each other's vocabulary. One token-bucket
+        shuffle of distinct (source, token) pairs; per-token pair
+        partials bounded by C(|sources|, 2); scalar-sized merge with
+        zero-intersection pairs included."""
+        from .ops.text import source_vocab_overlap
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["source", "text"])
+        return source_vocab_overlap(docs)
+
+    q["source_vocab_overlap"] = source_vocab_overlap
+
     # ---- stream-shaped --------------------------------------------------
     def events_tumbling_1h(sf_dir):
         ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
@@ -2974,6 +2989,27 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
     o["fingerprints"] = _fingerprints_oracle()
 
     o["gram_novelty_scores"] = _gram_novelty_oracle(gram=8)
+
+    o["source_vocab_overlap"] = """
+WITH tok AS (
+  SELECT DISTINCT source,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s1.source AS src_a, s2.source AS src_b,
+       coalesce(i.i, 0)::BIGINT AS inter,
+       (s1.n + s2.n - coalesce(i.i, 0))::BIGINT AS uni,
+       CASE WHEN s1.n + s2.n - coalesce(i.i, 0) > 0
+            THEN (1000 * coalesce(i.i, 0))
+                 // (s1.n + s2.n - coalesce(i.i, 0))
+            ELSE 1000 END::BIGINT AS jaccard_permille
+FROM sz s1
+JOIN sz s2 ON s1.source < s2.source
+LEFT JOIN inter i ON i.src_a = s1.source AND i.src_b = s2.source"""
 
     o["events_tumbling_1h"] = """
 SELECT user_id,
