@@ -274,3 +274,44 @@ def test_e2e_f1_and_resume(ray_session, tmp_path):
         labels_path=lp,
     )
     assert s5["metrics"] == s["metrics"]
+
+
+def test_clusters_after_delete_vs_full(ray_session):
+    """Targeted delete propagation equals a full recluster of the
+    surviving graph: deletions that split a cluster, delete a whole
+    cluster, singleton survivors, and untouched clusters (id preserved)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline.cluster import (clusters_after_delete,
+                                                   connected_components)
+
+    # chain a-b-c-d (deleting b splits it), pair e-f (untouched),
+    # pair g-h (delete both), singleton i, j linked to deleted k
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("g", "h"),
+             ("j", "k")]
+    nodes = list("abcdefghijk")
+    deleted = ["b", "g", "h", "k"]
+
+    et = pa.table({"a_id": pa.array([x for x, _ in edges]),
+                   "b_id": pa.array([y for _, y in edges])})
+    nt = pa.table({"conv_id": pa.array(nodes)})
+    dt = pa.table({"conv_id": pa.array(deleted)})
+
+    keep = [n for n in nodes if n not in deleted]
+    ke = [(x, y) for x, y in edges if x in keep and y in keep]
+    full = connected_components(
+        rd.from_arrow(pa.table({"a_id": pa.array([x for x, _ in ke]),
+                                "b_id": pa.array([y for _, y in ke])})),
+        rd.from_arrow(pa.table({"conv_id": pa.array(keep)})),
+        num_partitions=4)
+    want = {r["conv_id"]: r["cluster_id"] for r in full.take_all()}
+
+    got_ds = clusters_after_delete(
+        rd.from_arrow(et).repartition(2), rd.from_arrow(nt).repartition(2),
+        rd.from_arrow(dt), num_partitions=4)
+    got = {r["conv_id"]: r["cluster_id"] for r in got_ds.take_all()}
+    assert got == want
+    assert got["e"] == got["f"] == "e"   # untouched cluster id preserved
+    assert got["a"] == "a" and got["c"] == got["d"] == "c"  # split
+    assert got["j"] == "j"               # lost its only neighbor

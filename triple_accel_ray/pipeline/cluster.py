@@ -196,3 +196,70 @@ def connected_components_local(
             "cluster_id": cluster.cast(pa.string()),
         }
     )
+
+
+def clusters_after_delete(edges, nodes, deleted, num_partitions: int = 32,
+                          max_iters: int = 25):
+    """Delete propagation WITHOUT a full recluster → (conv_id,
+    cluster_id) over the surviving nodes: clusters containing no deleted
+    member pass through untouched (removing nodes elsewhere cannot
+    change a component or its min-label id); only the clusters that lost
+    a member re-run connected components, on their own induced subgraph.
+
+    At 100 TB this is the cluster-maintenance shape: the recompute cost
+    scales with the AFFECTED clusters (deleted-adjacent data), not the
+    corpus. All set logic is id-width bucket semi/anti joins; nothing
+    texty moves.
+
+    ``edges``/``nodes`` are the full pre-delete graph; ``deleted`` is a
+    dataset of conv_id."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucket_join
+
+    _id = pa.schema([("conv_id", pa.string())])
+    _cl = pa.schema([("conv_id", pa.string()), ("cluster_id", pa.string())])
+    _key = pa.schema([("cluster_id", pa.string())])
+    _es = pa.schema([("a_id", pa.string()), ("b_id", pa.string())])
+
+    old = connected_components(
+        edges, nodes, num_partitions=num_partitions, max_iters=max_iters,
+    ).materialize()
+
+    # clusters that lost a member
+    aff = bucket_join(
+        old, deleted, "conv_id", "conv_id", _cl, _id,
+        num_buckets=num_partitions, how="semi",
+    ).map_batches(
+        lambda t: pa.table({"cluster_id": pc.unique(t["cluster_id"])}),
+        batch_format="pyarrow",
+    )
+
+    untouched = bucket_join(
+        old, aff, "cluster_id", "cluster_id", _cl, _key,
+        num_buckets=num_partitions, how="anti",
+    )
+
+    # surviving members of affected clusters = the recompute node set
+    rec_nodes = bucket_join(
+        bucket_join(old, aff, "cluster_id", "cluster_id", _cl, _key,
+                    num_buckets=num_partitions, how="semi"),
+        deleted, "conv_id", "conv_id", _cl, _id,
+        num_buckets=num_partitions, how="anti",
+    ).map_batches(
+        lambda t: pa.table({"conv_id": t["conv_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    rec_edges = bucket_join(
+        bucket_join(edges, rec_nodes, "a_id", "conv_id", _es, _id,
+                    num_buckets=num_partitions, how="semi"),
+        rec_nodes, "b_id", "conv_id", _es, _id,
+        num_buckets=num_partitions, how="semi",
+    )
+
+    renew = connected_components(
+        rec_edges, rec_nodes, num_partitions=num_partitions,
+        max_iters=max_iters,
+    )
+    return untouched.union(renew)

@@ -216,6 +216,29 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_clusters"] = er_clusters
 
+    def er_clusters_after_delete(sf_dir):
+        """Delete propagation without a full recluster
+        (pipeline/cluster.clusters_after_delete): drop every conv whose
+        numeric id suffix is divisible by 10, pass untouched clusters
+        through, and re-run connected components only on the clusters
+        that lost a member. Recompute cost scales with affected
+        clusters, not the corpus; the SQL twin reclusters the whole
+        surviving graph — agreement proves the targeted recompute is
+        lossless."""
+        from .pipeline.cluster import clusters_after_delete
+
+        nodes = _er_docs_ds(sf_dir).select_columns(["conv_id"])
+        deleted = nodes.map_batches(
+            lambda t: pl.from_arrow(t).filter(
+                pl.col("conv_id").str.slice(1).cast(pl.Int64) % 10 == 0
+            ).to_arrow().cast(pa.schema([("conv_id", pa.string())])),
+            batch_format="pyarrow")
+        return clusters_after_delete(
+            _er_edges_ds(sf_dir).select_columns(["a_id", "b_id"]),
+            nodes, deleted, num_partitions=8)
+
+    q["er_clusters_after_delete"] = er_clusters_after_delete
+
     def er_edge_traceback(sf_dir):
         """Match edges + RLE edit traceback (reference Edit semantics; not
         SQL-expressible → rows-only check)."""
@@ -2561,6 +2584,26 @@ sym(u, v) AS (
 ),
 lp(node, label) AS (
   SELECT conv_id, conv_id FROM docs2
+  UNION
+  SELECT s.u, lp.label FROM sym s JOIN lp ON lp.node = s.v
+)
+SELECT node AS conv_id, min(label) AS cluster_id FROM lp GROUP BY node"""
+
+    # delete propagation: the oracle reclusters the WHOLE surviving
+    # graph; the engine recomputes only affected clusters — agreement
+    # proves the targeted path lossless.
+    o["er_clusters_after_delete"] = f"""
+WITH RECURSIVE {docs_cte}, {sig_pairs_cte}, {scored_cte},
+keep AS (SELECT conv_id FROM docs2
+         WHERE substr(conv_id, 2)::BIGINT % 10 <> 0),
+e2 AS (SELECT a_id, b_id FROM edges
+       WHERE a_id IN (SELECT conv_id FROM keep)
+         AND b_id IN (SELECT conv_id FROM keep)),
+sym(u, v) AS (
+  SELECT a_id, b_id FROM e2 UNION ALL SELECT b_id, a_id FROM e2
+),
+lp(node, label) AS (
+  SELECT conv_id, conv_id FROM keep
   UNION
   SELECT s.u, lp.label FROM sym s JOIN lp ON lp.node = s.v
 )
