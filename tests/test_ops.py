@@ -2115,3 +2115,42 @@ def test_source_vocab_overlap_vs_bruteforce(ray_session):
                                       r["jaccard_permille"]) for r in out}
     assert got == want
     assert got[("s1", "s3")][0] == 0  # zero-intersection pair present
+
+
+def test_bigram_lift_vs_bruteforce(ray_session):
+    """Integer-lift collocations equal a python replay: bag counts
+    (repeats count), doc boundaries break bigrams, min_count floor,
+    (lift DESC, w1, w2) total order."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import bigram_lift_top
+
+    texts = [
+        "red fish blue fish red fish",
+        "blue fish red car",
+        "car red fish blue",
+        "fish",  # single token: no bigrams
+    ] * 3
+    uni, big = Counter(), Counter()
+    for tx in texts:
+        ws = re.findall(r"[a-z]+", tx.lower())
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    N = sum(uni.values())
+    mc = 2
+    scored = [
+        (w1, w2, n, (1000 * N * n) // (uni[w1] * uni[w2]))
+        for (w1, w2), n in big.items() if n >= mc
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:5]
+
+    t = pa.table({"text": pa.array(texts)})
+    out = bigram_lift_top(rd.from_arrow(t).repartition(3), k=5,
+                          min_count=mc).take_all()
+    got = [(r["w1"], r["w2"], r["n_ab"], r["lift_permille"]) for r in out]
+    assert got == want

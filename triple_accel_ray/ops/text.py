@@ -939,3 +939,108 @@ def source_vocab_overlap(docs, source_col: str = "source",
     # partials are (sources² + sources) × buckets rows — scalar-sized
     return partials.repartition(1).map_batches(_merge,
                                                batch_format="pyarrow")
+
+
+def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
+                    text_col: str = "text"):
+    """→ top-``k`` adjacent-token bigrams by integer LIFT —
+    lift_permille = floor(1000 · N · n_ab / (n_a · n_b)), the
+    collocation-mining statistic (the integer-exact ranking twin of
+    PMI: log is monotone, so lift order == PMI order). ``min_count``
+    floors n_ab so rare-pair noise can't top the list. Total order
+    (lift DESC, w1 ASC, w2 ASC).
+
+    Scale shape: per-block unigram and bigram count partials (bag
+    counts, vocabulary-sized) into two grouped sums; the UNIGRAM table
+    (vocabulary-sized, the documented broadcast class) ships to every
+    scoring task; scored bigrams emit per-block top-k partials into a
+    scalar merge. The bigram grouped sum is the one wide exchange;
+    min_count cannot prune its partials without changing semantics —
+    documented, like every exact heavy-hitter here."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _uni(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([text_col]))
+            .select(pl.col(text_col).str.to_lowercase()
+                    .str.extract_all(r"[a-z]+").alias("w"))
+            .explode("w").drop_nulls()
+            .group_by("w").agg(n=pl.len().cast(pl.Int64))
+        )
+        return df.to_arrow().cast(pa.schema([("w", pa.string()),
+                                             ("n", pa.int64())]))
+
+    def _big(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([text_col]))
+            .with_row_index("d")
+            .select("d", pl.col(text_col).str.to_lowercase()
+                    .str.extract_all(r"[a-z]+").alias("w"))
+            .explode("w").drop_nulls()
+            .with_columns(w2=pl.col("w").shift(-1),
+                          d2=pl.col("d").shift(-1))
+            .filter(pl.col("d") == pl.col("d2"))
+            .group_by(["w", "w2"]).agg(n=pl.len().cast(pl.Int64))
+            .rename({"w": "w1"})
+        )
+        return df.select(["w1", "w2", "n"]).to_arrow().cast(
+            pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                       ("n", pa.int64())]))
+
+    uni = (
+        docs.map_batches(_uni, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("n", alias_name="n"))
+    )
+    uni_tab = pa.concat_tables(
+        [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows])
+    N = int(pc.sum(uni_tab["n"]).as_py() or 0) if uni_tab.num_rows else 0
+    uni_ref = ray.put(uni_tab)
+
+    out_schema = pa.schema([
+        ("w1", pa.string()), ("w2", pa.string()), ("n_ab", pa.int64()),
+        ("lift_permille", pa.int64()),
+    ])
+
+    class _Score:
+        def __init__(self, ref, total):
+            self._ref, self._N, self._uni = ref, total, None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            if self._uni is None:
+                u = ray.get(self._ref)
+                self._uni = pl.from_arrow(u).rename({"n": "nu"})
+            df = (
+                pl.from_arrow(t)
+                .filter(pl.col("n") >= min_count)
+                .join(self._uni.rename({"w": "w1", "nu": "na"}), on="w1")
+                .join(self._uni.rename({"w": "w2", "nu": "nb"}), on="w2")
+            )
+            na = df["na"].to_numpy()
+            nb = df["nb"].to_numpy()
+            nab = df["n"].to_numpy()
+            lift = (1000 * self._N * nab) // (na * nb)
+            out = pl.DataFrame({
+                "w1": df["w1"], "w2": df["w2"], "n_ab": nab,
+                "lift_permille": lift,
+            }).sort(["lift_permille", "w1", "w2"],
+                    descending=[True, False, False]).head(k)
+            return out.to_arrow().cast(out_schema)
+
+    big = (
+        docs.map_batches(_big, batch_format="pyarrow")
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+        .map_batches(_Score(uni_ref, N), batch_format="pyarrow")
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return pl.from_arrow(t).sort(
+            ["lift_permille", "w1", "w2"], descending=[True, False, False]
+        ).head(k).to_arrow().cast(out_schema)
+
+    return big.repartition(1).map_batches(_merge, batch_format="pyarrow")

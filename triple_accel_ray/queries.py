@@ -718,6 +718,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["source_vocab_overlap"] = source_vocab_overlap
 
+    def bigram_lift_top20(sf_dir):
+        """Collocation mining (ops/text.bigram_lift_top): top-20
+        adjacent-token bigrams by integer lift = 1000·N·n_ab/(n_a·n_b)
+        floored — the exact-integer ranking twin of PMI (log is
+        monotone). Vocabulary-sized unigram broadcast; one bigram
+        grouped sum; per-block top-k partials."""
+        from .ops.text import bigram_lift_top
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"),
+                                  columns=["text"])
+        return bigram_lift_top(docs, k=20, min_count=20)
+
+    q["bigram_lift_top20"] = bigram_lift_top20
+
     # ---- stream-shaped --------------------------------------------------
     def events_tumbling_1h(sf_dir):
         ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
@@ -3053,6 +3067,29 @@ SELECT s1.source AS src_a, s2.source AS src_b,
 FROM sz s1
 JOIN sz s2 ON s1.source < s2.source
 LEFT JOIN inter i ON i.src_a = s1.source AND i.src_b = s2.source"""
+
+    o["bigram_lift_top20"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+uni AS (SELECT w, count(*)::BIGINT AS n
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+nn AS (SELECT sum(n)::BIGINT AS total FROM uni),
+big AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*)::BIGINT AS n_ab
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT b.w1, b.w2, b.n_ab,
+         ((1000 * nn.total * b.n_ab) // (ua.n * ub.n))::BIGINT
+           AS lift_permille
+  FROM big b
+  JOIN uni ua ON ua.w = b.w1
+  JOIN uni ub ON ub.w = b.w2
+  CROSS JOIN nn
+  WHERE b.n_ab >= 20)
+SELECT w1, w2, n_ab, lift_permille FROM scored
+ORDER BY lift_permille DESC, w1 ASC, w2 ASC LIMIT 20"""
 
     o["events_tumbling_1h"] = """
 SELECT user_id,
