@@ -2154,3 +2154,39 @@ def test_bigram_lift_vs_bruteforce(ray_session):
                           min_count=mc).take_all()
     got = [(r["w1"], r["w2"], r["n_ab"], r["lift_permille"]) for r in out]
     assert got == want
+
+
+def test_conv_lint_vs_bruteforce(ray_session):
+    """Lint counts equal a python replay: same-role runs, tool turns
+    opening a conversation, tool-after-user, backwards timestamps."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.transcripts import conv_lint
+
+    rows = [
+        # conv, idx, role, ts_us
+        ("c1", 0, "user", 10), ("c1", 1, "assistant", 20),
+        ("c1", 2, "tool", 30), ("c1", 3, "assistant", 25),  # ts regression
+        ("c2", 0, "tool", 5),                               # opening tool
+        ("c2", 1, "tool", 6),                               # same-role + orphan
+        ("c3", 0, "user", 1), ("c3", 1, "user", 2),         # same-role
+        ("c3", 2, "tool", 3),                               # tool after user
+    ]
+    want = {
+        "c1": (4, 0, 0, 1),
+        "c2": (2, 1, 2, 0),
+        "c3": (3, 1, 1, 0),
+    }
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "ts": pa.array(np.array([r[3] for r in rows], "datetime64[us]")),
+    })
+    out = conv_lint(rd.from_arrow(t).repartition(3), num_buckets=4).take_all()
+    got = {r["conv_id"]: (r["n_turns"], r["same_role_adjacent"],
+                          r["orphan_tool_turns"], r["ts_regressions"])
+           for r in out}
+    assert got == want

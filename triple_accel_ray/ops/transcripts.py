@@ -90,3 +90,71 @@ def conv_stats(transcripts, num_buckets: int = 64):
         ),
         _bucket_to_stats, num_buckets,
     )
+
+
+_LINT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("n_turns", pa.int64()),
+    ("same_role_adjacent", pa.int64()),
+    ("orphan_tool_turns", pa.int64()),
+    ("ts_regressions", pa.int64()),
+])
+
+
+def conv_lint(transcripts, num_buckets: int = 32):
+    """→ per-conversation structural lint counts — the data-quality gate
+    an agent-transcript pipeline runs before training on the turns:
+
+      same_role_adjacent  adjacent turns (by turn_idx) with equal role
+      orphan_tool_turns   role='tool' turns whose previous turn is not
+                          'assistant' (or that open the conversation)
+      ts_regressions      adjacent turns whose timestamp goes backwards
+
+    Same single conv_id-bucket shuffle as conv_turn_stats (text never
+    rides — only the id-width columns move); the adjacent checks are
+    one vectorized sorted shift per bucket. All counts integer; the SQL
+    twin is LAG windows over (conv_id, turn_idx)."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _project(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            "conv_id", "turn_idx", "role", "ts",
+            bucket=(pl.col("conv_id").hash(seed=0) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).to_arrow()
+
+    def _lint(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _LINT_SCHEMA.empty_table()
+        df = (
+            pl.from_arrow(batch.select(["conv_id", "turn_idx", "role", "ts"]))
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(
+                prev_conv=pl.col("conv_id").shift(1),
+                prev_role=pl.col("role").shift(1),
+                prev_ts=pl.col("ts").shift(1),
+            )
+            .with_columns(first=pl.col("prev_conv") != pl.col("conv_id"))
+            .with_columns(first=pl.col("first").fill_null(True))
+        )
+        out = df.group_by("conv_id").agg(
+            n_turns=pl.len().cast(pl.Int64),
+            same_role_adjacent=(~pl.col("first")
+                                & (pl.col("role") == pl.col("prev_role")))
+            .sum().cast(pl.Int64),
+            orphan_tool_turns=((pl.col("role") == "tool")
+                               & (pl.col("first")
+                                  | (pl.col("prev_role") != "assistant")))
+            .sum().cast(pl.Int64),
+            ts_regressions=(~pl.col("first")
+                            & (pl.col("ts") < pl.col("prev_ts")))
+            .sum().cast(pl.Int64),
+        )
+        return out.to_arrow().cast(_LINT_SCHEMA)
+
+    return bucket_partition(
+        transcripts.map_batches(
+            _project, batch_format="pyarrow", batch_size=4096),
+        _lint, num_buckets,
+    )

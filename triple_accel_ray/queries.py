@@ -1296,6 +1296,22 @@ def build_queries() -> Dict[str, Callable]:
 
     q["conv_turn_stats"] = conv_turn_stats
 
+    def conv_lint_counts(sf_dir):
+        """Transcript structural lint (ops/transcripts.conv_lint): per
+        conversation, adjacent same-role turns, orphan tool turns (no
+        assistant immediately before), and timestamp regressions — the
+        data-quality gate before training on turns. Same conv-bucket
+        shuffle as conv_turn_stats; LAG-window SQL twin."""
+        from .ops.transcripts import conv_lint
+        from .pipeline.transcripts import ensure_fixture
+
+        tp, _ = ensure_fixture(sf_dir)
+        return conv_lint(read_parquet_clean(
+            tp, columns=["conv_id", "turn_idx", "role", "ts"]),
+            num_buckets=16)
+
+    q["conv_lint_counts"] = conv_lint_counts
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -3766,6 +3782,24 @@ FROM red""".replace("@E@", PII_EMAIL_RE).replace(
     # transcript profiling: all-integer aggregates (epoch µs); steps are
     # consecutive-turn ts deltas in turn_idx order (can be negative — the
     # fixture's ts are not monotone in turn_idx); 1-turn convs get 0.
+    o["conv_lint_counts"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lag(role) OVER w AS prev_role,
+         lag(ts) OVER w AS prev_ts
+  FROM read_parquet('{fx}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       count(*) FILTER (prev_role IS NOT NULL AND role = prev_role)
+         ::BIGINT AS same_role_adjacent,
+       count(*) FILTER (role = 'tool'
+                        AND (prev_role IS NULL OR prev_role <> 'assistant'))
+         ::BIGINT AS orphan_tool_turns,
+       count(*) FILTER (prev_ts IS NOT NULL AND ts < prev_ts)
+         ::BIGINT AS ts_regressions
+FROM t GROUP BY conv_id"""
+
     o["conv_turn_stats"] = f"""
 WITH t AS (
   SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS e
