@@ -336,3 +336,48 @@ def test_bloom_prune_semi_differential(ray_session):
     got = (row["n_probe"], row["n_pass_bloom"], row["n_true_semi"],
            row["n_false_pos"])
     assert got == want
+
+
+def test_log_histogram_quantiles_vs_bruteforce(ray_session):
+    """Log-bucket quantile estimates equal a python replay: zeros get
+    bucket -1, est_hi is the bucket ceiling and upper-bounds the true
+    quantile within 2x, registers merge identically under
+    repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.sketch import log_histogram_quantiles
+
+    rng = np.random.default_rng(31)
+    x = np.r_[np.zeros(20, np.int64),
+              rng.integers(1, 1_000_000, 500).astype(np.int64)]
+    qs = (500, 900, 990)
+
+    def replay():
+        e = np.where(x >= 1,
+                     np.frexp(np.maximum(x, 1).astype(np.float64))[1] - 1,
+                     -1)
+        ub, cnt = np.unique(e, return_counts=True)
+        cum = np.cumsum(cnt)
+        N = int(cum[-1])
+        out = {}
+        for q in qs:
+            r = (q * (N - 1)) // 1000
+            i = int(np.searchsorted(cum, r + 1))
+            b = int(ub[i])
+            out[q] = (b, (1 << (b + 1)) - 1 if b >= 0 else 0, r)
+        return out
+
+    want = replay()
+    xs = np.sort(x)
+    for q, (b, est, r) in want.items():
+        true_q = int(xs[r])
+        assert est >= true_q and (true_q == 0 or est < 2 * true_q + 2)
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(parts)
+        out = log_histogram_quantiles(ds, "v", qs=qs).take_all()
+        got = {r_["q_permille"]: (r_["bucket"], r_["est_hi"], r_["rank"])
+               for r_ in out}
+        assert got == want

@@ -784,3 +784,71 @@ def equi_depth_histogram(ds, col: str, n_bins: int = 10):
                 "n_rows": t["n_rows"].cast(pa.int64())}),
             batch_format="pyarrow")
     )
+
+
+def log_histogram_quantiles(ds, col: str, qs=(500, 900, 990)):
+    """Approximate quantiles from a LOG-BUCKET histogram — the mergeable
+    quantile sketch for UNBOUNDED non-negative integer domains (the
+    exact-quantile ops here need a value-bounded histogram; this one
+    needs at most 64 registers no matter the domain). Bucket(x) =
+    floor(log2(x)) for x >= 1 (−1 for zero); registers (bucket, n)
+    merge by sum, so any partitioning gives identical registers. For a
+    per-mille quantile q the estimate is the CEILING of the bucket that
+    contains rank floor(q·(N−1)/1000): est_hi = 2^(bucket+1) − 1 — a
+    deterministic, SQL-replayable upper bound with relative error < 2x.
+
+    → (q_permille, bucket, est_hi, rank) one row per requested q.
+    Exactness contract: values must stay below 2^53 (the float64-exact
+    integer range used for the vectorized exponent)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[col].to_numpy(), np.int64)
+        if (x < 0).any():
+            raise ValueError("log_histogram_quantiles needs x >= 0")
+        if (x >= 1 << 53).any():
+            raise ValueError("values >= 2^53 break exact exponents")
+        e = np.full(len(x), -1, np.int64)
+        pos = x >= 1
+        if pos.any():
+            # frexp is exact for ints < 2^53: x = m * 2^ex, m in [0.5, 1)
+            e[pos] = np.frexp(x[pos].astype(np.float64))[1] - 1
+        ub, cnt = np.unique(e, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    regs = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema([
+        ("q_permille", pa.int64()), ("bucket", pa.int64()),
+        ("est_hi", pa.int64()), ("rank", pa.int64()),
+    ])
+
+    def _quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t).sort("bucket")
+        b = df["bucket"].to_numpy()
+        n = df["n"].to_numpy()
+        cum = np.cumsum(n)
+        N = int(cum[-1])
+        rows = []
+        for q in qs:
+            r = (int(q) * (N - 1)) // 1000
+            i = int(np.searchsorted(cum, r + 1))
+            bb = int(b[i])
+            est = (1 << (bb + 1)) - 1 if bb >= 0 else 0
+            rows.append((int(q), bb, est, r))
+        cols = list(zip(*rows))
+        return pa.table({
+            "q_permille": pa.array(cols[0], pa.int64()),
+            "bucket": pa.array(cols[1], pa.int64()),
+            "est_hi": pa.array(cols[2], pa.int64()),
+            "rank": pa.array(cols[3], pa.int64()),
+        })
+
+    # registers are <= 64 rows: one merge task
+    return regs.repartition(1).map_batches(_quant, batch_format="pyarrow")

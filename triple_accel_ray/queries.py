@@ -1312,6 +1312,25 @@ def build_queries() -> Dict[str, Callable]:
 
     q["conv_lint_counts"] = conv_lint_counts
 
+    def value_log_quantiles(sf_dir):
+        """Log-bucket quantile sketch (ops/sketch.
+        log_histogram_quantiles): approximate p50/p90/p99 of event value
+        cents from a <= 64-register log2 histogram — the mergeable
+        quantile sketch for UNBOUNDED domains (the exact-quantile ops
+        need a value-bounded histogram). Registers and the bucket-ceiling
+        estimates are deterministic integers, replayed in SQL via
+        length(bin(x)))."""
+        from .ops.sketch import log_histogram_quantiles
+
+        ev = read_parquet_clean(_t(sf_dir, "events"), columns=["value"])
+        cents = ev.map_batches(
+            lambda t: pa.table({"cents": pa.array(np.floor(
+                t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64))}),
+            batch_format="pyarrow")
+        return log_histogram_quantiles(cents, "cents", qs=(500, 900, 990))
+
+    q["value_log_quantiles"] = value_log_quantiles
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -3782,6 +3801,25 @@ FROM red""".replace("@E@", PII_EMAIL_RE).replace(
     # transcript profiling: all-integer aggregates (epoch µs); steps are
     # consecutive-turn ts deltas in turn_idx order (can be negative — the
     # fixture's ts are not monotone in turn_idx); 1-turn convs get 0.
+    o["value_log_quantiles"] = """
+WITH x AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+           FROM events),
+reg AS (SELECT (CASE WHEN v = 0 THEN -1
+                     ELSE length(bin(v)) - 1 END)::BIGINT AS bucket,
+               count(*)::BIGINT AS n
+        FROM x GROUP BY 1),
+nn AS (SELECT sum(n)::BIGINT AS total FROM reg),
+c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket)::BIGINT AS cum
+      FROM reg),
+qs AS (SELECT unnest([500, 900, 990])::BIGINT AS q)
+SELECT q AS q_permille, bucket,
+       (CASE WHEN bucket >= 0 THEN (1::BIGINT << (bucket + 1)) - 1
+             ELSE 0 END)::BIGINT AS est_hi,
+       ((q * (nn.total - 1)) // 1000)::BIGINT AS rank
+FROM qs, nn,
+LATERAL (SELECT min(c.bucket) AS bucket FROM c
+         WHERE c.cum >= (q * (nn.total - 1)) // 1000 + 1)"""
+
     o["conv_lint_counts"] = f"""
 WITH t AS (
   SELECT conv_id, turn_idx, role, ts,
