@@ -2190,3 +2190,37 @@ def test_conv_lint_vs_bruteforce(ray_session):
                           r["orphan_tool_turns"], r["ts_regressions"])
            for r in out}
     assert got == want
+
+
+def test_upsert_latest_vs_bruteforce(ray_session):
+    """Last-writer-wins upsert equals a python replay: updates, inserts,
+    exact-timestamp ties (patch wins), stale patch rows (base wins),
+    multiple patch rows per key (latest wins)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import upsert_latest
+
+    base = [(1, 10, "b1"), (2, 10, "b2"), (3, 30, "b3")]
+    patch = [(2, 20, "p2"),          # newer -> wins
+             (3, 30, "p3"),          # tie -> patch wins
+             (1, 5, "p1-stale"),     # older -> base wins
+             (4, 1, "p4-old"), (4, 2, "p4-new"),  # insert, latest wins
+             ]
+    want = {1: (10, "b1"), 2: (20, "p2"), 3: (30, "p3"), 4: (2, "p4-new")}
+
+    def tab(rows):
+        return pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows],
+                                    "datetime64[us]")),
+            "v": pa.array([r[2] for r in rows]),
+        })
+
+    out = upsert_latest(rd.from_arrow(tab(base)).repartition(2),
+                        rd.from_arrow(tab(patch)).repartition(2),
+                        "k", "ts", num_buckets=4).take_all()
+    got = {r["k"]: (int(np.datetime64(r["ts"], "us").astype(np.int64)),
+                    r["v"]) for r in out}
+    assert got == want

@@ -564,3 +564,48 @@ def pivot_counts(ds, row_col: str, cat_col: str, categories: list[str],
             {row_col: t[row_col]}
             | {n: t[f"{n}_sum"].cast(pa.int64()) for n in names}),
         batch_format="pyarrow")
+
+
+def upsert_latest(base, patch, key_col: str, ts_col: str,
+                  num_buckets: int = 32):
+    """MERGE/upsert → the merged table: per key, the row with the
+    greatest ``ts_col``; on an exact timestamp tie the PATCH side wins
+    (the deterministic last-writer-wins rule every CDC merge needs
+    stated explicitly). Patch rows with unseen keys insert. Both inputs
+    must share a schema; column order follows ``base``.
+
+    Scale shape: one hash(key) bucket shuffle of the tagged union —
+    each key's rows co-locate, one vectorized sort + last-per-key pick
+    per bucket. At 100 TB the patch is normally much smaller than the
+    base; the shuffle still prices the base once, which is what MERGE
+    costs anywhere — partition-pruned layouts (skip base buckets with
+    no patch keys) are the documented next step, not a semantic
+    change."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            return df.with_columns(
+                __side=pl.lit(side, pl.Int8),
+                bucket=(pl.col(key_col).hash(seed=41)
+                        % np.uint64(num_buckets)).cast(pl.Int32),
+            ).to_arrow()
+        return _f
+
+    def _pick(t: pa.Table) -> pa.Table:
+        names = [c for c in t.schema.names
+                 if c not in ("__side", "bucket")]
+        if t.num_rows == 0:
+            return t.select(names)
+        df = (
+            pl.from_arrow(t)
+            .sort([key_col, ts_col, "__side"])
+            .group_by(key_col, maintain_order=True)
+            .last()
+        )
+        return df.select(names).to_arrow()
+
+    tagged = base.map_batches(_tag(0), batch_format="pyarrow").union(
+        patch.map_batches(_tag(1), batch_format="pyarrow"))
+    return bucket_partition(tagged, _pick, num_buckets)

@@ -1331,6 +1331,45 @@ def build_queries() -> Dict[str, Callable]:
 
     q["value_log_quantiles"] = value_log_quantiles
 
+    def events_upserted(sf_dir):
+        """CDC MERGE/upsert (ops/relational.upsert_latest): a synthetic
+        patch — every event_id divisible by 9 re-arrives 1 h later with
+        doubled cents, plus brand-new rows under event_id + 10^9 —
+        merges into the base by last-writer-wins (ties -> patch). One
+        key-bucket shuffle of the tagged union; the SQL twin replays the
+        same rule with a window row_number."""
+        from .ops.relational import upsert_latest
+
+        def _cents(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pa.array(np.floor(
+                    t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)),
+            })
+
+        base = read_parquet_clean(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "ts", "value"]
+        ).map_batches(_cents, batch_format="pyarrow")
+
+        def _patch(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            upd = (df.filter(pl.col("event_id") % 9 == 0)
+                   .with_columns(
+                       ts=pl.col("ts") + pl.duration(hours=1),
+                       cents=pl.col("cents") * 2))
+            new = df.filter(pl.col("event_id") % 17 == 0).with_columns(
+                event_id=pl.col("event_id") + 1_000_000_000,
+                cents=pl.col("cents") + 7)
+            return pl.concat([upd, new]).to_arrow()
+
+        patch = base.map_batches(_patch, batch_format="pyarrow")
+        return upsert_latest(base, patch, "event_id", "ts")
+
+    q["events_upserted"] = events_upserted
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -3819,6 +3858,26 @@ SELECT q AS q_permille, bucket,
 FROM qs, nn,
 LATERAL (SELECT min(c.bucket) AS bucket FROM c
          WHERE c.cum >= (q * (nn.total - 1)) // 1000 + 1)"""
+
+    o["events_upserted"] = """
+WITH base AS (
+  SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         0 AS side
+  FROM events),
+patch AS (
+  SELECT event_id, user_id, ts + INTERVAL 1 HOUR AS ts,
+         cents * 2 AS cents, 1 AS side
+  FROM base WHERE event_id % 9 = 0
+  UNION ALL
+  SELECT event_id + 1000000000, user_id, ts, cents + 7, 1
+  FROM base WHERE event_id % 17 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM patch),
+r AS (SELECT event_id, user_id, ts, cents,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY ts DESC, side DESC) AS rn
+      FROM u)
+SELECT event_id, user_id, ts, cents FROM r WHERE rn = 1"""
 
     o["conv_lint_counts"] = f"""
 WITH t AS (
