@@ -2224,3 +2224,26 @@ def test_upsert_latest_vs_bruteforce(ray_session):
     got = {r["k"]: (int(np.datetime64(r["ts"], "us").astype(np.int64)),
                     r["v"]) for r in out}
     assert got == want
+
+
+def test_dense_rank_ids(ray_session):
+    """zipWithIndex: dense contiguous 0-based ids in sorted order,
+    duplicates collapse, invariant under repartitioning/permutation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.relational import dense_rank_ids
+
+    rng = np.random.default_rng(41)
+    vals = [f"k{int(v):04d}" for v in rng.integers(0, 300, 1500)]
+    want = {v: i for i, v in enumerate(sorted(set(vals)))}
+
+    for parts in (1, 6):
+        ds = rd.from_arrow(pa.table({"conv_id": pa.array(vals)})
+                           ).repartition(parts)
+        out = dense_rank_ids(ds, "conv_id", num_partitions=4).take_all()
+        got = {r["value"]: r["id"] for r in out}
+        assert got == want
+        ids = sorted(got.values())
+        assert ids == list(range(len(want)))  # dense + contiguous

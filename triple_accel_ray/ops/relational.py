@@ -609,3 +609,56 @@ def upsert_latest(base, patch, key_col: str, ts_col: str,
     tagged = base.map_batches(_tag(0), batch_format="pyarrow").union(
         patch.map_batches(_tag(1), batch_format="pyarrow"))
     return bucket_partition(tagged, _pick, num_buckets)
+
+
+def dense_rank_ids(ds, col: str, num_partitions: int = 32):
+    """Dictionary-encode a key column → (value, id) with DENSE,
+    CONTIGUOUS 0-based ids in sorted value order — the distributed
+    zipWithIndex every 100 TB pipeline needs to turn string keys into
+    machine ids (graph node ids, embedding row numbers, dictionary
+    pages).
+
+    Scale shape: per-block distinct combiner → one grouped distinct →
+    one SORT of the distinct values (range partition; blocks emerge in
+    global order) → per-block counts (metadata-sized) → driver computes
+    the exclusive prefix (one int per block) → per-block ids are offset
+    + local arange. No row ever carries more than the value itself; the
+    only driver data is one count per block."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t[col])})
+
+    distinct = (
+        ds.map_batches(_uniq, batch_format="pyarrow")
+        .groupby(col).count().select_columns([col])
+        .sort(col)
+        .repartition(num_partitions)
+    )
+    refs = distinct.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table({"value": pa.array([], pa.string()),
+                                       "id": pa.array([], pa.int64())}))
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _assign(t: pa.Table, off: int) -> pa.Table:
+        # blocks arrive in global sort order; rows within a block are
+        # sorted — ids are the global rank
+        vals = t[col]
+        order = pc.sort_indices(vals)
+        return pa.table({
+            "value": vals.take(order),
+            "id": pa.array(off + np.arange(t.num_rows), pa.int64()),
+        })
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offs = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    return rd.from_arrow_refs(
+        [_assign.remote(r, int(o)) for r, o in zip(refs, offs)])

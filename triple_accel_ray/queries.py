@@ -1370,6 +1370,22 @@ def build_queries() -> Dict[str, Callable]:
 
     q["events_upserted"] = events_upserted
 
+    def conv_id_dictionary(sf_dir):
+        """Distributed zipWithIndex (ops/relational.dense_rank_ids):
+        dictionary-encode the conversation keys into dense contiguous
+        0-based ids in sorted order — the string-key -> machine-id pass
+        (graph node ids, embedding row numbers) done with one distinct
+        groupby + one sort + per-block offsets; the driver only ever
+        sees one count per block."""
+        from .ops.relational import dense_rank_ids
+        from .pipeline.transcripts import ensure_fixture
+
+        tp, _ = ensure_fixture(sf_dir)
+        turns = read_parquet_clean(tp, columns=["conv_id"])
+        return dense_rank_ids(turns, "conv_id", num_partitions=8)
+
+    q["conv_id_dictionary"] = conv_id_dictionary
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -3878,6 +3894,11 @@ r AS (SELECT event_id, user_id, ts, cents,
                                 ORDER BY ts DESC, side DESC) AS rn
       FROM u)
 SELECT event_id, user_id, ts, cents FROM r WHERE rn = 1"""
+
+    o["conv_id_dictionary"] = f"""
+SELECT conv_id AS value,
+       (row_number() OVER (ORDER BY conv_id) - 1)::BIGINT AS id
+FROM (SELECT DISTINCT conv_id FROM read_parquet('{fx}'))"""
 
     o["conv_lint_counts"] = f"""
 WITH t AS (
