@@ -2247,3 +2247,45 @@ def test_dense_rank_ids(ray_session):
         assert got == want
         ids = sorted(got.values())
         assert ids == list(range(len(want)))  # dense + contiguous
+
+
+def test_source_length_drift_vs_bruteforce(ray_session):
+    """Per-source L1 drift equals a python replay: identical-shape
+    sources score 0, disjoint-bucket sources score near 2000, missing
+    buckets fill as zero."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.profile import source_length_drift
+
+    rows = (
+        [("a", 10)] * 50 + [("a", 1000)] * 50      # reference shape
+        + [("b", 10)] * 50 + [("b", 1000)] * 50    # same shape as a
+        + [("c", 100000)] * 100                    # disjoint bucket
+    )
+    src = np.array([r[0] for r in rows])
+    val = np.array([r[1] for r in rows], np.int64)
+
+    def bucket(x):
+        return int(x).bit_length() - 1 if x >= 1 else -1
+
+    bks = np.array([bucket(v) for v in val])
+    gl, gn = np.unique(bks, return_counts=True)
+    N = len(rows)
+    want = {}
+    for s in np.unique(src):
+        m = src == s
+        ns = int(m.sum())
+        drift = 0
+        for b, g in zip(gl, gn):
+            nsb = int((bks[m] == b).sum())
+            drift += abs((1000 * nsb) // ns - (1000 * int(g)) // N)
+        want[str(s)] = (ns, drift)
+
+    t = pa.table({"source": pa.array(src), "n_chars": pa.array(val)})
+    out = source_length_drift(
+        rd.from_arrow(t).repartition(4)).take_all()
+    got = {r["source"]: (r["n_docs"], r["drift_permille"]) for r in out}
+    assert got == want
+    assert got["a"] == got["b"] and got["c"][1] > got["a"][1]

@@ -181,3 +181,63 @@ def key_skew_stats(ds, key_col: str, top_n: int = 10):
         .repartition(1)
         .map_batches(_rank, batch_format="pyarrow", batch_size=None)
     )
+
+
+def source_length_drift(docs, group_col: str = "source",
+                        val_col: str = "n_chars"):
+    """→ (source, n_docs, drift_permille): per-source distribution drift
+    — the L1 distance between the source's document-length histogram and
+    the GLOBAL one, both quantized to integer per-mille over floor(log2)
+    buckets: drift = Σ_b |1000·n_sb/N_s − 1000·n_b/N| floored. The
+    slice-skew monitor a mixing pipeline alarms on (0 = identical shape,
+    up to 2000 = disjoint support).
+
+    Scale shape: per-block (source, bucket, n) partials (sources × ≤64
+    rows) into one grouped sum; a single scalar-sized merge computes the
+    global distribution and every source's L1 — no data row ever
+    shuffles."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[val_col].to_numpy(zero_copy_only=False), np.int64)
+        e = np.full(len(x), -1, np.int64)
+        pos = x >= 1
+        if pos.any():
+            e[pos] = np.frexp(x[pos].astype(np.float64))[1] - 1
+        df = pl.DataFrame({
+            "source": np.asarray(t[group_col].to_numpy(
+                zero_copy_only=False)),
+            "bucket": e,
+        }).group_by(["source", "bucket"]).agg(n=pl.len().cast(pl.Int64))
+        return df.to_arrow().cast(pa.schema(
+            [("source", pa.string()), ("bucket", pa.int64()),
+             ("n", pa.int64())]))
+
+    regs = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("drift_permille", pa.int64())])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t.select(["source", "bucket", "n"]))
+        glob = df.group_by("bucket").agg(gn=pl.col("n").sum())
+        N = int(glob["gn"].sum())
+        sizes = df.group_by("source").agg(ns=pl.col("n").sum())
+        full = (sizes.join(glob, how="cross")
+                .join(df, on=["source", "bucket"], how="left")
+                .with_columns(n=pl.col("n").fill_null(0)))
+        ps = (1000 * full["n"].to_numpy()) // full["ns"].to_numpy()
+        pg = (1000 * full["gn"].to_numpy()) // N
+        out = (full.with_columns(d=pl.Series(np.abs(ps - pg)))
+               .group_by("source")
+               .agg(n_docs=pl.col("ns").first().cast(pl.Int64),
+                    drift_permille=pl.col("d").sum().cast(pl.Int64)))
+        return out.to_arrow().cast(out_schema)
+
+    return regs.repartition(1).map_batches(_merge, batch_format="pyarrow")

@@ -1386,6 +1386,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["conv_id_dictionary"] = conv_id_dictionary
 
+    def source_len_drift(sf_dir):
+        """Per-source distribution drift (ops/profile.
+        source_length_drift): L1 distance in integer per-mille between
+        each source's log-bucket length histogram and the global one —
+        the slice-skew monitor a mixing pipeline alarms on. Register-
+        sized partials only; no data row ever shuffles."""
+        from .ops.profile import source_length_drift
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["source", "n_chars"])
+        return source_length_drift(docs)
+
+    q["source_len_drift"] = source_len_drift
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -3894,6 +3908,26 @@ r AS (SELECT event_id, user_id, ts, cents,
                                 ORDER BY ts DESC, side DESC) AS rn
       FROM u)
 SELECT event_id, user_id, ts, cents FROM r WHERE rn = 1"""
+
+    o["source_len_drift"] = """
+WITH b AS (SELECT source,
+                  (CASE WHEN n_chars < 1 THEN -1
+                        ELSE length(bin(n_chars::BIGINT)) - 1
+                   END)::BIGINT AS bucket
+           FROM documents),
+reg AS (SELECT source, bucket, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+gdist AS (SELECT bucket, sum(n)::BIGINT AS gn FROM reg GROUP BY 1),
+nn AS (SELECT sum(n)::BIGINT AS total FROM reg),
+sizes AS (SELECT source, sum(n)::BIGINT AS ns FROM reg GROUP BY 1),
+filled AS (
+  SELECT s.source, s.ns, g.bucket, g.gn, coalesce(r.n, 0)::BIGINT AS n
+  FROM sizes s CROSS JOIN gdist g
+  LEFT JOIN reg r ON r.source = s.source AND r.bucket = g.bucket)
+SELECT source, any_value(ns)::BIGINT AS n_docs,
+       sum(abs((1000 * n) // ns
+               - (1000 * gn) // (SELECT total FROM nn)))::BIGINT
+         AS drift_permille
+FROM filled GROUP BY source"""
 
     o["conv_id_dictionary"] = f"""
 SELECT conv_id AS value,
