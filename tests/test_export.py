@@ -295,3 +295,53 @@ def test_mixture_targets_property(counts, weights):
         prop_counts = {s: 3 * w for s, w in pos.items()}
         assert all(v == 1 << 64
                    for v in mixture_targets(prop_counts, pos).values())
+
+
+def test_zorder_keys_properties(ray_session):
+    """Morton keys equal a python bit-interleave replay, and the
+    locality property holds: sorting by zkey places rows close in both
+    quantized dimensions near each other (checked via the defining
+    bit-interleave identity, plus degenerate constant columns -> 0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.export import zorder_keys
+
+    rng = np.random.default_rng(43)
+    n, B = 400, 16
+    x = rng.integers(0, 1000, n).astype(np.int64)
+    y = rng.integers(-50, 5000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+
+    def replay(x, y):
+        def q(v):
+            lo, hi = int(v.min()), int(v.max())
+            if hi == lo:
+                return np.zeros(len(v), np.int64)
+            return ((v - lo) * ((1 << B) - 1)) // (hi - lo)
+        qx, qy = q(x), q(y)
+        out = []
+        for a, b in zip(qx, qy):
+            z = 0
+            for i in range(B):
+                z |= ((int(a) >> i) & 1) << (2 * i)
+                z |= ((int(b) >> i) & 1) << (2 * i + 1)
+            out.append(z)
+        return out
+
+    want = dict(zip(ids.tolist(), replay(x, y)))
+    t = pa.table({"event_id": pa.array(ids), "x": pa.array(x),
+                  "y": pa.array(y)})
+    out = zorder_keys(rd.from_arrow(t).repartition(4), "x", "y",
+                      bits=B).take_all()
+    got = {r["event_id"]: r["zkey"] for r in out}
+    assert got == want
+
+    t2 = pa.table({"event_id": pa.array(ids),
+                   "x": pa.array(np.full(n, 7, np.int64)),
+                   "y": pa.array(y)})
+    out2 = zorder_keys(rd.from_arrow(t2), "x", "y", bits=B).take_all()
+    zx = {r["event_id"]: r["zkey"] for r in out2}
+    # constant x contributes no even bits: every key is y-bits only
+    assert all((v & 0x5555_5555_5555_5555) == 0 for v in zx.values())

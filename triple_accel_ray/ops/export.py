@@ -484,3 +484,66 @@ def write_packed_shards(
 
     tagged = docs.map_batches(_tag, batch_format="pyarrow")
     return bucket_partition(tagged, _pack_write, n, bucket_col="shard")
+
+
+def zorder_keys(ds, col_x: str, col_y: str, bits: int = 16,
+                id_col: str = "event_id"):
+    """→ (id, zkey): the Morton/Z-order interleave of two columns, each
+    first quantized to a ``bits``-bit rank within its own value range —
+    the multi-dimensional LAYOUT key behind OPTIMIZE ZORDER: sorting a
+    100 TB table by zkey co-locates rows that are close in BOTH columns,
+    so min/max zone maps prune scans with predicates on either.
+
+    Quantization is rank-free and exact: q = ((v − min) · (2^bits − 1))
+    // (max − min) using the GLOBAL min/max (one streaming aggregate —
+    the only pre-pass). Interleave places bit i of q_x at position 2i
+    and of q_y at 2i+1. Deterministic integers end-to-end; the SQL twin
+    unrolls the same shifts.
+
+    The key computation itself is a stateless vectorized map — rows
+    never shuffle here; the subsequent sort/write is the caller's
+    existing export path."""
+    import ray
+
+    B = int(bits)
+
+    mm = ds.map_batches(
+        lambda t: pa.table({
+            "xmin": pa.array([int(np.min(t[col_x].to_numpy()))], pa.int64()),
+            "xmax": pa.array([int(np.max(t[col_x].to_numpy()))], pa.int64()),
+            "ymin": pa.array([int(np.min(t[col_y].to_numpy()))], pa.int64()),
+            "ymax": pa.array([int(np.max(t[col_y].to_numpy()))], pa.int64()),
+        }) if t.num_rows else pa.table(
+            {"xmin": pa.array([], pa.int64()),
+             "xmax": pa.array([], pa.int64()),
+             "ymin": pa.array([], pa.int64()),
+             "ymax": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    parts = [t for t in ray.get(mm.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(parts)
+    xmin = int(pa.compute.min(tab["xmin"]).as_py())
+    xmax = int(pa.compute.max(tab["xmax"]).as_py())
+    ymin = int(pa.compute.min(tab["ymin"]).as_py())
+    ymax = int(pa.compute.max(tab["ymax"]).as_py())
+
+    def _q(v, lo, hi):
+        span = hi - lo
+        if span == 0:
+            return np.zeros(len(v), np.int64)
+        return ((v - lo) * ((1 << B) - 1)) // span
+
+    def _key(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[col_x].to_numpy(), np.int64)
+        y = np.asarray(t[col_y].to_numpy(), np.int64)
+        qx = _q(x, xmin, xmax).astype(np.uint64)
+        qy = _q(y, ymin, ymax).astype(np.uint64)
+        z = np.zeros(len(x), np.uint64)
+        for i in range(B):
+            z |= ((qx >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+            z |= ((qy >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+        return pa.table({
+            id_col: t[id_col],
+            "zkey": pa.array(z.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_key, batch_format="pyarrow")

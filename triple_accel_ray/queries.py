@@ -1400,6 +1400,27 @@ def build_queries() -> Dict[str, Callable]:
 
     q["source_len_drift"] = source_len_drift
 
+    def event_zorder_keys(sf_dir):
+        """Morton/Z-order layout keys (ops/export.zorder_keys) over
+        (user_id, value cents) — the OPTIMIZE ZORDER primitive: sorting
+        by zkey co-locates rows close in BOTH dimensions so zone maps
+        prune on either. Global min/max pre-pass + stateless vectorized
+        interleave; SQL twin unrolls the same 16-bit shifts."""
+        from .ops.export import zorder_keys
+
+        ev = read_parquet_clean(
+            _t(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+        cents = ev.map_batches(
+            lambda t: pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pa.array(np.floor(
+                    t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)),
+            }), batch_format="pyarrow")
+        return zorder_keys(cents, "user_id", "cents", bits=16)
+
+    q["event_zorder_keys"] = event_zorder_keys
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -3908,6 +3929,28 @@ r AS (SELECT event_id, user_id, ts, cents,
                                 ORDER BY ts DESC, side DESC) AS rn
       FROM u)
 SELECT event_id, user_id, ts, cents FROM r WHERE rn = 1"""
+
+    _zterms = " + ".join(
+        f"(((qx // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((qy // {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(16))
+    o["event_zorder_keys"] = f"""
+WITH b AS (
+  SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+              min(y) AS ymin, max(y) AS ymax FROM b),
+q AS (
+  SELECT event_id,
+         CASE WHEN mm.xmax = mm.xmin THEN 0
+              ELSE ((x - mm.xmin) * 65535) // (mm.xmax - mm.xmin)
+         END AS qx,
+         CASE WHEN mm.ymax = mm.ymin THEN 0
+              ELSE ((y - mm.ymin) * 65535) // (mm.ymax - mm.ymin)
+         END AS qy
+  FROM b, mm)
+SELECT event_id, ({_zterms})::BIGINT AS zkey FROM q"""
 
     o["source_len_drift"] = """
 WITH b AS (SELECT source,
