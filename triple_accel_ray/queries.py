@@ -2065,6 +2065,69 @@ def build_queries() -> Dict[str, Callable]:
 
     q["er_blocking_metrics"] = er_blocking_metrics
 
+    def er_score_calibration(sf_dir):
+        """Scorer calibration table — the Levenshtein kernel in its
+        EVALUATION shape: for every labeled pair, full edit distance
+        between the two assembled documents, bucketed (dist // 10,
+        capped at 20) and counted by ground-truth label. The histogram
+        a threshold-tuning pass reads. Texts attach to the labeled
+        pairs via the pipeline's bucketed pair-text joins; scoring is
+        the vectorized batch kernel."""
+        from .kernels.batch import levenshtein_batch
+        from .pipeline.shuffle import bucket_join
+
+        _, lbl_path = ensure_fixture(sf_dir)
+        lbl = read_parquet_clean(
+            lbl_path, columns=["a_id", "b_id", "is_match"])
+        docs = _er_docs_ds(sf_dir)
+        lbl_schema = pa.schema([("a_id", pa.string()),
+                                ("b_id", pa.string()),
+                                ("is_match", pa.bool_())])
+        j1 = bucket_join(
+            lbl,
+            docs.map_batches(
+                lambda t: pa.table({"a_key": t["conv_id"],
+                                    "a_text": t["doc_text"]}),
+                batch_format="pyarrow"),
+            "a_id", "a_key", lbl_schema,
+            pa.schema([("a_key", pa.string()), ("a_text", pa.string())]),
+            num_buckets=8)
+        with_texts = bucket_join(
+            j1,
+            docs.map_batches(
+                lambda t: pa.table({"b_key": t["conv_id"],
+                                    "b_text": t["doc_text"]}),
+                batch_format="pyarrow"),
+            "b_id", "b_key",
+            pa.schema(list(lbl_schema) + [pa.field("a_text", pa.string())]),
+            pa.schema([("b_key", pa.string()), ("b_text", pa.string())]),
+            num_buckets=8)
+
+        def _score(t: pa.Table) -> pa.Table:
+            schema = pa.schema([("dist_bucket", pa.int64()),
+                                ("is_match", pa.bool_()),
+                                ("n", pa.int64())])
+            if t.num_rows == 0:
+                return schema.empty_table()
+            d = levenshtein_batch(t["a_text"], t["b_text"])
+            bucket = np.minimum(d.astype(np.int64) // 10, 20)
+            df = pl.DataFrame({
+                "dist_bucket": bucket,
+                "is_match": t["is_match"].to_numpy(zero_copy_only=False),
+            }).group_by(["dist_bucket", "is_match"]).agg(
+                n=pl.len().cast(pl.Int64))
+            return df.to_arrow().cast(schema)
+
+        from ray.data.aggregate import Sum
+
+        return (
+            with_texts.map_batches(_score, batch_format="pyarrow")
+            .groupby(["dist_bucket", "is_match"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    q["er_score_calibration"] = er_score_calibration
+
     def docs_profile(sf_dir):
         """Single-pass table profiling (ops/profile.profile_columns):
         per-column rows/nulls/exact distinct/typed min-max over the full
@@ -2776,6 +2839,19 @@ SELECT tp, pred AS predicted_pairs, pos AS positive_pairs,
        CASE WHEN pred + pos > 0 THEN (2000 * tp) // (pred + pos)
             ELSE 1000 END::BIGINT AS f1_permille
 FROM tpx, pp, posx"""
+
+    o["er_score_calibration"] = f"""
+WITH {docs_cte},
+lb AS (SELECT a_id, b_id, is_match FROM read_parquet('{_lbl_fx}')),
+d AS (
+  SELECT least(levenshtein(da.doc_text, db.doc_text) // 10, 20)::BIGINT
+           AS dist_bucket,
+         lb.is_match
+  FROM lb
+  JOIN docs2 da ON da.conv_id = lb.a_id
+  JOIN docs2 db ON db.conv_id = lb.b_id)
+SELECT dist_bucket, is_match, count(*)::BIGINT AS n
+FROM d GROUP BY 1, 2"""
 
     o["er_blocking_metrics"] = f"""
 WITH {docs_cte}, {sig_pairs_cte},
