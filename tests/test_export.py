@@ -345,3 +345,36 @@ def test_zorder_keys_properties(ray_session):
     zx = {r["event_id"]: r["zkey"] for r in out2}
     # constant x contributes no even bits: every key is y-bits only
     assert all((v & 0x5555_5555_5555_5555) == 0 for v in zx.values())
+
+
+def test_chunk_documents_vs_bruteforce(ray_session):
+    """Chunk grammar equals a python replay: sub-chunk docs yield one
+    short chunk, exact-multiple lengths, overlap bytes shared, empty
+    docs yield nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.export import chunk_documents
+
+    C, S = 10, 7
+    docs = [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "short"), (3, ""),
+            (4, "x" * 17), (5, "y" * 7)]
+
+    want = []
+    for d, tx in docs:
+        if not tx:
+            continue
+        n = (len(tx) - 1) // S + 1
+        for i in range(n):
+            ck = tx[i * S:i * S + C]
+            want.append((d, i, ck, len(ck)))
+
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    out = chunk_documents(rd.from_arrow(t).repartition(3), chunk_bytes=C,
+                          stride=S).take_all()
+    got = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                  r["n_bytes"]) for r in out)
+    assert got == sorted(want)
+    # overlap property: consecutive chunks share C - S bytes
+    assert got[1][2][:C - S] == got[0][2][S:]

@@ -547,3 +547,63 @@ def zorder_keys(ds, col_x: str, col_y: str, bits: int = 16,
         })
 
     return ds.map_batches(_key, batch_format="pyarrow")
+
+
+def chunk_documents(docs, chunk_bytes: int = 200, stride: int = 150,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """→ (doc_id, chunk_idx, chunk_text, n_bytes): split every document
+    into fixed-grammar overlapping byte windows — the RAG / training
+    chunking pass. Chunk i covers [i·stride, i·stride + chunk_bytes);
+    chunks start at every stride offset < len (so a document shorter
+    than one chunk still yields its single short chunk), and the final
+    window clips at the document end. The grammar is pure arithmetic,
+    so the SQL twin (substr over a generated range) is byte-exact.
+
+    Stateless row EXPANSION (flat_map shape) — vectorized: per batch,
+    one repeat/arange builds every (doc, chunk) pair and one zero-copy
+    substring gather cuts the windows; no shuffle anywhere."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+        ("chunk_text", pa.string()), ("n_bytes", pa.int64()),
+    ])
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lens = pc.binary_length(t[text_col]).to_numpy().astype(np.int64)
+        # number of stride-aligned starts < len (min 1 so empty docs
+        # still emit one empty chunk row? no: zero-length docs emit 0)
+        n_chunks = np.where(
+            lens > 0, (np.maximum(lens - 1, 0) // stride) + 1, 0)
+        doc_of = np.repeat(np.arange(len(lens)), n_chunks)
+        cum = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(n_chunks, out=cum[1:])
+        idx = np.arange(int(cum[-1])) - cum[doc_of]
+        start = idx * stride
+        width = np.minimum(chunk_bytes, lens[doc_of] - start)
+        ids = np.asarray(t[id_col].to_numpy(), np.int64)
+        # per-row differing slice bounds: one flat byte gather over the
+        # docs (ASCII-agnostic — byte windows by contract)
+        from ..kernels.batch import to_byte_rows
+
+        data, offsets = to_byte_rows(t[text_col])
+        starts = offsets[:-1][doc_of] + start
+        new_off = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(width, out=new_off[1:])
+        flat = np.empty(int(new_off[-1]), np.uint8)
+        rows = np.repeat(np.arange(len(starts)), width)
+        local = np.arange(int(new_off[-1]))
+        flat[local] = data[starts[rows] + (local - new_off[rows])]
+        col = pa.StringArray.from_buffers(
+            len(starts), pa.py_buffer(new_off.astype(np.int32).tobytes()),
+            pa.py_buffer(flat.tobytes()))
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "chunk_text": col,
+            "n_bytes": pa.array(width, pa.int64()),
+        }).cast(out_schema)
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")

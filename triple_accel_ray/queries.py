@@ -1421,6 +1421,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["event_zorder_keys"] = event_zorder_keys
 
+    def doc_chunks(sf_dir):
+        """RAG/training chunking (ops/export.chunk_documents): every
+        document split into 200-byte windows at 150-byte stride (final
+        window clips; chunk grammar pure arithmetic) — the stateless
+        flat_map row-expansion shape, one vectorized byte gather per
+        batch, no shuffle. Byte-exact substr twin."""
+        from .ops.export import chunk_documents
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+        return chunk_documents(docs, chunk_bytes=200, stride=150)
+
+    q["doc_chunks"] = doc_chunks
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -4005,6 +4019,19 @@ r AS (SELECT event_id, user_id, ts, cents,
                                 ORDER BY ts DESC, side DESC) AS rn
       FROM u)
 SELECT event_id, user_id, ts, cents FROM r WHERE rn = 1"""
+
+    o["doc_chunks"] = """
+WITH c AS (
+  SELECT doc_id, i AS chunk_idx,
+         substr(text, i * 150 + 1, 200) AS chunk_text
+  FROM (SELECT doc_id, text,
+               unnest(range(0, (greatest(strlen(text), 1) - 1) // 150 + 1))
+                 AS i
+        FROM documents
+        WHERE strlen(text) > 0))
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_text,
+       strlen(chunk_text)::BIGINT AS n_bytes
+FROM c"""
 
     _zterms = " + ".join(
         f"(((qx // {1 << i}) % 2) * {1 << (2 * i)}"
