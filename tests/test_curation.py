@@ -129,3 +129,42 @@ def test_anti_join_texts_exact(ray_session):
     assert sorted(out["doc_id"]) == [4, 6]
     # ref rows themselves never appear
     assert not out["source"].eq("src0").any()
+
+
+def test_skyline_vs_bruteforce(ray_session):
+    """Distributed skyline equals an O(n^2) dominance replay: full
+    (x, y) duplicates all survive, y-ties across different x are
+    dominated, combiner law holds under repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.curation import skyline
+
+    rng = np.random.default_rng(47)
+    n = 300
+    x = rng.integers(0, 40, n).astype(np.int64)
+    y = rng.integers(0, 40, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    # plant an exact duplicate pair on the front
+    x[0], y[0] = 0, int(y.max()) + 5
+    x[1], y[1] = 0, int(y.max())
+
+    keep = []
+    for i in range(n):
+        dominated = any(
+            (x[j] <= x[i] and y[j] >= y[i]
+             and (x[j] < x[i] or y[j] > y[i]))
+            for j in range(n))
+        if not dominated:
+            keep.append((int(ids[i]), int(x[i]), int(y[i])))
+    want = sorted(keep)
+    assert (0, 0, int(y[0])) in want and (1, 0, int(y[1])) in want
+
+    t = pa.table({"doc_id": pa.array(ids), "xc": pa.array(x),
+                  "yc": pa.array(y)})
+    for parts in (1, 7):
+        out = skyline(rd.from_arrow(t).repartition(parts),
+                      "xc", "yc").take_all()
+        got = sorted((r["doc_id"], r["xc"], r["yc"]) for r in out)
+        assert got == want

@@ -293,3 +293,57 @@ def decontaminate_ngrams(
             })
 
     return docs.map_batches(_Flag(ref_ref), batch_format="pyarrow")
+
+
+def skyline(ds, min_col: str, max_col: str, id_col: str = "doc_id"):
+    """→ the SKYLINE (Pareto front): rows not STRICTLY dominated by any
+    other — row a dominates b when a.min_col <= b.min_col AND a.max_col
+    >= b.max_col with at least one strict. Duplicates on both criteria
+    are mutually non-dominating and all survive. The preference-query
+    shape behind "best trade-off" selection (shortest docs with the
+    most tokens, cheapest orders with the newest date, ...).
+
+    Scale shape — the skyline combiner law: skyline(A ∪ B) ⊆
+    skyline(A) ∪ skyline(B), so each block reduces to its LOCAL skyline
+    (usually tiny) and one final pass over the concatenated candidates
+    is exact. No shuffle at all: candidates stream to a single merge
+    task sized by the front, not the data."""
+    out_schema = pa.schema([
+        (id_col, pa.int64()), (min_col, pa.int64()), (max_col, pa.int64()),
+    ])
+
+    def _local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(t[id_col].to_numpy(), np.int64)
+        x = np.asarray(t[min_col].to_numpy(), np.int64)   # smaller better
+        y = np.asarray(t[max_col].to_numpy(), np.int64)   # larger better
+        # sort by (x asc, y desc): a row is non-dominated iff its y is
+        # >= the running max of y over strictly smaller x AND (y > that
+        # max OR no strictly-smaller-x row beats it). Equivalent exact
+        # rule: keep row i iff y_i >= max(y over x < x_i) and
+        # y_i >= max(y over x == x_i) — i.e. y_i == group max or
+        # y_i > prefix max.
+        order = np.lexsort((-y, x))
+        xs, ys, ids_s = x[order], y[order], ids[order]
+        # prefix max of y over STRICTLY smaller x
+        grp_start = np.r_[True, xs[1:] != xs[:-1]]
+        gidx = np.cumsum(grp_start) - 1
+        gmax = np.maximum.reduceat(ys, np.flatnonzero(grp_start))
+        run = np.maximum.accumulate(gmax)
+        prev_max = np.where(gidx > 0, run[np.maximum(gidx - 1, 0)],
+                            np.int64(np.iinfo(np.int64).min))
+        # strict dominance: a row with y equal to a strictly-smaller-x
+        # row's y IS dominated (x strictly better, y tied) -> require
+        # y > prev_max; within an x group, only the max-y rows survive
+        # group-internal dominance (full (x, y) ties all survive)
+        keep = (ys > prev_max) & (ys == gmax[gidx])
+        return pa.table({
+            id_col: pa.array(ids_s[keep], pa.int64()),
+            min_col: pa.array(xs[keep], pa.int64()),
+            max_col: pa.array(ys[keep], pa.int64()),
+        }).cast(out_schema)
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+    # candidates are front-sized: one exact merge pass
+    return local.repartition(1).map_batches(_local, batch_format="pyarrow")

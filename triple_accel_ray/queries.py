@@ -1435,6 +1435,25 @@ def build_queries() -> Dict[str, Callable]:
 
     q["doc_chunks"] = doc_chunks
 
+    def docs_skyline(sf_dir):
+        """Skyline / Pareto front (ops/curation.skyline): documents not
+        strictly dominated on (n_chars min, token_count max) — the
+        preference-query shape, distributed via the skyline combiner
+        law (skyline(A∪B) ⊆ skyline(A)∪skyline(B)): per-block local
+        fronts, one front-sized exact merge, no shuffle."""
+        from .ops.curation import skyline
+        from .ops.text import token_count_batch
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["doc_id", "n_chars", "text"])
+        prep = docs.map_batches(
+            lambda t: token_count_batch(t).select(
+                ["doc_id", "n_chars", "token_count"]),
+            batch_format="pyarrow")
+        return skyline(prep, "n_chars", "token_count")
+
+    q["docs_skyline"] = docs_skyline
+
     def cms_user_registers(sf_dir):
         """Count-Min Sketch register table over events.user_id (d=4,
         w=1024): per-block sparse partials merged by an elementwise SUM —
@@ -4019,6 +4038,22 @@ r AS (SELECT event_id, user_id, ts, cents,
                                 ORDER BY ts DESC, side DESC) AS rn
       FROM u)
 SELECT event_id, user_id, ts, cents FROM r WHERE rn = 1"""
+
+    o["docs_skyline"] = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+         (CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = ''
+               THEN 0
+               ELSE len(regexp_split_to_array(
+                      trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                      '\s+'))
+          END)::BIGINT AS token_count
+  FROM documents)
+SELECT doc_id, n_chars, token_count FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.n_chars <= a.n_chars AND b.token_count >= a.token_count
+    AND (b.n_chars < a.n_chars OR b.token_count > a.token_count))"""
 
     o["doc_chunks"] = """
 WITH c AS (
