@@ -2289,3 +2289,35 @@ def test_source_length_drift_vs_bruteforce(ray_session):
     got = {r["source"]: (r["n_docs"], r["drift_permille"]) for r in out}
     assert got == want
     assert got["a"] == got["b"] and got["c"][1] > got["a"][1]
+
+
+def test_sft_pairs_vs_bruteforce(ray_session):
+    """SFT pairs equal a python replay: direct user->assistant only;
+    tool turns and same-role runs suppress; conversation boundaries
+    never pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from triple_accel_ray.ops.transcripts import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "q1"), ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "user", "q2"), ("c1", 3, "tool", "t"),
+        ("c1", 4, "assistant", "a2"),        # tool in between: no pair
+        ("c2", 0, "assistant", "a-first"),   # boundary: no pair
+        ("c2", 1, "user", "q3"), ("c2", 2, "user", "q4"),
+        ("c2", 3, "assistant", "a3"),        # pairs with q4 only
+    ]
+    want = {("c1", 1): ("q1", "a1"), ("c2", 3): ("q4", "a3")}
+
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    out = sft_pairs(rd.from_arrow(t).repartition(3), num_buckets=4).take_all()
+    got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+           for r in out}
+    assert got == want

@@ -158,3 +158,64 @@ def conv_lint(transcripts, num_buckets: int = 32):
             _project, batch_format="pyarrow", batch_size=4096),
         _lint, num_buckets,
     )
+
+
+_SFT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int64()),        # the assistant turn's index
+    ("prompt", pa.string()),
+    ("response", pa.string()),
+])
+
+
+def sft_pairs(transcripts, num_buckets: int = 32):
+    """→ (conv_id, turn_idx, prompt, response): every adjacent
+    user → assistant turn pair, in turn order — the SFT training-pair
+    extraction every LLM data pipeline runs over raw transcripts. A
+    pair emits only when the assistant turn DIRECTLY follows the user
+    turn (tool turns or same-role runs in between suppress it);
+    turn_idx keys the assistant turn so row identity is stable.
+
+    One conv_id-bucket shuffle (the pipeline's shared key) carrying
+    (conv_id, turn_idx, role, text); one vectorized sorted shift per
+    bucket. Text rides exactly once — unavoidable here, the text IS the
+    output."""
+    from ..pipeline.shuffle import bucket_partition
+
+    def _project(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            "conv_id", "turn_idx", "role", "text",
+            bucket=(pl.col("conv_id").hash(seed=0) % np.uint64(num_buckets))
+            .cast(pl.Int32),
+        ).to_arrow()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SFT_SCHEMA.empty_table()
+        df = (
+            pl.from_arrow(batch.select(["conv_id", "turn_idx", "role",
+                                        "text"]))
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(
+                prev_conv=pl.col("conv_id").shift(1),
+                prev_role=pl.col("role").shift(1),
+                prev_text=pl.col("text").shift(1),
+            )
+            .filter((pl.col("role") == "assistant")
+                    & (pl.col("prev_role") == "user")
+                    & (pl.col("prev_conv") == pl.col("conv_id")))
+            .select(
+                "conv_id",
+                pl.col("turn_idx").cast(pl.Int64),
+                prompt=pl.col("prev_text"),
+                response=pl.col("text"),
+            )
+        )
+        return df.to_arrow().cast(_SFT_SCHEMA)
+
+    return bucket_partition(
+        transcripts.map_batches(
+            _project, batch_format="pyarrow", batch_size=4096),
+        _pairs, num_buckets,
+    )

@@ -1312,6 +1312,21 @@ def build_queries() -> Dict[str, Callable]:
 
     q["conv_lint_counts"] = conv_lint_counts
 
+    def sft_pairs_extract(sf_dir):
+        """SFT training-pair extraction (ops/transcripts.sft_pairs):
+        every adjacent user -> assistant turn pair (interleaved tool /
+        same-role turns suppress), keyed by the assistant turn. One
+        conv-bucket shuffle; byte-exact LAG twin."""
+        from .ops.transcripts import sft_pairs
+        from .pipeline.transcripts import ensure_fixture
+
+        tp, _ = ensure_fixture(sf_dir)
+        return sft_pairs(read_parquet_clean(
+            tp, columns=["conv_id", "turn_idx", "role", "text"]),
+            num_buckets=16)
+
+    q["sft_pairs_extract"] = sft_pairs_extract
+
     def value_log_quantiles(sf_dir):
         """Log-bucket quantile sketch (ops/sketch.
         log_histogram_quantiles): approximate p50/p90/p99 of event value
@@ -4114,6 +4129,18 @@ FROM filled GROUP BY source"""
 SELECT conv_id AS value,
        (row_number() OVER (ORDER BY conv_id) - 1)::BIGINT AS id
 FROM (SELECT DISTINCT conv_id FROM read_parquet('{fx}'))"""
+
+    o["sft_pairs_extract"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text
+  FROM read_parquet('{fx}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+       prev_text AS prompt, text AS response
+FROM t WHERE role = 'assistant' AND prev_role = 'user'"""
 
     o["conv_lint_counts"] = f"""
 WITH t AS (
