@@ -590,6 +590,61 @@ def build_queries() -> Dict[str, Callable]:
 
     q["knn_pq_top5"] = knn_pq_top5
 
+    def knn_pq_recall(sf_dir):
+        """ANN quality evaluation with a full oracle: recall@5 of the
+        integer-PQ top-k against the exact cosine top-k, as one integer
+        per-mille row — BOTH sides are deterministic and SQL-replayable,
+        so even the recall of the approximation is value-checked (the
+        composed twin joins the two oracles). The eval shape every ANN
+        deployment runs before trusting the index — and on THIS corpus
+        it correctly reports low recall: the synthetic embeddings are
+        near-equidistant noise, so top-5 margins are hair-thin (a
+        measured config scan — n_sub x ksub x iters from 4x16x1 up to
+        32x16x2, i.e. 16x the code budget — only moves recall@5 from
+        6% to 54% vs exact integer L2; see NOTES_r3.md). That the op
+        MEASURES this, exactly, is the point."""
+        from .ops.similarity import knn_bruteforce, knn_pq
+
+        emb = read_parquet_clean(_t(sf_dir, "embeddings"))
+        queries_table = pq.read_table(_t(sf_dir, "embeddings")).slice(0, 10)
+        k = 5
+        pq_top = knn_pq(emb, queries_table, k=k, n_sub=4, ksub=16,
+                        n_iter=1).map_batches(
+            lambda t: pa.table({"query_id": t["query_id"],
+                                "neighbor_id": t["neighbor_id"],
+                                "side": pa.array(
+                                    np.zeros(t.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        ex_top = knn_bruteforce(emb, queries_table, k=k).map_batches(
+            lambda t: pa.table({"query_id": t["query_id"],
+                                "neighbor_id": t["neighbor_id"],
+                                "side": pa.array(
+                                    np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow")
+
+        def _recall(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            p = df.filter(pl.col("side") == 0).select(
+                ["query_id", "neighbor_id"])
+            e = df.filter(pl.col("side") == 1).select(
+                ["query_id", "neighbor_id"])
+            overlap = p.join(e, on=["query_id", "neighbor_id"],
+                             how="semi").height
+            nq = e["query_id"].n_unique()
+            return pa.table({
+                "n_queries": pa.array([nq], pa.int64()),
+                "overlap": pa.array([overlap], pa.int64()),
+                "recall_permille": pa.array(
+                    [(1000 * overlap) // (nq * k) if nq else 1000],
+                    pa.int64()),
+            })
+
+        # both top-k tables are nq x k rows: one merge task
+        return pq_top.union(ex_top).repartition(1).map_batches(
+            _recall, batch_format="pyarrow")
+
+    q["knn_pq_recall"] = knn_pq_recall
+
     def embed_near_dups_lsh(sf_dir):
         """SRP-LSH near-dup pairs over a corpus with PLANTED duplicates:
         every embedding also appears 2x-scaled under vec_id + 1_000_000.
@@ -3170,6 +3225,19 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5""
 
     o["knn_pq_top5"] = _pq_oracle(n_sub=4, ksub=16, n_iter=1,
                                   quant_scale=10**6, seed=31, k=5, nq=10)
+
+    # composed twin: both approximate and exact top-k are deterministic,
+    # so even the RECALL of the approximation is value-checked
+    o["knn_pq_recall"] = f"""
+WITH p AS ({o["knn_pq_top5"]}),
+e AS ({o["knn_top5"]}),
+ov AS (SELECT count(*)::BIGINT AS overlap
+       FROM p JOIN e ON p.query_id = e.query_id
+                    AND p.neighbor_id = e.neighbor_id),
+nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n FROM e)
+SELECT nq.n AS n_queries, ov.overlap,
+       ((1000 * ov.overlap) // (nq.n * 5))::BIGINT AS recall_permille
+FROM ov, nq"""
 
     o["embed_near_dups_lsh"] = """
 WITH aug AS (
