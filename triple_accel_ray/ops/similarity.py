@@ -95,6 +95,78 @@ def knn_bruteforce(corpus, queries_table: pa.Table, k: int = 5,
     return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
 
 
+def knn_bruteforce_l2int(corpus, queries_table: pa.Table, k: int = 5,
+                         quant_scale: int = 1, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Exact integer squared-L2 top-k — the ground-truth side of ANN
+    recall evaluations on integer-valued fixtures. Same shape as
+    :func:`knn_bruteforce` (queries broadcast once, per-batch partial
+    top-k, one tiny merge) but the metric is
+    ``sum((floor(q*S+0.5) − floor(c*S+0.5))²)`` in int64, so the result
+    has a bit-exact SQL twin (no float cosine in the comparison path).
+    Ties break by neighbor_id ascending; self-matches excluded.
+    → (query_id, neighbor_id, l2_dist, rank 1..k)."""
+    import ray
+
+    S = int(quant_scale)
+
+    def _q(m: np.ndarray) -> np.ndarray:
+        return np.floor(m.astype(np.float64) * S + 0.5).astype(np.int64)
+
+    Q = _q(_stack(queries_table[vec_col]))
+    qids = np.asarray(queries_table[id_col].to_numpy(), np.int64)
+    ref = ray.put((qids, Q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(ref)
+        C = _q(_stack(batch[vec_col]))
+        cids = np.asarray(
+            batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(cids) == 0 or len(qids_) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {"query_id": e, "neighbor_id": e, "l2_dist": e})
+        # ||q − c||² = q·q − 2 q·c + c·c, all exact int64
+        d = ((Q_ * Q_).sum(axis=1)[:, None]
+             - 2 * (Q_ @ C.T)
+             + (C * C).sum(axis=1)[None, :])
+        d = np.where(cids[None, :] == qids_[:, None], np.int64(2**62), d)
+        order_c = np.argsort(cids, kind="stable")
+        d_s = d[:, order_c]
+        kk = min(k, len(cids))
+        top = np.argsort(d_s, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(d_s, top, axis=1)
+        keep = (vals < 2**62).ravel()
+        qcol = np.repeat(qids_, kk)[keep]
+        ncol = cids[order_c][top.ravel()[keep]]
+        return pa.table(
+            {"query_id": pa.array(qcol, pa.int64()),
+             "neighbor_id": pa.array(ncol, pa.int64()),
+             "l2_dist": pa.array(vals.ravel()[keep], pa.int64())})
+
+    partials = corpus.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(["query_id", "l2_dist", "neighbor_id"])
+            .group_by("query_id", maintain_order=True)
+            .head(k)
+            .with_columns(
+                rank=pl.int_range(1, pl.len() + 1).over("query_id")
+                .cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                       ("l2_dist", pa.int64()), ("rank", pa.int64())])
+        )
+
+    # nq × k × nbatches rows: one merge task (batch_size=None => whole block)
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)
+
+
 def seeded_vector_sample(ds, sample_rows: int, id_col: str = "vec_id",
                          vec_col: str = "embedding", seed: int = 13) -> np.ndarray:
     """Deterministic, ORDER-INDEPENDENT corpus sample for centroid builds:
