@@ -107,8 +107,10 @@ def test_rejects_malformed():
         jpeg_decode(b"NOTAJPEG" + buf)
     with pytest.raises((ValueError, NotImplementedError, KeyError, IndexError)):
         jpeg_decode(buf[: len(buf) // 2])  # truncated mid-stream
-    with pytest.raises(NotImplementedError):
-        jpeg_encode(np.zeros((8, 8, 3), np.uint8))  # color not supported
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((8, 8, 2), np.uint8))  # 2-channel: not a thing
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="411")
     # progressive frame marker is refused honestly
     prog = bytearray(buf)
     sof = prog.find(b"\xff\xc0")
@@ -133,3 +135,95 @@ def test_decoder_reads_foreign_huffman_tables():
         buf[i] = 0
     with pytest.raises(ValueError):
         jpeg_decode(bytes(buf))
+
+
+# ------------------------------------------------------------- color
+
+def test_color_tile_constant_is_exact_ycbcr_roundtrip():
+    """16x16-tile-constant RGB decodes to exactly F(rgb) =
+    ycbcr_to_rgb(rgb_to_ycbcr(rgb)) at quant=1 for every subsampling
+    mode (DCT path bit-exact; only the integer color transform is
+    lossy)."""
+    from triple_accel_ray.ops.jpeg import (
+        _rgb_to_ycbcr, _ycbcr_to_rgb, jpeg_decode, jpeg_encode)
+
+    rng = np.random.default_rng(11)
+    tiles = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((16, 16, 1), np.uint8))
+    want = _ycbcr_to_rgb(_rgb_to_ycbcr(img))
+    for mode in ("444", "422", "420"):
+        got = jpeg_decode(jpeg_encode(img, subsampling=mode))
+        assert got.shape == img.shape and got.dtype == np.uint8
+        assert (got == want).all(), mode
+
+
+def test_color_444_bounded_error_random():
+    """4:4:4 at quant=1 keeps every channel within the color-transform
+    rounding envelope on arbitrary images (no subsampling loss)."""
+    from triple_accel_ray.ops.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    got = jpeg_decode(jpeg_encode(img, subsampling="444"))
+    # +-1 quantized-DCT reconstruction per YCbCr plane, amplified by up
+    # to ~1.8 through the inverse color transform, plus the +-2 integer
+    # YCbCr round trip
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_color_420_odd_dims_and_upsample():
+    """Odd dims force edge replication + MCU padding + chroma crop on
+    both sides; smooth content keeps bounded error through 2x2
+    subsample/replicate."""
+    from triple_accel_ray.ops.jpeg import jpeg_decode, jpeg_encode
+
+    x = np.linspace(0, 255, 37)
+    y = np.linspace(255, 0, 29)
+    img = np.stack([np.tile(x, (29, 1)), np.tile(y[:, None], (1, 37)),
+                    np.full((29, 37), 100.0)], axis=-1).astype(np.uint8)
+    got = jpeg_decode(jpeg_encode(img, subsampling="420"))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_color_chroma_tables_used():
+    """The encoded stream carries 4 DHT tables (luma+chroma DC/AC) and
+    2 DQT tables, and a 3-component SOF0/SOS."""
+    from triple_accel_ray.ops.jpeg import jpeg_encode
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    buf = jpeg_encode(img, subsampling="420")
+    assert buf.count(b"\xff\xc4") == 4
+    assert buf.count(b"\xff\xdb") == 2
+    i = buf.index(b"\xff\xc0")
+    assert buf[i + 9] == 3                     # SOF0 Nf
+    assert buf[i + 11] == 0x22                 # Y sampling 2x2
+
+
+def test_grayscale_unchanged_by_color_support():
+    """Legacy grayscale surface: 2D in -> 2D out, tile-exact."""
+    from triple_accel_ray.ops.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(13)
+    img = np.kron(rng.integers(0, 256, (3, 4), np.uint8),
+                  np.ones((8, 8), np.uint8))
+    out = jpeg_decode(jpeg_encode(img))
+    assert out.ndim == 2 and (out == img).all()
+
+
+def test_color_fixture_twins_agree():
+    """synthesize_media_table_jpeg_rgb decodes to exactly the byte
+    matrix its fakeimg twin stores (same rng draws)."""
+    from triple_accel_ray.ops.jpeg import jpeg_decode
+    from triple_accel_ray.ops.multimodal import (
+        synthesize_media_table_jpeg_rgb, synthesize_media_table_tiles_rgb)
+
+    jt = synthesize_media_table_jpeg_rgb(8, seed=44)
+    tt = synthesize_media_table_tiles_rgb(8, seed=44)
+    for i in range(8):
+        rgb = jpeg_decode(jt["payload"][i].as_py())
+        h, w3 = rgb.shape[0], rgb.shape[1] * 3
+        twin = tt["payload"][i].as_py()
+        assert int.from_bytes(twin[8:10], "little") == w3
+        px = np.frombuffer(twin[12:], np.uint8).reshape(h, w3)
+        assert (rgb.reshape(h, w3) == px).all()

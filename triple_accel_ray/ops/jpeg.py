@@ -7,14 +7,26 @@ matrix product, entropy coding is canonical Huffman over (run, size)
 symbols, and the container is a flat marker walk — all implementable
 from the public spec. Scope (honestly bounded):
 
-* grayscale only (1 component, no chroma subsampling),
+* grayscale (1 component) AND — since round 4 — 3-component YCbCr
+  color: interleaved SOF0 scans, any integer sampling-factor grid on
+  decode (4:4:4 / 4:2:2 / 4:2:0, chroma upsampled by replication),
+  4:4:4 and 4:2:0 (2x2 box average) on encode, JFIF/CCIR-601 color
+  transforms,
 * baseline sequential DCT (SOF0) — progressive (SOF2), arithmetic
-  coding, 12-bit precision and restart intervals raise
-  NotImplementedError,
-* Huffman tables: the spec's Annex K "typical" luminance tables are the
-  encoder default; the decoder builds canonical codes from whatever
-  (BITS, HUFFVAL) the file's DHT segments carry, so any baseline
-  grayscale JPEG decodes, not just our own.
+  coding, 12-bit precision, restart intervals and multi-scan
+  non-interleaved color raise NotImplementedError,
+* Huffman tables: the spec's Annex K "typical" luminance + chrominance
+  tables are the encoder defaults; the decoder builds canonical codes
+  from whatever (BITS, HUFFVAL) the file's DHT segments carry, so any
+  baseline JPEG within the above frame scope decodes, not just our own.
+
+Color exactness model: RGB->YCbCr rounds each plane to integers (lossy
+by ±~2 through the round trip), but from there the integer YCbCr planes
+round-trip BIT-EXACTLY at quant=1 on block-constant data (16x16-aligned
+constants for 4:2:0 — the 2x2 chroma box average is exact on constants),
+so decode(encode(rgb)) == _ycbcr_to_rgb(_rgb_to_ycbcr(rgb)) exactly:
+the color twin fixtures store that deterministic image and the SQL
+oracle byte-parses it (tests/test_jpeg.py pins this).
 
 Exactness model (what the SQL oracle relies on): JPEG is lossy in
 general, but an image whose 8x8-aligned blocks are each CONSTANT
@@ -75,6 +87,35 @@ AC_LUM_VALS = [
     0xF9, 0xFA,
 ]
 
+# Annex K.3 typical CHROMINANCE Huffman tables (round-4: color support)
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert sum(AC_CHR_BITS) == len(AC_CHR_VALS) == 162
+
 # orthonormal 8x8 DCT basis: F = M @ B @ M.T is exactly the spec's
 # F(u,v) = 1/4 C(u) C(v) sum f(x,y) cos((2x+1)u pi/16) cos((2y+1)v pi/16)
 _M = np.zeros((8, 8))
@@ -99,12 +140,16 @@ def _canonical_codes(bits, vals):
     return codes
 
 
-def _blockify(img: np.ndarray):
-    """uint8 (h, w) -> float64 (nb, 8, 8) blocks in raster MCU order,
-    edge-replicated to multiples of 8."""
+def _blockify(img: np.ndarray, h8: int | None = None, w8: int | None = None):
+    """(h, w) plane -> float64 (nb, 8, 8) blocks in raster order,
+    edge-replicated to the padded dims (default: next multiples of 8;
+    color passes MCU-aligned targets)."""
     h, w = img.shape
-    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
-    pad = np.empty((h8, w8), np.uint8)
+    if h8 is None:
+        h8 = -(-h // 8) * 8
+    if w8 is None:
+        w8 = -(-w // 8) * 8
+    pad = np.empty((h8, w8), img.dtype)
     pad[:h, :w] = img
     if w8 > w:
         pad[:h, w:] = img[:, -1:]
@@ -116,6 +161,56 @@ def _blockify(img: np.ndarray):
         .reshape(-1, 8, 8)
         .astype(np.float64)
     )
+
+
+# JFIF/CCIR-601 color transforms. Both directions are deterministic
+# float64 + rint, so F = _ycbcr_to_rgb ∘ _rgb_to_ycbcr is a fixed
+# integer-to-integer map: the color twin fixtures store F(rgb) and the
+# DCT path round-trips the integer YCbCr planes bit-exactly at quant=1
+# on block-constant data (module docstring).
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """uint8 (h, w, 3) RGB -> int64 (h, w, 3) YCbCr, rounded 0..255."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) * (0.5 / (1.0 - 0.114))
+    cr = 128.0 + (r - y) * (0.5 / (1.0 - 0.299))
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0,
+                   255).astype(np.int64)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """int64 (h, w, 3) YCbCr -> uint8 (h, w, 3) RGB, rounded/clipped."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + (2.0 - 2.0 * 0.299) * cr
+    b = y + (2.0 - 2.0 * 0.114) * cb
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)
+
+
+def _box(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy x fx box downsample with round-half-up ((sum + n/2) // n);
+    trailing rows/cols edge-replicated first. Exact on box-constant
+    data."""
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    if ph > h or pw > w:
+        p = np.empty((ph, pw), plane.dtype)
+        p[:h, :w] = plane
+        if pw > w:
+            p[:h, w:] = plane[:, -1:]
+        if ph > h:
+            p[h:, :] = p[h - 1, :]
+        plane = p
+    s = plane.reshape(ph // fy, fy, pw // fx, fx).astype(np.int64)
+    s = s.sum(axis=(1, 3))
+    n = fy * fx
+    return (s + n // 2) // n
 
 
 def _deblockify(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -168,60 +263,90 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def jpeg_encode(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """Encode a uint8 grayscale (h, w) image as a baseline JPEG.
+def _dct_quant_zz(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """float64 (nb, 8, 8) level-shifted blocks -> int64 (nb, 64) zigzag
+    quantized coefficients."""
+    coefs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M, optimize=True)
+    coefs = np.rint(coefs.reshape(-1, 64) / q.reshape(64)).astype(np.int64)
+    return coefs[:, ZIGZAG]
+
+
+def _encode_block(bw: _BitWriter, row: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    v = int(row[0]) - pred
+    cat = int(_category(np.array([v]))[0])
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(row)[0])) if (row[1:] != 0).any() else 0
+    for k in range(1, last_nz + 1):
+        a = int(row[k])
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]          # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat = int(_category(np.array([a]))[0])
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(a if a > 0 else a + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]              # EOB
+        bw.put(code, ln)
+    return int(row[0])
+
+
+def _check_quant(quant, default=None) -> np.ndarray:
+    q = (np.ones(64, np.int64) if quant is None and default is None
+         else np.asarray(default if quant is None else quant,
+                         np.int64).reshape(64))
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quant entries must be 1..255")
+    return q
+
+
+def jpeg_encode(img: np.ndarray, quant: np.ndarray | None = None,
+                subsampling: str = "420",
+                quant_chroma: np.ndarray | None = None) -> bytes:
+    """Encode a uint8 image as a baseline JPEG.
+
+    * ``(h, w)``    — grayscale, single-component non-interleaved scan.
+    * ``(h, w, 3)`` — RGB: JFIF YCbCr, interleaved SOF0 scan with
+      ``subsampling`` ``"444"`` (no chroma subsampling) or ``"420"``
+      (2x2 box-averaged chroma); Annex K chroma Huffman tables and a
+      second quant table (``quant_chroma``, default = ``quant``).
 
     ``quant`` is the 64-entry quantization table in RASTER order
     (default: all ones — maximum fidelity, and exact on constant
-    8x8-aligned blocks; see module docstring)."""
+    8x8-aligned — 16x16-aligned for 4:2:0 — blocks; see module
+    docstring)."""
     img = np.asarray(img, np.uint8)
-    if img.ndim != 2:
-        raise NotImplementedError("jpeg_encode: grayscale (h, w) only")
+    if img.ndim == 2:
+        return _encode_gray(img, _check_quant(quant))
+    if img.ndim == 3 and img.shape[2] == 3:
+        qy = _check_quant(quant)
+        qc = _check_quant(quant_chroma, default=qy)
+        return _encode_color(img, qy, qc, subsampling)
+    raise ValueError("jpeg_encode: expected (h, w) or (h, w, 3) uint8")
+
+
+def _encode_gray(img: np.ndarray, q: np.ndarray) -> bytes:
     h, w = img.shape
     if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError(f"jpeg_encode: bad dimensions {h}x{w}")
-    q = np.ones(64, np.int64) if quant is None else np.asarray(quant, np.int64).reshape(64)
-    if (q < 1).any() or (q > 255).any():
-        raise ValueError("quant entries must be 1..255")
-
-    blocks = _blockify(img) - 128.0
-    coefs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M, optimize=True)
-    coefs = np.rint(coefs.reshape(-1, 64) / q.reshape(8, 8).reshape(64)).astype(np.int64)
-    zz = coefs[:, ZIGZAG]                      # (nb, 64) zigzag coefficients
-
-    dc = zz[:, 0].copy()
-    dc[1:] -= zz[:-1, 0]                       # DC differential (F.1.1.5.1)
+    zz = _dct_quant_zz(_blockify(img) - 128.0, q)
     dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-
     bw = _BitWriter()
+    pred = 0
     for n in range(zz.shape[0]):
-        v = int(dc[n])
-        cat = int(_category(np.array([v]))[0])
-        code, ln = dc_codes[cat]
-        bw.put(code, ln)
-        if cat:
-            bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
-        row = zz[n]
-        run = 0
-        last_nz = int(np.max(np.nonzero(row)[0])) if (row[1:] != 0).any() else 0
-        for k in range(1, last_nz + 1):
-            a = int(row[k])
-            if a == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]      # ZRL
-                bw.put(code, ln)
-                run -= 16
-            cat = int(_category(np.array([a]))[0])
-            code, ln = ac_codes[(run << 4) | cat]
-            bw.put(code, ln)
-            bw.put(a if a > 0 else a + (1 << cat) - 1, cat)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_codes[0x00]          # EOB
-            bw.put(code, ln)
+        pred = _encode_block(bw, zz[n], pred, dc_codes, ac_codes)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")               # SOI
@@ -232,6 +357,71 @@ def jpeg_encode(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"                         # EOI
+    return bytes(out)
+
+
+def _encode_color(img: np.ndarray, qy: np.ndarray, qc: np.ndarray,
+                  subsampling: str) -> bytes:
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"jpeg_encode: bad dimensions {h}x{w}")
+    if subsampling == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    ycc = _rgb_to_ycbcr(img)
+    zzs = []                                   # per-comp (nb, 64) zigzag
+    for c, (hc, vc) in enumerate(samp):
+        plane = ycc[..., c]
+        if hc < hmax or vc < vmax:             # subsampled chroma
+            plane = _box(plane, vmax // vc, hmax // hc)
+        zzs.append(_dct_quant_zz(
+            _blockify(plane, h8=mcuy * vc * 8, w8=mcux * hc * 8) - 128.0,
+            qy if c == 0 else qc))
+
+    codes = [
+        (_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+         _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)),
+        (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
+         _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)),
+    ]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):                     # interleaved MCU order (A.2.3)
+        for mx in range(mcux):
+            for c, (hc, vc) in enumerate(samp):
+                dc_c, ac_c = codes[0 if c == 0 else 1]
+                for by in range(vc):
+                    for bx in range(hc):
+                        n = (my * vc + by) * (hc * mcux) + (mx * hc + bx)
+                        pred[c] = _encode_block(
+                            bw, zzs[c][n], pred[c], dc_c, ac_c)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")               # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for c, (hc, vc) in enumerate(samp):
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_CHR_VALS))
+    out += _seg(0xC4, bytes([0x11]) + bytes(AC_CHR_BITS) + bytes(AC_CHR_VALS))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"                         # EOI
     return bytes(out)
@@ -294,19 +484,48 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _decode_block(br: _BitReader, dc_tbl: _HuffTable, ac_tbl: _HuffTable,
+                  pred: int, out_row: np.ndarray) -> int:
+    """Entropy-decode one zigzag block into ``out_row``; returns the new
+    DC predictor."""
+    cat = br.decode_symbol(dc_tbl)
+    diff = _extend(br.read(cat), cat) if cat else 0
+    pred += diff
+    out_row[0] = pred
+    k = 1
+    while k < 64:
+        sym = br.decode_symbol(ac_tbl)
+        if sym == 0x00:                        # EOB
+            break
+        if sym == 0xF0:                        # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        cat = sym & 0x0F
+        if k > 63:
+            raise ValueError("jpeg: coefficient index out of range")
+        out_row[k] = _extend(br.read(cat), cat)
+        k += 1
+    return pred
+
+
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Decode a baseline sequential grayscale JPEG -> uint8 (h, w).
+    """Decode a baseline sequential JPEG -> uint8 (h, w) for grayscale,
+    uint8 (h, w, 3) RGB for 3-component YCbCr frames (any integer
+    sampling-factor grid, e.g. 4:4:4 / 4:2:2 / 4:2:0; chroma upsampled
+    by sample replication).
 
     Raises NotImplementedError on progressive/extended/arithmetic frames,
-    color images, subsampling, or restart intervals — the honest boundary
-    of this codec — and ValueError on malformed data."""
+    restart intervals, or multi-scan non-interleaved color — the honest
+    boundary of this codec — and ValueError on malformed data."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     h = w = -1
-    q_id = dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []    # (cid, hc, vc, tq)
+    scan: list[tuple[int, int, int]] = []          # (comp_idx, td, ta)
     entropy = None
     while i < len(buf):
         if buf[i] != 0xFF:
@@ -344,11 +563,17 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1:
-                raise NotImplementedError("jpeg: grayscale only (1 component)")
-            if seg[7] != 0x11:
-                raise NotImplementedError("jpeg: no subsampling support")
-            q_id = seg[8]
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {nc}-component frames (grayscale or YCbCr)")
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            if any(hc < 1 or vc < 1 for _, hc, vc, _ in comps):
+                raise ValueError("jpeg: bad sampling factors")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -356,9 +581,20 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise NotImplementedError("jpeg: restart intervals (DRI)")
         elif marker == 0xDA:                   # SOS — entropy data follows
-            if seg[0] != 1:
-                raise NotImplementedError("jpeg: interleaved scans")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            ns = seg[0]
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "jpeg: multi-scan non-interleaved color")
+            by_id = {cid: idx for idx, (cid, *_r) in enumerate(comps)}
+            scan = []
+            for s in range(ns):
+                cs = seg[1 + 2 * s]
+                tt = seg[2 + 2 * s]
+                if cs not in by_id:
+                    raise ValueError("jpeg: scan references unknown component")
+                scan.append((by_id[cs], tt >> 4, tt & 0x0F))
             j = i + 2 + ln
             k = j
             while k < len(buf) - 1:
@@ -369,37 +605,68 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             i = k
             continue
         i += 2 + ln
-    if h < 0 or entropy is None:
+    if h < 0 or entropy is None or not scan:
         raise ValueError("jpeg: missing SOF/SOS")
-    q = quant[q_id]
-    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
 
-    nbx, nby = -(-w // 8), -(-h // 8)
-    nb = nbx * nby
-    zz = np.zeros((nb, 64), np.int64)
+    hmax = max(hc for _, hc, _, _ in comps)
+    vmax = max(vc for _, _, vc, _ in comps)
     br = _BitReader(entropy)
-    pred = 0
-    for n in range(nb):
-        cat = br.decode_symbol(dc_tbl)
-        diff = _extend(br.read(cat), cat) if cat else 0
-        pred += diff
-        zz[n, 0] = pred
-        k = 1
-        while k < 64:
-            sym = br.decode_symbol(ac_tbl)
-            if sym == 0x00:                    # EOB
-                break
-            if sym == 0xF0:                    # ZRL
-                k += 16
-                continue
-            k += sym >> 4
-            cat = sym & 0x0F
-            if k > 63:
-                raise ValueError("jpeg: coefficient index out of range")
-            zz[n, k] = _extend(br.read(cat), cat)
-            k += 1
+    if len(comps) == 1:
+        # single-component scan: data units in raster order of the
+        # component's own block grid (A.2.2), MCU = one block
+        _, hc, vc, tq = comps[0]
+        _, td, ta = scan[0]
+        nbx, nby = -(-w // 8), -(-h // 8)
+        zz = np.zeros((nbx * nby, 64), np.int64)
+        pred = 0
+        dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+        for n in range(nbx * nby):
+            pred = _decode_block(br, dc_tbl, ac_tbl, pred, zz[n])
+        return _idct_plane(zz, quant[tq], nbx, h, w)
 
+    # interleaved 3-component scan (A.2.3): per-MCU, per-component
+    # hc x vc data units; per-component DC predictors
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zzs = [np.zeros(((vc * mcuy) * (hc * mcux), 64), np.int64)
+           for _, hc, vc, _ in comps]
+    preds = [0] * len(comps)
+    tbls = [(huff[(0, td)], huff[(1, ta)]) for _, td, ta in scan]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for (ci, _, _), (_, hc, vc, _) in zip(scan, comps):
+                dc_tbl, ac_tbl = tbls[ci]
+                for by in range(vc):
+                    for bx in range(hc):
+                        n = (my * vc + by) * (hc * mcux) + (mx * hc + bx)
+                        preds[ci] = _decode_block(
+                            br, dc_tbl, ac_tbl, preds[ci], zzs[ci][n])
+
+    planes = []
+    for (cid, hc, vc, tq), zz in zip(comps, zzs):
+        ch = -(-h * vc // vmax)                # component dims (A.1.1)
+        cw = -(-w * hc // hmax)
+        plane = _idct_plane(zz, quant[tq], hc * mcux, ch, cw)
+        if vc < vmax or hc < hmax:             # replicate-upsample
+            plane = np.repeat(np.repeat(plane, vmax // vc, axis=0),
+                              hmax // hc, axis=1)
+        planes.append(plane[:h, :w].astype(np.int64))
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _idct_plane(zz: np.ndarray, q: np.ndarray, nbx: int, h: int,
+                w: int) -> np.ndarray:
+    """(nb, 64) zigzag coefficients -> uint8 (h, w) plane (nbx blocks
+    per row; h/w may be smaller than the padded block grid)."""
+    nb = zz.shape[0]
     coefs = (zz * q[ZIGZAG])[:, UNZIGZAG].reshape(nb, 8, 8).astype(np.float64)
     blocks = np.einsum("ux,nuv,vy->nxy", _M, coefs, _M, optimize=True) + 128.0
     img = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
-    return _deblockify(img, h, w)
+    h8 = (nb // nbx) * 8
+    w8 = nbx * 8
+    img = (
+        img.reshape(nb // nbx, nbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h8, w8)
+    )
+    return img[:h, :w]

@@ -151,6 +151,85 @@ def synthesize_media_table_jpeg(n: int, seed: int = 43) -> pa.Table:
     )
 
 
+def _tile_pixels_rgb(rng) -> np.ndarray:
+    """One draw of a 16x16-tile-constant RGB image: dims are multiples of
+    16 and every aligned 16x16 block is one color. Such images pass
+    through baseline color JPEG at quant=1 as exactly
+    ``_ycbcr_to_rgb(_rgb_to_ycbcr(px))`` for BOTH 4:4:4 and 4:2:0 (the
+    2x2 chroma box average is exact on constants; proof in
+    ops/jpeg.py docstring)."""
+    tw = int(rng.integers(1, 5))
+    th = int(rng.integers(1, 5))
+    tiles = rng.integers(0, 256, size=(th, tw, 3), dtype=np.uint8)
+    return np.kron(tiles, np.ones((16, 16, 1), np.uint8))
+
+
+def synthesize_media_table_tiles_rgb(n: int, seed: int = 44) -> pa.Table:
+    """fakeimg twin of the COLOR JPEG corpus: the same rng draws, stored
+    as the deterministic color-transform round trip F(rgb) =
+    ``_ycbcr_to_rgb(_rgb_to_ycbcr(rgb))`` — exactly what the JPEG decode
+    returns at quant=1 — flattened to an (h, 3w) interleaved byte matrix
+    so the existing fakeimg byte-parse oracle applies verbatim. The
+    ``width`` column is the payload's pixel-column count (3 x image
+    width)."""
+    from .jpeg import _rgb_to_ycbcr, _ycbcr_to_rgb
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        px = _tile_pixels_rgb(rng)
+        rt = _ycbcr_to_rgb(_rgb_to_ycbcr(px))
+        h, w = rt.shape[:2]
+        flat = np.ascontiguousarray(rt.reshape(h, 3 * w))
+        payloads.append(
+            MAGIC
+            + int(3 * w).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little")
+            + flat.tobytes()
+        )
+        ids.append(i)
+        widths.append(3 * w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["fakeimg"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
+def synthesize_media_table_jpeg_rgb(n: int, seed: int = 44,
+                                    subsampling: str = "420") -> pa.Table:
+    """COLOR JPEG corpus (round-4): the same rng draws as
+    :func:`synthesize_media_table_tiles_rgb` encoded as real interleaved
+    3-component baseline JPEGs (YCbCr, Annex-K luma+chroma Huffman
+    tables, two quant tables, 4:2:0 by default). Decoded features must
+    equal the RGB tiles twin's byte-parse exactly."""
+    from .jpeg import jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        px = _tile_pixels_rgb(rng)
+        h, w = px.shape[:2]
+        payloads.append(jpeg_encode(px, subsampling=subsampling))
+        ids.append(i)
+        widths.append(3 * w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["jpeg"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
 def synthesize_audio_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic mono PCM16 WAV corpus (canonical 44-byte header, the
     layout the SQL oracle parses sample-by-sample from hex)."""
@@ -270,7 +349,12 @@ class MediaDecoder:
         fmts = sub["format"].to_pylist()
         for i, payload in enumerate(sub["payload"]):
             if fmts[i] == "jpeg":
-                luma = jpeg_decode(payload.as_py()).astype(np.int64)
+                img = jpeg_decode(payload.as_py())
+                if img.ndim == 3:
+                    # color: stats over the (h, 3w) interleaved byte
+                    # matrix — matches the RGB tiles twin's byte layout
+                    img = img.reshape(img.shape[0], -1)
+                luma = img.astype(np.int64)
             else:
                 luma = png_luma(png_decode(payload.as_py())).astype(np.int64)
             h[i], w[i] = luma.shape

@@ -39,8 +39,10 @@ from .ops.multimodal import (
     synthesize_audio_table,
     synthesize_media_table,
     synthesize_media_table_jpeg,
+    synthesize_media_table_jpeg_rgb,
     synthesize_media_table_png,
     synthesize_media_table_tiles,
+    synthesize_media_table_tiles_rgb,
     synthesize_video_table,
 )
 from .ops.search import search_dataset
@@ -58,6 +60,8 @@ MEDIA_FIXTURE = "/tmp/ta_ray_fixtures/media_n200_s42.parquet"
 MEDIA_PNG_FIXTURE = "/tmp/ta_ray_fixtures/media_png_n200_s42.parquet"
 MEDIA_TILES_FIXTURE = "/tmp/ta_ray_fixtures/media_tiles_n200_s43.parquet"
 MEDIA_JPEG_FIXTURE = "/tmp/ta_ray_fixtures/media_jpeg_n200_s43.parquet"
+MEDIA_TILES_RGB_FIXTURE = "/tmp/ta_ray_fixtures/media_tiles_rgb_n200_s44.parquet"
+MEDIA_JPEG_RGB_FIXTURE = "/tmp/ta_ray_fixtures/media_jpeg_rgb_n200_s44.parquet"
 AUDIO_FIXTURE = "/tmp/ta_ray_fixtures/audio_n200_s42.parquet"
 VIDEO_FIXTURE = "/tmp/ta_ray_fixtures/video_n200_s42.parquet"
 
@@ -1109,6 +1113,28 @@ def build_queries() -> Dict[str, Callable]:
             media, concurrency=2, batch_size=64, accept_formats=("jpeg",))
 
     q["media_feature_rows_jpeg"] = media_feature_rows_jpeg
+
+    def media_feature_rows_jpeg_rgb(sf_dir):
+        """REAL COLOR baseline JPEG decode (round-4): interleaved
+        3-component YCbCr scans with 4:2:0 chroma subsampling, Annex-K
+        luma+chroma Huffman tables, two quant tables (ops/jpeg.py). The
+        corpus is 16x16-tile-constant RGB — the class where the DCT path
+        is bit-exact at quant=1 and the only loss is the deterministic
+        YCbCr integer round trip F(rgb), which the byte-transparent RGB
+        tiles twin stores (same rng draws) — so the SQL oracle parses
+        the twin while the Ray side must recover identical integer
+        aggregates from entropy-coded color JPEG payloads."""
+        _ensure_fixture_file(
+            MEDIA_TILES_RGB_FIXTURE,
+            lambda: synthesize_media_table_tiles_rgb(200, seed=44))
+        _ensure_fixture_file(
+            MEDIA_JPEG_RGB_FIXTURE,
+            lambda: synthesize_media_table_jpeg_rgb(200, seed=44))
+        media = read_parquet_clean(MEDIA_JPEG_RGB_FIXTURE)
+        return media_features(
+            media, concurrency=2, batch_size=64, accept_formats=("jpeg",))
+
+    q["media_feature_rows_jpeg_rgb"] = media_feature_rows_jpeg_rgb
 
     def audio_feature_rows(sf_dir):
         """REAL WAV/PCM16 decode; the oracle parses the s16le sample bytes
@@ -2620,13 +2646,13 @@ DRIVER_WINDOW_R4 = [
     # relational / joins (uncovered r1-3)
     "revenue_by_nation", "docs_snapshot_diff", "daily_type_pivot",
     # multimodal codecs (uncovered r1-3)
-    "media_feature_rows_jpeg", "audio_feature_rows",
-    "video_frame_samples",
+    "media_feature_rows_jpeg", "media_feature_rows_jpeg_rgb",
+    "audio_feature_rows", "video_frame_samples",
     # curation (uncovered r1-3)
     "docs_skyline", "decontam_hits", "sample_stratified",
     # sketches + bloom semi-join (uncovered r1-3)
     "bloom_pruned_orders", "hll_user_registers",
-    "quantiles_by_event_type", "cms_user_estimates",
+    "quantiles_by_event_type",
     # export (uncovered r1-3)
     "packed_sequences", "curated_packed", "doc_chunks",
     # source formats (uncovered r1-3)
@@ -3772,6 +3798,13 @@ FROM agg g LEFT JOIN hd ON hd.media_id = g.media_id"""
     # identical aggregates from entropy-coded DCT payloads.
     o["media_feature_rows_jpeg"] = o["media_feature_rows"].replace(
         MEDIA_FIXTURE, MEDIA_TILES_FIXTURE)
+
+    # COLOR JPEG twin: the RGB tiles fixture stores the deterministic
+    # YCbCr round trip of the same draws as an (h, 3w) interleaved byte
+    # matrix, so the identical fakeimg byte-parse applies — the Ray side
+    # must reproduce it from interleaved 4:2:0 color scans.
+    o["media_feature_rows_jpeg_rgb"] = o["media_feature_rows"].replace(
+        MEDIA_FIXTURE, MEDIA_TILES_RGB_FIXTURE)
 
     # s16le samples parsed from the payload hex at the canonical 44-byte
     # header offset: lo byte at 44+2j, hi byte at 45+2j, two's complement.
