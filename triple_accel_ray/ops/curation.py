@@ -346,4 +346,5 @@ def skyline(ds, min_col: str, max_col: str, id_col: str = "doc_id"):
 
     local = ds.map_batches(_local, batch_format="pyarrow")
     # candidates are front-sized: one exact merge pass
-    return local.repartition(1).map_batches(_local, batch_format="pyarrow")
+    return local.repartition(1).map_batches(
+        _local, batch_format="pyarrow", batch_size=None)

@@ -520,6 +520,15 @@ def zorder_keys(ds, col_x: str, col_y: str, bits: int = 16,
              "ymax": pa.array([], pa.int64())}),
         batch_format="pyarrow")
     parts = [t for t in ray.get(mm.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        # empty/all-empty-block input: no min/max exists (ADVICE r3 —
+        # pa.concat_tables([]) raises); emit the empty keyed table
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "zkey": pa.array([], pa.int64()),
+        }))
     tab = pa.concat_tables(parts)
     xmin = int(pa.compute.min(tab["xmin"]).as_py())
     xmax = int(pa.compute.max(tab["xmax"]).as_py())
@@ -596,6 +605,12 @@ def chunk_documents(docs, chunk_bytes: int = 200, stride: int = 150,
         rows = np.repeat(np.arange(len(starts)), width)
         local = np.arange(int(new_off[-1]))
         flat[local] = data[starts[rows] + (local - new_off[rows])]
+        if int(new_off[-1]) >= 2**31:
+            # int32 StringArray offsets would silently wrap (ADVICE r3);
+            # a batch this size means batch_size is mis-tuned upstream
+            raise ValueError(
+                f"chunk_documents: batch emits {int(new_off[-1])} chunk "
+                "bytes (>= 2 GiB) — lower batch_size for this stage")
         col = pa.StringArray.from_buffers(
             len(starts), pa.py_buffer(new_off.astype(np.int32).tobytes()),
             pa.py_buffer(flat.tobytes()))

@@ -240,4 +240,5 @@ def source_length_drift(docs, group_col: str = "source",
                     drift_permille=pl.col("d").sum().cast(pl.Int64)))
         return out.to_arrow().cast(out_schema)
 
-    return regs.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return regs.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)

@@ -92,7 +92,8 @@ def knn_bruteforce(corpus, queries_table: pa.Table, k: int = 5,
         )
 
     # the partial top-k table is tiny (nq × k × nbatches): merge in one group
-    return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)
 
 
 def knn_bruteforce_l2int(corpus, queries_table: pa.Table, k: int = 5,
@@ -513,7 +514,8 @@ def knn_pq(corpus, queries_table: pa.Table, k: int = 5, n_sub: int = 4,
         )
 
     # partial top-k tables are tiny (nq × k × nblocks): one merge group
-    return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)
 
 
 def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
@@ -585,4 +587,5 @@ def knn_ivf(corpus, queries_table: pa.Table, k: int = 5, n_centroids: int = 16,
                        ("cosine", pa.float64()), ("rank", pa.int64())])
         )
 
-    return partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)

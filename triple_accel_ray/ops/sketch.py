@@ -542,7 +542,8 @@ def bloom_prune_semi(build, probe, build_col: str, probe_col: str,
             for c in out_schema.names
         }).cast(out_schema)
 
-    return parts.repartition(1).map_batches(_final, batch_format="pyarrow")
+    return parts.repartition(1).map_batches(
+        _final, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------------- histogram ranks
@@ -851,4 +852,5 @@ def log_histogram_quantiles(ds, col: str, qs=(500, 900, 990)):
         })
 
     # registers are <= 64 rows: one merge task
-    return regs.repartition(1).map_batches(_quant, batch_format="pyarrow")
+    return regs.repartition(1).map_batches(
+        _quant, batch_format="pyarrow", batch_size=None)

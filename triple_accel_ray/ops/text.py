@@ -937,8 +937,8 @@ def source_vocab_overlap(docs, source_col: str = "source",
         _partial, num_buckets,
     )
     # partials are (sources² + sources) × buckets rows — scalar-sized
-    return partials.repartition(1).map_batches(_merge,
-                                               batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)
 
 
 def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
@@ -993,8 +993,10 @@ def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
         docs.map_batches(_uni, batch_format="pyarrow")
         .groupby("w").aggregate(Sum("n", alias_name="n"))
     )
-    uni_tab = pa.concat_tables(
-        [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows])
+    uni_parts = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+    uni_tab = (pa.concat_tables(uni_parts) if uni_parts
+               else pa.table({"w": pa.array([], pa.string()),
+                              "n": pa.array([], pa.int64())}))
     N = int(pc.sum(uni_tab["n"]).as_py() or 0) if uni_tab.num_rows else 0
     uni_ref = ray.put(uni_tab)
 
@@ -1043,4 +1045,5 @@ def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
             ["lift_permille", "w1", "w2"], descending=[True, False, False]
         ).head(k).to_arrow().cast(out_schema)
 
-    return big.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return big.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None)

@@ -272,16 +272,34 @@ def run_er_pipeline_fused(
 
 def _operator_wall_times(stats_text: str) -> dict:
     """Parse 'Operator N <name>: ... produced in X.XXs' lines from
-    Dataset.stats() into {operator: seconds}."""
+    Dataset.stats() into {operator: seconds}.
+
+    An all-to-all operator consumed by two plan branches appears TWICE
+    in the stats with the same wall time, its suboperators tagged
+    '[execution cached]' on the re-reference (round-3 verdict: Sort
+    reported under two indices, inflating naive stage sums). Such
+    entries are emitted as '<n>:<name>[cached]' with 0.0 so the sum of
+    values equals real wall time while the plan shape stays visible."""
     import re
 
-    out = {}
+    entries = []                               # (idx, name, secs, cached)
     for line in stats_text.splitlines():
         m = re.match(
             r"Operator (\d+) (.+?): .*in ([0-9.]+)s\s*$", line.strip()
         )
         if m:
-            out[f"{m.group(1)}:{m.group(2)[:70]}"] = float(m.group(3))
+            entries.append([m.group(1), m.group(2)[:70],
+                            float(m.group(3)), False])
+        elif entries and "[execution cached]" in line:
+            entries[-1][3] = True
+    out = {}
+    for idx, name, secs, cached in entries:
+        if cached:
+            # keep the reported figure visible in the key, but don't let
+            # it count toward a stage sum twice
+            out[f"{idx}:{name}[cached {secs}s]"] = 0.0
+        else:
+            out[f"{idx}:{name}"] = secs
     return out
 
 

@@ -2264,15 +2264,19 @@ def build_queries() -> Dict[str, Callable]:
                 pk=pl.min_horizontal(a, b) + "|" + pl.max_horizontal(a, b)
             ).to_arrow().cast(pa.schema([("pk", pa.string())]))
 
+        # materialize the id-only candidate keys ONCE: .count() and the
+        # bucket_join below both consume them, and without pinning, the
+        # whole blocking pipeline re-executes per consumer (ADVICE r3)
         cands = _sig_pairs(_er_docs_ds(sf_dir)).map_batches(
-            lambda t: _pk(t, "a_id", "b_id"), batch_format="pyarrow")
+            lambda t: _pk(t, "a_id", "b_id"), batch_format="pyarrow"
+        ).materialize()
         n_cand = cands.count()
 
         lbl = read_parquet_clean(
             lbl_path, columns=["a_id", "b_id", "is_match"]
         ).map_batches(
             lambda t: _pk(t.filter(t["is_match"]), "a_id", "b_id"),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
         pos = lbl.count()
 
         j = bucket_join(
