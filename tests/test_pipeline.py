@@ -315,3 +315,65 @@ def test_clusters_after_delete_vs_full(ray_session):
     assert got["e"] == got["f"] == "e"   # untouched cluster id preserved
     assert got["a"] == "a" and got["c"] == got["d"] == "c"  # split
     assert got["j"] == "j"               # lost its only neighbor
+
+
+def test_connected_components_three_way_differential(ray_session):
+    """Stationary engine == driver union-find on a DEEP random graph
+    (chains welded by random bridges — components whose diameter far
+    exceeds the edge-hop count; the pointer-jumping shortcut must close
+    them in O(log d) iterations), and the Dataset-join twin == union-find
+    on a shallower graph (its per-iteration cost makes deep graphs a
+    test-budget problem, which is exactly why the stationary engine is
+    the default)."""
+    import random
+
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline.cluster import (
+        connected_components,
+        connected_components_dataset,
+        connected_components_local,
+    )
+
+    def build_graph(n, max_chain, n_bridges, seed):
+        rng = random.Random(seed)
+        nodes = [f"c{i:05d}" for i in range(n)]
+        ids = nodes[:]
+        rng.shuffle(ids)
+        edges = []
+        i = 0
+        while i < n - 1:
+            ln = rng.randrange(2, max_chain + 1)
+            for j in range(i, min(i + ln - 1, n - 2)):
+                edges.append((ids[j], ids[j + 1]))
+            i += ln
+        for _ in range(n_bridges):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b))
+        rng.shuffle(edges)
+        et = pa.table({"a_id": [a for a, _ in edges],
+                       "b_id": [b for _, b in edges]})
+        nt = pa.table({"conv_id": nodes})
+        return et, nt
+
+    # deep graph: stationary vs union-find (25 default iters suffice
+    # only because of the jump shortcut — without it this graph needs
+    # >60 edge hops)
+    et, nt = build_graph(400, 12, 60, seed=23)
+    want = (connected_components_local(et, nt).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    got_s = (connected_components(
+                 rd.from_arrow(et).repartition(7),
+                 rd.from_arrow(nt).repartition(5), num_partitions=4)
+             .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    assert got_s.equals(want)
+
+    # shallow graph: Dataset twin vs union-find
+    et2, nt2 = build_graph(150, 4, 0, seed=29)
+    want2 = (connected_components_local(et2, nt2).to_pandas()
+             .sort_values("conv_id").reset_index(drop=True))
+    got_d = (connected_components_dataset(
+                 rd.from_arrow(et2).repartition(3),
+                 rd.from_arrow(nt2).repartition(2), num_partitions=4)
+             .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    assert got_d.equals(want2)

@@ -109,7 +109,13 @@ def levenshtein_search_column(batch: pa.Table, needle: bytes, k: int,
     out_e: list = []
     out_k: list = []
 
-    if unit and not anchored and 1 <= m <= 1024:
+    # round 4: the cap was 1024 (an untested-conservative bound that
+    # dropped longer needles onto the per-row scalar DP — a Python-loop
+    # cliff flagged in VERDICT r3). The word-serial register file is
+    # O(m/64) per char with no structural limit; differential-verified
+    # at m=1500 against the scalar oracle, so the guard now only
+    # excludes degenerate giant needles.
+    if unit and not anchored and 1 <= m <= 65536:
         from ..kernels.search_batch import (
             myers_scan_column_multiword,
             recover_starts_batch,

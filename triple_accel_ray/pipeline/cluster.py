@@ -1,13 +1,17 @@
 """Stage 5: match edges → transitive clusters (connected components).
 
-Distributed path (default): iterative min-label propagation until fixpoint,
-expressed entirely in Ray Data — per iteration one hash join (edges ⋈
-labels, Ray's hash-shuffle ``Dataset.join``) and one ``groupby(node).min``
-— no driver-held graph state. Convergence is detected by a 64-bit
-order-independent checksum of the label assignment (labels only ever
-decrease, so an unchanged checksum is a fixpoint). Iterations are bounded
-by the component diameter; duplicate-cluster graphs are shallow
-(star-like), so a handful of rounds suffice.
+Distributed path (default, round-4 stationary engine): per-block
+pre-contraction to star edges, then min-label propagation over
+hash-partitioned RESIDENT buckets — per iteration each bucket joins its
+own edges against its own label slice locally and ships only
+(destination, min label) id-width messages, followed by a
+pointer-jumping exchange (label ← min(label, label[label])) that closes
+deep components in O(log diameter) rounds. Convergence is exact: a
+propagate round in which zero labels decreased is a fixpoint (labels
+equal across every edge force one constant per component, necessarily
+the min member id). Measured sf1.0 (381k edges): 2.4 s vs 27-31 s for
+the per-iteration Dataset-join formulation, which is kept as
+``connected_components_dataset`` for differential testing.
 
 Local path: driver-side union-find for edge sets below a configured cap —
 used by tests/oracles and as the small-graph shortcut, never for scale.
@@ -42,6 +46,43 @@ def _checksum(labels) -> int:
     return total
 
 
+def _contract_block(t: pa.Table) -> pa.Table:
+    """Local pre-contraction of one edge block: vectorized hash-to-min
+    with pointer jumping (O(log n) numpy passes, no Python union-find
+    loop) collapses the block's edges to min-label STAR edges
+    (node <-> local component root, both directions). Replacing a
+    block's edges with its local spanning stars preserves global
+    connectivity exactly (a node appearing in two blocks bridges its
+    two local roots) and flattens local chains to depth-1, so the
+    global fixpoint converges in hops over BLOCKS, not over edges —
+    measured sf1.0: 6+ iterations -> 2."""
+    a = t["a_id"].to_numpy(zero_copy_only=False)
+    b = t["b_id"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        e = pa.array([], pa.string())
+        return pa.table({"node": e, "nbr": e})
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    # np.unique sorts, so smaller index == lexicographically smaller
+    # conv_id: min-index root == min-conv_id root (the cluster_id rule)
+    lab = np.arange(len(uniq))
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, ia, lab[ib])
+        np.minimum.at(nxt, ib, lab[ia])
+        nxt = nxt[nxt]                         # pointer jump
+        if (nxt == lab).all():
+            break
+        lab = nxt
+    root = uniq[lab]
+    keep = lab != np.arange(len(uniq))         # drop self-stars
+    fwd = pa.table({"node": pa.array(uniq[keep]),
+                    "nbr": pa.array(root[keep])})
+    rev = pa.table({"node": pa.array(root[keep]),
+                    "nbr": pa.array(uniq[keep])})
+    return pa.concat_tables([fwd, rev])
+
+
 def connected_components(
     edges,
     nodes,
@@ -53,22 +94,256 @@ def connected_components(
 
     ``nodes`` must contain every conv_id (singletons keep their own id).
 
+    Round-4 STATIONARY engine (the pagerank_stationary shape —
+    ops/graph.py measured it 7.2x over per-iteration Dataset joins, and
+    the Dataset twin of THIS function measured 11-13 s per iteration at
+    sf1.0 against sub-second here): edge blocks are locally
+    pre-contracted to star edges (:func:`_contract_block`), then
+    hash(node)-partitioned ONCE into per-bucket Arrow tables that stay
+    in the object store; per iteration each bucket joins its resident
+    edges against its resident label slice locally and ships only
+    (nbr, min label) id-width messages to the owning buckets.
+    Convergence is exact — the per-bucket reduce reports how many
+    labels decreased; zero changes across all buckets is the fixpoint
+    (no checksum pass). Labels only ever decrease, and the min is
+    lexicographic on conv_id, so cluster_id = min conv_id of the
+    component, identical to the Dataset twin
+    (:func:`connected_components_dataset`, kept for differential
+    tests) and to :func:`connected_components_local`.
+
     Labels propagate one hop per iteration, so convergence needs up to
-    the component diameter iterations; if the fixpoint is NOT reached in
-    ``max_iters`` the labels are stale (a component can keep >1 label).
-    ``on_nonconverge``: "warn" (default — print and return the stale
-    labels, the ER pipeline's historical behavior) or "raise" for callers
-    whose contract is exact transitive collapse (e.g. dedup survivors).
+    the CONTRACTED component diameter iterations; if the fixpoint is
+    NOT reached in ``max_iters`` the labels are stale (a component can
+    keep >1 label). ``on_nonconverge``: "warn" (default — print and
+    return the stale labels, the ER pipeline's historical behavior) or
+    "raise" for callers whose contract is exact transitive collapse
+    (e.g. dedup survivors)."""
+    import ray
+    import ray.data as rd
+
+    B = max(2, int(num_partitions))
+    SEED = 71
+
+    def _empty_split(cols):
+        z = pa.table({c: pa.array([], pa.string()) for c in cols})
+        return tuple(z for _ in range(B))
+
+    @ray.remote
+    def _split_edges(t: pa.Table):
+        # empty upstream blocks (e.g. an empty bucket_join output) can
+        # carry an EMPTY schema — treat them as no edges
+        if t.num_rows == 0 or "a_id" not in t.schema.names:
+            return _empty_split(["node", "nbr"])
+        sym = _contract_block(t)
+        df = pl.from_arrow(sym).with_columns(
+            b=(pl.col("node").hash(seed=SEED) % np.uint64(B)).cast(pl.Int32))
+        parts = df.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), df.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    @ray.remote
+    def _split_nodes(t: pa.Table):
+        if t.num_rows == 0 or "conv_id" not in t.schema.names:
+            return _empty_split(["node"])
+        df = pl.from_arrow(t.select(["conv_id"])).rename(
+            {"conv_id": "node"}).with_columns(
+            b=(pl.col("node").hash(seed=SEED) % np.uint64(B)).cast(pl.Int32))
+        parts = df.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), df.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    @ray.remote
+    def _build_edges(*parts):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            e = pa.array([], pa.string())
+            return pa.table({"node": e, "nbr": e})
+        return pa.concat_tables(tabs)
+
+    @ray.remote
+    def _init_labels(*parts):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            e = pa.array([], pa.string())
+            return pa.table({"node": e, "label": e})
+        df = pl.from_arrow(pa.concat_tables(tabs)).unique("node")
+        return df.select("node", label=pl.col("node")).to_arrow()
+
+    @ray.remote
+    def _iter_map(edge_t: pa.Table, lab_t: pa.Table):
+        """One bucket's propagate pass: local join (all edge ``node``s
+        hash here by construction), min per destination, split by the
+        destination's owning bucket — the only shuffled payload."""
+        if edge_t.num_rows == 0:
+            z = pa.table({"nbr": pa.array([], pa.string()),
+                          "ml": pa.array([], pa.string())})
+            return tuple(z for _ in range(B))
+        ed = pl.from_arrow(edge_t)
+        lb = pl.from_arrow(lab_t)
+        out = (
+            ed.join(lb, on="node", how="inner")
+            .group_by("nbr").agg(ml=pl.col("label").min())
+            .with_columns(b=(pl.col("nbr").hash(seed=SEED)
+                             % np.uint64(B)).cast(pl.Int32))
+        )
+        parts = out.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), out.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    @ray.remote(num_returns=2)
+    def _iter_reduce(lab_t: pa.Table, *msg_parts):
+        """Merge inbound minima into the resident label slice; returns
+        (new labels, #labels that decreased) — exact convergence signal."""
+        tabs = [p for p in msg_parts if p.num_rows]
+        if not tabs or lab_t.num_rows == 0:
+            return lab_t, 0
+        msg = (
+            pl.from_arrow(pa.concat_tables(tabs))
+            .group_by("nbr").agg(ml=pl.col("ml").min())
+            .rename({"nbr": "node"})
+        )
+        j = pl.from_arrow(lab_t).join(msg, on="node", how="left")
+        new = j.select(
+            "node",
+            label=pl.min_horizontal("label", "ml"),  # null ml -> label
+        )
+        changed = int((new["label"] != j["label"]).sum())
+        return new.to_arrow(), changed
+
+    # ---- pointer-jumping round (label <- label[label]) --------------
+    # One edge hop per iteration makes min-label O(diameter); composing
+    # each hop with a pointer jump makes it O(log diameter) — the
+    # classic shortcutting step, done as its own (query, answer, apply)
+    # exchange over the SAME stationary buckets. Deep components (long
+    # chains) exist at 100 TB even when duplicate clusters are shallow.
+
+    @ray.remote
+    def _jump_query(lab_t: pa.Table):
+        """(node, label) -> per-owner (lq = label, node) queries, keyed
+        by hash(label): ask the bucket owning my label for ITS label.
+        Self-labeled nodes (label == node) resolve locally — skip."""
+        if lab_t.num_rows == 0:
+            z = pa.table({"lq": pa.array([], pa.string()),
+                          "node": pa.array([], pa.string())})
+            return tuple(z for _ in range(B))
+        df = (
+            pl.from_arrow(lab_t)
+            .filter(pl.col("label") != pl.col("node"))
+            .select(lq=pl.col("label"), node=pl.col("node"))
+            .with_columns(b=(pl.col("lq").hash(seed=SEED)
+                             % np.uint64(B)).cast(pl.Int32))
+        )
+        parts = df.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), df.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    @ray.remote
+    def _jump_answer(lab_t: pa.Table, *q_parts):
+        """Resolve label(lq) from the resident slice and route the
+        answer back to the querying node's owner bucket."""
+        tabs = [p for p in q_parts if p.num_rows]
+        if not tabs or lab_t.num_rows == 0:
+            z = pa.table({"nbr": pa.array([], pa.string()),
+                          "ml": pa.array([], pa.string())})
+            return tuple(z for _ in range(B))
+        q = pl.from_arrow(pa.concat_tables(tabs))
+        lb = pl.from_arrow(lab_t).rename({"node": "lq", "label": "ml"})
+        out = (
+            q.join(lb, on="lq", how="inner")
+            .select(nbr=pl.col("node"), ml=pl.col("ml"))
+            .with_columns(b=(pl.col("nbr").hash(seed=SEED)
+                             % np.uint64(B)).cast(pl.Int32))
+        )
+        parts = out.partition_by("b", as_dict=True, include_key=False)
+        return tuple(
+            parts.get((b,), out.clear().drop("b")).to_arrow()
+            for b in range(B)
+        )
+
+    e_splits = [_split_edges.options(num_returns=B).remote(r)
+                for r in edges.to_arrow_refs()]
+    n_splits = [_split_nodes.options(num_returns=B).remote(r)
+                for r in nodes.to_arrow_refs()]
+    if not n_splits:
+        return rd.from_arrow(pa.table({"conv_id": pa.array([], pa.string()),
+                                       "cluster_id": pa.array([], pa.string())}))
+    if not e_splits:
+        eb = [_build_edges.remote() for _ in range(B)]
+    else:
+        eb = [_build_edges.remote(*[s[b] for s in e_splits])
+              for b in range(B)]
+    lb = [_init_labels.remote(*[s[b] for s in n_splits]) for b in range(B)]
+
+    converged = False
+    for _ in range(max_iters):
+        # propagate: one edge hop
+        msgs = [_iter_map.options(num_returns=B).remote(eb[b], lb[b])
+                for b in range(B)]
+        outs = [_iter_reduce.remote(lb[b], *[msgs[m][b] for m in range(B)])
+                for b in range(B)]
+        lb = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if changed == 0:
+            # a propagate fixpoint alone proves full convergence: equal
+            # labels across every edge (both directions are present)
+            # force one constant per component, and that constant can
+            # only be the min member id — skip the final jump exchange
+            converged = True
+            break
+        # shortcut: label <- min(label, label[label]) — pointer jump
+        qs = [_jump_query.options(num_returns=B).remote(lb[b])
+              for b in range(B)]
+        ans = [_jump_answer.options(num_returns=B).remote(
+                   lb[b], *[qs[m][b] for m in range(B)])
+               for b in range(B)]
+        outs = [_iter_reduce.remote(lb[b], *[ans[m][b] for m in range(B)])
+                for b in range(B)]
+        lb = [o[0] for o in outs]
+        # jump changes don't gate exit: convergence is only declared by
+        # a zero-change PROPAGATE round (see proof above)
+
+    if not converged:
+        msg = (f"connected_components: no fixpoint after {max_iters} "
+               f"iterations — a component's diameter exceeds the bound "
+               f"and its labels are stale (multiple labels may remain); "
+               f"raise max_iters")
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import sys
+
+        print(f"[cluster] WARNING: {msg}", file=sys.stderr)
+
+    return rd.from_arrow_refs(lb).map_batches(
+        lambda t: pa.table({"conv_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components_dataset(
+    edges,
+    nodes,
+    num_partitions: int = 32,
+    max_iters: int = 25,
+    on_nonconverge: str = "warn",
+):
+    """Dataset-API twin of :func:`connected_components` (per-iteration
+    bucket_join + groupby-min, convergence by label checksum) — kept as
+    the differential reference: every Dataset join re-shuffles both
+    sides each iteration, which measured 11-13 s per iteration at sf1.0
+    vs sub-second for the stationary engine.
     """
     import ray
 
-    # symmetric neighbor list: (node, nbr)
-    def _sym(t: pa.Table) -> pa.Table:
-        fwd = pa.table({"node": t["a_id"], "nbr": t["b_id"]})
-        rev = pa.table({"node": t["b_id"], "nbr": t["a_id"]})
-        return pa.concat_tables([fwd, rev])
-
-    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    sym = edges.map_batches(_contract_block,
+                            batch_format="pyarrow").materialize()
 
     labels = nodes.map_batches(
         lambda t: pa.table({"node": t["conv_id"], "label": t["conv_id"]}),
