@@ -2321,3 +2321,51 @@ def test_sft_pairs_vs_bruteforce(ray_session):
     got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
            for r in out}
     assert got == want
+
+
+def test_bpe_train_merges_matches_reference_impl(ray_session):
+    """Distributed BPE merge table == a straightforward single-process
+    reference implementation (dict word counts, per-round pair counting
+    and str.replace merging) on a small corpus."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import bpe_train_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the meat",
+        "a cat and a mat and a hat",
+        "that hat is the cat's hat",
+        "", "THE CAT, the cat!",
+    ]
+    t = pa.table({"text": texts})
+    got = (bpe_train_merges(rd.from_arrow(t).repartition(3), n_merges=5)
+           .to_pandas())
+
+    # reference: classic BPE on a word-frequency dict
+    import re
+    from collections import Counter
+
+    freq = Counter(w for s in texts for w in re.findall(r"[a-z]+",
+                                                        s.lower()))
+    SEP = "\x1f"
+    seqs = {w: SEP.join(w) for w in freq}
+    rows = []
+    for r in range(5):
+        pc = Counter()
+        for w, f in freq.items():
+            syms = seqs[w].split(SEP)
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (l, rr), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((r + 1, l, rr, c))
+        for w in seqs:
+            seqs[w] = seqs[w].replace(l + SEP + rr, l + rr)
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["round", "merge_left",
+                                       "merge_right", "pair_count"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)

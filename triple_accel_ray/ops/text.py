@@ -1047,3 +1047,123 @@ def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
 
     return big.repartition(1).map_batches(
         _merge, batch_format="pyarrow", batch_size=None)
+
+
+def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
+    """Distributed BPE tokenizer training (the merge-table builder every
+    from-scratch tokenizer run needs): lowercase ``[a-z]+`` words →
+    word-frequency table (ONE corpus scan, then the corpus is never
+    touched again) → ``n_merges`` rounds of: count adjacent symbol
+    pairs weighted by word frequency, pick the global argmax
+    (ties → lexicographically smallest pair), merge it everywhere.
+
+    → (round 1.., left, right, pair_count) — the merge table.
+
+    Scale shape = iterate-over-vocabulary with broadcast state: pair
+    counting and merge application are stateless vectorized maps over
+    the VOCAB table (not the corpus); each round shuffles only
+    (left, right, count) vocabulary-pair rows, and the only
+    driver-resident state is the merge list itself (n rows). Symbols
+    are chr(31)-joined character runs, and every engine in play
+    (python str.replace, polars replace_all literal, DuckDB replace)
+    shares leftmost non-overlapping all-occurrence replace semantics,
+    so the SQL twin (``_bpe_oracle`` in queries.py, rounds unrolled) is
+    value-exact."""
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def _words(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([text_col]))
+        w = (
+            df.select(
+                pl.col(text_col).str.to_lowercase()
+                .str.extract_all(r"[a-z]+").alias("w"))
+            .explode("w")
+            .drop_nulls()
+            .group_by("w").agg(freq=pl.len().cast(pl.Int64))
+        )
+        return w.rename({"w": "word"}).to_arrow().cast(
+            pa.schema([("word", pa.string()), ("freq", pa.int64())]))
+
+    vocab = (
+        docs.map_batches(_words, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("freq", alias_name="freq"))
+        .materialize()
+    )
+
+    # merge_left/merge_right (not left/right): the SQL twin would need
+    # reserved-word quoting and the driver hashes by column name
+    out_schema = pa.schema([
+        ("round", pa.int64()), ("merge_left", pa.string()),
+        ("merge_right", pa.string()), ("pair_count", pa.int64()),
+    ])
+
+    def _pair_counts(merges):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"left": pa.array([], pa.string()),
+                                 "right": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            df = pl.from_arrow(t)
+            seq = pl.col("word").str.replace_all(r"(.)", "${1}" + SEP)
+            seq = seq.str.strip_chars_end(SEP)
+            df = df.with_columns(seq=seq)
+            for x, y in merges:
+                df = df.with_columns(
+                    seq=pl.col("seq").str.replace_all(
+                        x + SEP + y, x + y, literal=True))
+            sym = df.with_columns(
+                l=pl.col("seq").str.split(SEP)).select("freq", "l")
+            pairs = (
+                sym.with_columns(
+                    left=pl.col("l").list.slice(0, pl.col("l").list.len() - 1),
+                    right=pl.col("l").list.slice(1),
+                )
+                .drop("l")
+                .explode(["left", "right"])
+                .drop_nulls()
+                .group_by(["left", "right"])
+                .agg(c=pl.col("freq").sum().cast(pl.Int64))
+            )
+            return pairs.to_arrow().cast(
+                pa.schema([("left", pa.string()), ("right", pa.string()),
+                           ("c", pa.int64())]))
+        return _f
+
+    def _top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return pl.from_arrow(t).sort(
+            ["c", "left", "right"], descending=[True, False, False]
+        ).head(1).to_arrow().cast(
+            pa.schema([("left", pa.string()), ("right", pa.string()),
+                       ("c", pa.int64())]))
+
+    merges: list = []
+    rows = []
+    for r in range(int(n_merges)):
+        top = (
+            vocab.map_batches(_pair_counts(list(merges)),
+                              batch_format="pyarrow")
+            .groupby(["left", "right"]).aggregate(Sum("c", alias_name="c"))
+            .repartition(1)
+            .map_batches(_top1, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        if not top:
+            break
+        m = top[0]
+        merges.append((m["left"], m["right"]))
+        rows.append((r + 1, m["left"], m["right"], int(m["c"])))
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int64()),
+        "merge_left": pa.array([r[1] for r in rows], pa.string()),
+        "merge_right": pa.array([r[2] for r in rows], pa.string()),
+        "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+    }).cast(out_schema))

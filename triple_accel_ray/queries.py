@@ -2606,6 +2606,20 @@ def build_queries() -> Dict[str, Callable]:
 
     q["doc_len_deciles"] = doc_len_deciles
 
+    def bpe_train_merges_q(sf_dir):
+        """Distributed BPE tokenizer training (ops/text.bpe_train_merges):
+        word-frequency table once, then n rounds of pair-count →
+        global argmax → merge-everywhere with the merge list as the only
+        broadcast state. chr(31)-joined symbols make python, polars and
+        DuckDB share replace semantics, so the merge table is value-exact
+        against the unrolled SQL twin."""
+        from .ops.text import bpe_train_merges
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+        return bpe_train_merges(docs, n_merges=6)
+
+    q["bpe_train_merges"] = bpe_train_merges_q
+
     # The driver's correctness gate checks the FIRST 50 keys in dict
     # order (confirmed against CORRECTNESS_r03: exactly the first-50
     # prefix).  Reorder so that window covers the full ER core plus one
@@ -2874,6 +2888,45 @@ raw AS (
          CAST((a.h % 2001) - 1000 + (b.h % 41) - 20 AS DOUBLE) AS v,
          (a.t + 1)::BIGINT AS dim
   FROM {ka_f} a JOIN {kb_f} b ON a.vec_id = b.vec_id AND a.t = b.t)"""
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Unrolled SQL twin of ops/text.bpe_train_merges: word-frequency
+    table, then per round adjacent-pair counts over chr(31)-joined
+    symbol sequences, argmax by (count DESC, pair ASC), and
+    merge-everywhere via replace() — DuckDB's replace, python
+    str.replace and polars literal replace_all all share leftmost
+    non-overlapping all-occurrence semantics, so the merge tables are
+    value-exact. chr(30) is the never-occurring no-op pattern guarding
+    rounds where no pair exists."""
+    parts = [r"""words AS (
+  SELECT w AS word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY 1),
+seq0 AS (
+  SELECT word, freq,
+         rtrim(regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+               chr(31)) AS seq
+  FROM words)"""]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS (
+  SELECT l[i] AS ml, l[i + 1] AS mr, sum(freq)::BIGINT AS c
+  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+        FROM (SELECT freq, string_split(seq, chr(31)) AS l FROM seq{r}))
+  GROUP BY 1, 2),
+m{r} AS (SELECT ml, mr, c FROM p{r} ORDER BY c DESC, ml, mr LIMIT 1),
+seq{r + 1} AS (
+  SELECT word, freq,
+         replace(seq,
+                 coalesce((SELECT ml || chr(31) || mr FROM m{r}), chr(30)),
+                 coalesce((SELECT ml || mr FROM m{r}), chr(30))) AS seq
+  FROM seq{r})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r + 1}::BIGINT AS round, ml AS merge_left, "
+        f"mr AS merge_right, c AS pair_count FROM m{r}"
+        for r in range(n_merges))
+    return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
 def _gram_novelty_oracle(gram: int = 8) -> str:
@@ -5235,5 +5288,7 @@ bounds AS (SELECT rr.x AS b FROM rr, cnt, qs
 SELECT (SELECT count(*) FROM bounds WHERE b < v.x)::BIGINT AS bin,
        count(*)::BIGINT AS n_rows
 FROM v GROUP BY 1"""
+
+    o["bpe_train_merges"] = _bpe_oracle(n_merges=6)
 
     return o
