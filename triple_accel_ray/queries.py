@@ -2656,8 +2656,9 @@ DRIVER_WINDOW_R4 = [
     "dup_substring_spans", "dedup_normalized",
     # ANN quality (noise fixture + round-4 clustered fixture)
     "knn_pq_recall", "knn_pq_recall_clustered",
-    # text analysis (uncovered r1-3)
-    "repetition_scores", "pii_scrub", "distinctive_terms",
+    # text analysis (uncovered r1-3; bpe_train_merges is the round-4
+    # tokenizer-training flagship)
+    "repetition_scores", "pii_scrub", "bpe_train_merges",
     # windows / streaming (uncovered r1-3)
     "funnel_click_purchase", "weekly_retention",
     "running_user_totals", "event_value_ranks",
