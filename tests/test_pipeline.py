@@ -377,3 +377,30 @@ def test_connected_components_three_way_differential(ray_session):
                  rd.from_arrow(nt2).repartition(2), num_partitions=4)
              .to_pandas().sort_values("conv_id").reset_index(drop=True))
     assert got_d.equals(want2)
+
+
+def test_connected_components_edge_cases(ray_session):
+    """Stationary CC corner shapes: no edges (all singletons), one giant
+    star, duplicate + self-loop edges."""
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline.cluster import connected_components
+
+    nodes = pa.table({"conv_id": [f"n{i}" for i in range(20)]})
+
+    # no edges: everyone their own cluster
+    empty = pa.table({"a_id": pa.array([], pa.string()),
+                      "b_id": pa.array([], pa.string())})
+    out = (connected_components(rd.from_arrow(empty), rd.from_arrow(nodes),
+                                num_partitions=3)
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    assert (out["conv_id"] == out["cluster_id"]).all() and len(out) == 20
+
+    # giant star + duplicate edges + self loops: one cluster rooted at n0
+    a = ["n0"] * 19 + ["n0", "n5", "n7"]
+    b = [f"n{i}" for i in range(1, 20)] + ["n1", "n5", "n0"]
+    star = pa.table({"a_id": a, "b_id": b})
+    out = (connected_components(rd.from_arrow(star).repartition(4),
+                                rd.from_arrow(nodes), num_partitions=3)
+           .to_pandas())
+    assert (out["cluster_id"] == "n0").all() and len(out) == 20

@@ -474,7 +474,8 @@ def connected_components_local(
 
 
 def clusters_after_delete(edges, nodes, deleted, num_partitions: int = 32,
-                          max_iters: int = 25):
+                          max_iters: int = 25,
+                          local_edge_cap: int = 2_000_000):
     """Delete propagation WITHOUT a full recluster → (conv_id,
     cluster_id) over the surviving nodes: clusters containing no deleted
     member pass through untouched (removing nodes elsewhere cannot
@@ -531,10 +532,27 @@ def clusters_after_delete(edges, nodes, deleted, num_partitions: int = 32,
                     num_buckets=num_partitions, how="semi"),
         rec_nodes, "b_id", "conv_id", _es, _id,
         num_buckets=num_partitions, how="semi",
-    )
+    ).materialize()
 
-    renew = connected_components(
-        rec_edges, rec_nodes, num_partitions=num_partitions,
-        max_iters=max_iters,
-    )
+    # same discipline as run.py's cluster stage: the recompute subgraph
+    # is affected-clusters-sized (id pairs only), so below the cap the
+    # driver union-find shortcut is valid and skips the fixpoint's task
+    # waves; above it the stationary engine carries it
+    if rec_edges.count() <= local_edge_cap:
+        import ray
+        import ray.data as rd
+
+        et = [t for t in ray.get(rec_edges.to_arrow_refs()) if t.num_rows]
+        nt = [t for t in ray.get(rec_nodes.to_arrow_refs()) if t.num_rows]
+        if not nt:
+            renew = rd.from_arrow(_cl.empty_table())
+        else:
+            renew = rd.from_arrow(connected_components_local(
+                pa.concat_tables(et) if et else _es.empty_table(),
+                pa.concat_tables(nt)))
+    else:
+        renew = connected_components(
+            rec_edges, rec_nodes, num_partitions=num_partitions,
+            max_iters=max_iters,
+        )
     return untouched.union(renew)
