@@ -103,9 +103,22 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-scoped memo of the materialized ER intermediates, keyed by
+# fixture dir: eleven er_* queries share the docs -> blocks -> pairs ->
+# edges lineage, and without pinning, EVERY one re-executes it from the
+# parquet scan (the driver's 50-query correctness gate pays that ~11x).
+# Deterministic lineage + deterministic fixture => identical blocks; the
+# materialized datasets live in the object store for the session.
+_ER_DS_CACHE: Dict[tuple, object] = {}
+
+
 def _er_docs_ds(sf_dir: str):
     tp, _ = ensure_fixture(sf_dir)
-    return build_docs(read_parquet_clean(tp), num_buckets=16)
+    key = ("docs", tp)
+    if key not in _ER_DS_CACHE:
+        _ER_DS_CACHE[key] = build_docs(
+            read_parquet_clean(tp), num_buckets=16).materialize()
+    return _ER_DS_CACHE[key]
 
 
 def _docs_sorted_cols(ds):
@@ -137,17 +150,21 @@ def _sig_pairs(docs_ds):
 
 
 def _er_edges_ds(sf_dir: str):
+    key = ("edges", sf_dir)
+    if key in _ER_DS_CACHE:
+        return _ER_DS_CACHE[key]
     pairs = _sig_pairs(_er_docs_ds(sf_dir))
     scored = pairs.map_batches(
         PairScorer(rel_k=0.15, abs_min_k=4, abs_max_k=128, min_similarity=0.85),
         batch_format="pyarrow", batch_size=2048,
     )
-    return scored.map_batches(
+    _ER_DS_CACHE[key] = scored.map_batches(
         lambda t: t.filter(pc.equal(t["is_match"], True)).select(
             ["a_id", "b_id", "dist", "sim"]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    return _ER_DS_CACHE[key]
 
 
 def _adjacent_docs(sf_dir: str, min_len: int | None = None):
