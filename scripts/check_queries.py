@@ -40,6 +40,22 @@ def compare(name: str, ours: pa.Table, theirs: pa.Table) -> str:
         return f"SCHEMA MISMATCH ours={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH ours={len(a)} oracle={len(b)}"
+    # The driver's value hash is dtype-sensitive (round-4 lesson:
+    # running_user_totals was value-exact but red because the oracle
+    # emitted decimal128 where the engine emits int64). Flag any
+    # decimal/object dtype divergence that assert_frame_equal's
+    # check_dtype=False would paper over.
+    dt_ours = {c: str(ours.schema.field(c).type) for c in ours.schema.names}
+    dt_theirs = {c: str(theirs.schema.field(c).type) for c in theirs.schema.names}
+    bad_dt = [
+        c for c in dt_ours
+        if c in dt_theirs and dt_ours[c] != dt_theirs[c]
+        and ("decimal" in dt_ours[c] or "decimal" in dt_theirs[c])
+    ]
+    if bad_dt:
+        return "DTYPE MISMATCH " + ", ".join(
+            f"{c}: ours={dt_ours[c]} oracle={dt_theirs[c]}" for c in bad_dt
+        )
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:

@@ -2342,30 +2342,72 @@ def test_bpe_train_merges_matches_reference_impl(ray_session):
     got = (bpe_train_merges(rd.from_arrow(t).repartition(3), n_merges=5)
            .to_pandas())
 
-    # reference: classic BPE on a word-frequency dict
+    import pandas as pd
+
+    want = pd.DataFrame(
+        _classic_bpe(texts, 5),
+        columns=["round", "merge_left", "merge_right", "pair_count"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+
+
+def _classic_bpe(texts, n_merges):
+    """Single-process classic BPE (Sennrich et al.) over token LISTS —
+    greedy leftmost non-overlapping merge scan, no string-replace
+    shortcut, so it is an independent oracle for the engine's
+    separator-encoded replace."""
     import re
     from collections import Counter
 
     freq = Counter(w for s in texts for w in re.findall(r"[a-z]+",
                                                         s.lower()))
-    SEP = "\x1f"
-    seqs = {w: SEP.join(w) for w in freq}
+    seqs = {w: list(w) for w in freq}
     rows = []
-    for r in range(5):
+    for r in range(n_merges):
         pc = Counter()
         for w, f in freq.items():
-            syms = seqs[w].split(SEP)
+            syms = seqs[w]
             for i in range(len(syms) - 1):
                 pc[(syms[i], syms[i + 1])] += f
         if not pc:
             break
         (l, rr), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         rows.append((r + 1, l, rr, c))
-        for w in seqs:
-            seqs[w] = seqs[w].replace(l + SEP + rr, l + rr)
-    import pandas as pd
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == rr):
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return rows
 
-    want = pd.DataFrame(rows, columns=["round", "merge_left",
-                                       "merge_right", "pair_count"])
-    pd.testing.assert_frame_equal(
-        got.reset_index(drop=True), want, check_dtype=False)
+
+def test_bpe_merge_application_is_boundary_anchored(ray_session):
+    """Regression for the round-4 advice bug: merging (h, e) while the
+    corpus holds ``[th, e]`` sequences must NOT match inside the
+    multi-char symbol ``th``. Corpus tuned so round 1 merges (t, h)
+    and round 2 merges (h, e) while ``the`` is still ``[th, e]``; the
+    old ``x+SEP+y`` replace collapsed ``the`` to one symbol here,
+    which shifts every later round. Also covers the adjacent-run case
+    ``[a,a,a,a] → [aa, aa]`` via the list-scan reference."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import bpe_train_merges
+
+    texts = (["the"] * 10 + ["oth"] * 6 + ["ith"] * 6 + ["uth"] * 6
+             + ["whe"] * 12 + ["aaaa"] * 3)
+    t = pa.table({"text": texts})
+    got = [tuple(r.values()) for r in
+           bpe_train_merges(rd.from_arrow(t).repartition(3),
+                            n_merges=5).take_all()]
+    want = [tuple(r) for r in _classic_bpe(texts, 5)]
+    assert got == want
+    # pin the trap: round 2 merges (h, e) with th|e unmerged; round 4
+    # must then still see the genuine (th, e) pair with count 10
+    assert got[1][1:] == ("h", "e", 12)
+    assert ("th", "e", 10) in [g[1:] for g in got]

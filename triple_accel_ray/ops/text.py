@@ -1063,12 +1063,26 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
     counting and merge application are stateless vectorized maps over
     the VOCAB table (not the corpus); each round shuffles only
     (left, right, count) vocabulary-pair rows, and the only
-    driver-resident state is the merge list itself (n rows). Symbols
-    are chr(31)-joined character runs, and every engine in play
-    (python str.replace, polars replace_all literal, DuckDB replace)
-    shares leftmost non-overlapping all-occurrence replace semantics,
-    so the SQL twin (``_bpe_oracle`` in queries.py, rounds unrolled) is
-    value-exact."""
+    driver-resident state is the merge list itself (n rows). The
+    symbolization is INCREMENTAL: the symbol-sequence column ``seq``
+    is materialized once and each round applies only the newly-chosen
+    merge (one vocab-sized pass), so per-round cost is flat in the
+    number of merges already applied — not a replay of the full merge
+    list from raw characters.
+
+    Symbol encoding: every symbol is wrapped in its own chr(31) pair
+    (``"abc"`` → ``S a S S b S S c S`` with S = chr(31)), so merging
+    pair (x, y) is the literal replace ``SxSSyS → SxyS``. This is
+    boundary-anchored — a pattern can only match where x and y are
+    COMPLETE adjacent symbols (with the naive ``x+S+y`` encoding,
+    merging (h, e) over tokens ``[th, e]`` matched inside ``th``) —
+    and, because each match consumes both symbols' full wrapping while
+    leaving the neighbours' wrapping intact, one leftmost
+    non-overlapping replace pass reproduces classic BPE's greedy
+    left-to-right list scan exactly (``[a,a,a,a]`` → ``[aa, aa]``).
+    python str.replace, polars literal replace_all and DuckDB replace
+    all share those replace semantics, so the SQL twin (``_bpe_oracle``
+    in queries.py, rounds unrolled) is value-exact."""
     from ray.data.aggregate import Sum
 
     SEP = "\x1f"
@@ -1086,9 +1100,22 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
         return w.rename({"w": "word"}).to_arrow().cast(
             pa.schema([("word", pa.string()), ("freq", pa.int64())]))
 
+    sym_schema = pa.schema([
+        ("word", pa.string()), ("freq", pa.int64()), ("seq", pa.string()),
+    ])
+
+    def _symbolize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sym_schema.empty_table()
+        df = pl.from_arrow(t)
+        return df.with_columns(
+            seq=pl.col("word").str.replace_all(r"(.)", SEP + "${1}" + SEP)
+        ).to_arrow().select(sym_schema.names).cast(sym_schema)
+
     vocab = (
         docs.map_batches(_words, batch_format="pyarrow")
         .groupby("word").aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(_symbolize, batch_format="pyarrow")
         .materialize()
     )
 
@@ -1099,36 +1126,40 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
         ("merge_right", pa.string()), ("pair_count", pa.int64()),
     ])
 
-    def _pair_counts(merges):
+    def _pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = pl.from_arrow(t)
+        sym = df.with_columns(
+            l=pl.col("seq").str.strip_chars(SEP).str.split(SEP + SEP)
+        ).select("freq", "l")
+        pairs = (
+            sym.with_columns(
+                left=pl.col("l").list.slice(0, pl.col("l").list.len() - 1),
+                right=pl.col("l").list.slice(1),
+            )
+            .drop("l")
+            .explode(["left", "right"])
+            .drop_nulls()
+            .group_by(["left", "right"])
+            .agg(c=pl.col("freq").sum().cast(pl.Int64))
+        )
+        return pairs.to_arrow().cast(
+            pa.schema([("left", pa.string()), ("right", pa.string()),
+                       ("c", pa.int64())]))
+
+    def _apply_merge(x: str, y: str):
+        pat = SEP + x + SEP + SEP + y + SEP
+        rep = SEP + x + y + SEP
+
         def _f(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return pa.table({"left": pa.array([], pa.string()),
-                                 "right": pa.array([], pa.string()),
-                                 "c": pa.array([], pa.int64())})
-            df = pl.from_arrow(t)
-            seq = pl.col("word").str.replace_all(r"(.)", "${1}" + SEP)
-            seq = seq.str.strip_chars_end(SEP)
-            df = df.with_columns(seq=seq)
-            for x, y in merges:
-                df = df.with_columns(
-                    seq=pl.col("seq").str.replace_all(
-                        x + SEP + y, x + y, literal=True))
-            sym = df.with_columns(
-                l=pl.col("seq").str.split(SEP)).select("freq", "l")
-            pairs = (
-                sym.with_columns(
-                    left=pl.col("l").list.slice(0, pl.col("l").list.len() - 1),
-                    right=pl.col("l").list.slice(1),
-                )
-                .drop("l")
-                .explode(["left", "right"])
-                .drop_nulls()
-                .group_by(["left", "right"])
-                .agg(c=pl.col("freq").sum().cast(pl.Int64))
-            )
-            return pairs.to_arrow().cast(
-                pa.schema([("left", pa.string()), ("right", pa.string()),
-                           ("c", pa.int64())]))
+                return sym_schema.empty_table()
+            return pl.from_arrow(t).with_columns(
+                seq=pl.col("seq").str.replace_all(pat, rep, literal=True)
+            ).to_arrow().cast(sym_schema)
         return _f
 
     def _top1(t: pa.Table) -> pa.Table:
@@ -1142,12 +1173,10 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
             pa.schema([("left", pa.string()), ("right", pa.string()),
                        ("c", pa.int64())]))
 
-    merges: list = []
     rows = []
     for r in range(int(n_merges)):
         top = (
-            vocab.map_batches(_pair_counts(list(merges)),
-                              batch_format="pyarrow")
+            vocab.map_batches(_pair_counts, batch_format="pyarrow")
             .groupby(["left", "right"]).aggregate(Sum("c", alias_name="c"))
             .repartition(1)
             .map_batches(_top1, batch_format="pyarrow", batch_size=None)
@@ -1156,8 +1185,12 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
         if not top:
             break
         m = top[0]
-        merges.append((m["left"], m["right"]))
         rows.append((r + 1, m["left"], m["right"], int(m["c"])))
+        # incremental: fold ONLY the new merge into the materialized
+        # symbolization — one vocab-sized pass per round, flat in r
+        vocab = vocab.map_batches(
+            _apply_merge(m["left"], m["right"]), batch_format="pyarrow"
+        ).materialize()
 
     import ray.data as rd
 

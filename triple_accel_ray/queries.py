@@ -2910,11 +2910,15 @@ raw AS (
 
 def _bpe_oracle(n_merges: int = 6) -> str:
     """Unrolled SQL twin of ops/text.bpe_train_merges: word-frequency
-    table, then per round adjacent-pair counts over chr(31)-joined
-    symbol sequences, argmax by (count DESC, pair ASC), and
-    merge-everywhere via replace() — DuckDB's replace, python
-    str.replace and polars literal replace_all all share leftmost
-    non-overlapping all-occurrence semantics, so the merge tables are
+    table, then per round adjacent-pair counts over symbol sequences,
+    argmax by (count DESC, pair ASC), and merge-everywhere via
+    replace(). Symbol encoding mirrors the engine: every symbol is
+    wrapped in its own chr(31) pair (``S a S S b S …``), so merging
+    (x, y) is the boundary-anchored literal replace ``SxSSyS → SxyS``
+    — a match needs x and y as COMPLETE adjacent symbols, and one
+    leftmost non-overlapping pass equals classic BPE's greedy list
+    scan. DuckDB's replace, python str.replace and polars literal
+    replace_all all share those semantics, so the merge tables are
     value-exact. chr(30) is the never-occurring no-op pattern guarding
     rounds where no pair exists."""
     parts = [r"""words AS (
@@ -2924,21 +2928,26 @@ def _bpe_oracle(n_merges: int = 6) -> str:
   WHERE w <> '' GROUP BY 1),
 seq0 AS (
   SELECT word, freq,
-         rtrim(regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
-               chr(31)) AS seq
+         regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g')
+           AS seq
   FROM words)"""]
     for r in range(n_merges):
         parts.append(f"""p{r} AS (
   SELECT l[i] AS ml, l[i + 1] AS mr, sum(freq)::BIGINT AS c
   FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
-        FROM (SELECT freq, string_split(seq, chr(31)) AS l FROM seq{r}))
+        FROM (SELECT freq,
+                     string_split(trim(seq, chr(31)), chr(31) || chr(31))
+                       AS l
+              FROM seq{r}))
   GROUP BY 1, 2),
 m{r} AS (SELECT ml, mr, c FROM p{r} ORDER BY c DESC, ml, mr LIMIT 1),
 seq{r + 1} AS (
   SELECT word, freq,
          replace(seq,
-                 coalesce((SELECT ml || chr(31) || mr FROM m{r}), chr(30)),
-                 coalesce((SELECT ml || mr FROM m{r}), chr(30))) AS seq
+                 coalesce((SELECT chr(31) || ml || chr(31) || chr(31)
+                                  || mr || chr(31) FROM m{r}), chr(30)),
+                 coalesce((SELECT chr(31) || ml || mr || chr(31)
+                           FROM m{r}), chr(30))) AS seq
   FROM seq{r})""")
     unions = "\nUNION ALL\n".join(
         f"SELECT {r + 1}::BIGINT AS round, ml AS merge_left, "
@@ -4761,7 +4770,7 @@ FROM j"""
     o["running_user_totals"] = """
 SELECT event_id, user_id,
        count(*) OVER w AS cum_n,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS cum_cents
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)"""
@@ -4769,7 +4778,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
     o["moving_user_frame_sums"] = """
 SELECT event_id, user_id,
        count(*) OVER w AS frame_n,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS frame_cents
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS frame_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
@@ -4780,7 +4789,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
     o["trailing_1h_user_sums"] = """
 SELECT event_id, user_id,
        count(*) OVER w AS w_n,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS w_cents
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS w_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
