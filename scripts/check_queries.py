@@ -2,7 +2,12 @@
 entry at sf0.01 (or a given sf dir), run its oracle SQL in DuckDB, compare
 row count + (sorted) schema + order-insensitive value hash.
 
-Usage: python scripts/check_queries.py [sf_dir] [query ...]
+Usage: python scripts/check_queries.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, writes a machine-readable per-query artifact (verdict, row
+counts, wall time) alongside the console output — the committed full-gate
+record (GATE_LOCAL_r{N}.json) for queries outside the driver's 50-row
+correctness window.
 """
 
 from __future__ import annotations
@@ -66,8 +71,13 @@ def compare(name: str, ours: pa.Table, theirs: pa.Table) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -92,6 +102,7 @@ def main():
         )
 
     n_ok = n_bad = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,17 +112,23 @@ def main():
         except Exception as ex:
             print(f"[FAIL-RUN ] {name}: {type(ex).__name__}: {ex}")
             n_bad += 1
+            results[name] = {"status": "FAIL-RUN", "rows": None,
+                             "detail": f"{type(ex).__name__}: {ex}"[:300]}
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"[ROWS-ONLY] {name}: {ours.num_rows} rows ({dt:.1f}s)")
             n_ok += 1
+            results[name] = {"status": "ROWS-ONLY", "rows": ours.num_rows,
+                             "sec": round(dt, 2)}
             continue
         try:
             theirs = con.sql(oracles[name]).fetch_arrow_table()
         except Exception as ex:
             print(f"[FAIL-SQL ] {name}: {type(ex).__name__}: {ex}")
             n_bad += 1
+            results[name] = {"status": "FAIL-SQL", "rows": ours.num_rows,
+                             "detail": f"{type(ex).__name__}: {ex}"[:300]}
             continue
         verdict = compare(name, ours, theirs)
         status = "OK" if verdict == "OK" else "FAIL-CMP"
@@ -120,7 +137,23 @@ def main():
         else:
             n_bad += 1
         print(f"[{status:9s}] {name}: {ours.num_rows} rows ({dt:.1f}s) {'' if verdict=='OK' else verdict}")
+        results[name] = {"status": status, "rows": ours.num_rows,
+                         "oracle_rows": theirs.num_rows, "sec": round(dt, 2)}
+        if verdict != "OK":
+            results[name]["detail"] = verdict[:300]
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if json_out:
+        import json
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "head_sha": sha,
+                       "n_ok": n_ok, "n_bad": n_bad,
+                       "queries": results}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_bad else 0
 
 

@@ -11,11 +11,11 @@ SF = "/root/testdata/sf0.001"
 
 def test_driver_window_is_queries_prefix():
     """The driver checks the FIRST 50 queries() keys in dict order —
-    the round-4 window list must be exactly that prefix."""
-    from triple_accel_ray.queries import DRIVER_WINDOW_R4, build_queries
+    the round-5 window list must be exactly that prefix."""
+    from triple_accel_ray.queries import DRIVER_WINDOW_R5, build_queries
 
     keys = list(build_queries().keys())
-    assert keys[:50] == DRIVER_WINDOW_R4
+    assert keys[:50] == DRIVER_WINDOW_R5
     assert len(keys) == len(set(keys))
 
 
@@ -100,3 +100,70 @@ def test_knn_ivf_recall_clustered(ray_session):
                  nprobe=1).to_pandas()
     got = set(zip(iv.query_id, iv.neighbor_id))
     assert len(got & exact) * 1000 // len(exact) >= 800
+
+
+def test_knn_ivf_int_exact_within_probed_cells(ray_session):
+    """knn_ivf_int == a numpy replay of the same integer recipe
+    (kmeans_int-style training, one cell per vector, nprobe nearest
+    cells per query, exact int L2 within probed cells) on the clustered
+    fixture — the oracle logic independent of SQL."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.similarity import knn_ivf_int
+    from triple_accel_ray.pipeline.blocking import _mix64
+    from triple_accel_ray.queries import CLUST_DIM, _clustered_vectors
+
+    n, k, ncent, nprobe, n_iter, seed = 120, 5, 8, 2, 3, 29
+    V = _clustered_vectors(np.arange(n), CLUST_DIM)
+    off = pa.array(np.arange(0, (n + 1) * CLUST_DIM, CLUST_DIM,
+                             dtype=np.int32))
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": pa.ListArray.from_arrays(
+             off, pa.array(V.ravel().astype(np.float64), pa.float64()))})
+    qt = tbl.slice(0, 6)
+    got = (knn_ivf_int(rd.from_arrow(tbl).repartition(4), qt, k=k,
+                       n_centroids=ncent, nprobe=nprobe, n_iter=n_iter,
+                       quant_scale=1, seed=seed)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+
+    # numpy replay
+    ids = np.arange(n, dtype=np.int64)
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15) % 2**64)
+    h = _mix64(ids.astype(np.uint64) ^ salt)
+    C = V[np.lexsort((ids, h))[:ncent]].copy()
+    for _ in range(n_iter):
+        score = (C * C).sum(1)[None, :] - 2 * (V @ C.T)
+        lab = np.argmin(score, 1)
+        for j in range(ncent):
+            if (lab == j).any():
+                C[j] = V[lab == j].sum(0) // (lab == j).sum()
+    score = (C * C).sum(1)[None, :] - 2 * (V @ C.T)
+    lab = np.argmin(score, 1)
+    rows = []
+    for qi in range(6):
+        qs = (C * C).sum(1) - 2 * (V[qi] @ C.T)
+        probes = np.argsort(qs, kind="stable")[:nprobe]
+        cand = np.nonzero(np.isin(lab, probes) & (ids != qi))[0]
+        d = ((V[cand] - V[qi]) ** 2).sum(1)
+        order = np.lexsort((ids[cand], d))[:k]
+        for r, j in enumerate(order):
+            rows.append((qi, int(ids[cand][j]), int(d[j]), r + 1))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                       "l2_dist", "rank"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("sf_dir", [SF])
+def test_knn_ivf_recall_clustered_query_meets_bar(ray_session, sf_dir):
+    """Driver-row twin (knn_ivf_recall_clustered): recall@5 on the
+    clustered fixture via the oracle-checkable integer IVF — 1000
+    permille measured at sf0.001/sf0.01; bar 800."""
+    from triple_accel_ray.queries import build_queries
+
+    row = build_queries()["knn_ivf_recall_clustered"](sf_dir).to_pandas()
+    assert len(row) == 1
+    assert int(row["recall_permille"].iloc[0]) >= 800

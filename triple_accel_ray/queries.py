@@ -103,6 +103,43 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _clustered_emb(sf_dir: str, nq: int = 10):
+    """(emb Dataset, queries Table) of the planted-cluster fixture over
+    the sf embeddings ids. Query ids are the ``nq`` SMALLEST vec_ids —
+    derived from the fixture (round-4 advice: an arange(10) assumption
+    would silently diverge from the oracle's ORDER BY vec_id LIMIT 10 on
+    a fixture with non-contiguous ids)."""
+    dim = CLUST_DIM
+    ids_ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id"])
+
+    def _synth(t: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            t["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+        V = _clustered_vectors(ids, dim)
+        off = pa.array(
+            np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32))
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.ListArray.from_arrays(
+                 off, pa.array(V.ravel().astype(np.float64),
+                               pa.float64()))})
+
+    emb = ids_ds.map_batches(_synth, batch_format="pyarrow")
+    all_ids = pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id"])["vec_id"]
+    q_ids = np.sort(np.asarray(
+        all_ids.to_numpy(zero_copy_only=False), np.int64))[:nq]
+    Vq = _clustered_vectors(q_ids, dim)
+    qoff = pa.array(
+        np.arange(0, (len(q_ids) + 1) * dim, dim, dtype=np.int32))
+    queries_table = pa.table(
+        {"vec_id": pa.array(q_ids, pa.int64()),
+         "embedding": pa.ListArray.from_arrays(
+             qoff, pa.array(Vq.ravel().astype(np.float64),
+                            pa.float64()))})
+    return emb, queries_table
+
+
 # Session-scoped memo of the materialized ER intermediates, keyed by
 # fixture dir: eleven er_* queries share the docs -> blocks -> pairs ->
 # edges lineage, and without pinning, EVERY one re-executes it from the
@@ -709,32 +746,8 @@ def build_queries() -> Dict[str, Callable]:
         >= 800 permille."""
         from .ops.similarity import knn_bruteforce_l2int, knn_pq
 
-        ids_ds = read_parquet_clean(
-            _t(sf_dir, "embeddings"), columns=["vec_id"])
-        dim = CLUST_DIM
         k = 5
-
-        def _synth(t: pa.Table) -> pa.Table:
-            ids = np.asarray(
-                t["vec_id"].to_numpy(zero_copy_only=False), np.int64)
-            V = _clustered_vectors(ids, dim)
-            off = pa.array(
-                np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32))
-            return pa.table(
-                {"vec_id": pa.array(ids, pa.int64()),
-                 "embedding": pa.ListArray.from_arrays(
-                     off, pa.array(V.ravel().astype(np.float64),
-                                   pa.float64()))})
-
-        emb = ids_ds.map_batches(_synth, batch_format="pyarrow")
-        q_ids = np.arange(10, dtype=np.int64)
-        Vq = _clustered_vectors(q_ids, dim)
-        qoff = pa.array(np.arange(0, 11 * dim, dim, dtype=np.int32))
-        queries_table = pa.table(
-            {"vec_id": pa.array(q_ids, pa.int64()),
-             "embedding": pa.ListArray.from_arrays(
-                 qoff, pa.array(Vq.ravel().astype(np.float64),
-                                pa.float64()))})
+        emb, queries_table = _clustered_emb(sf_dir)
 
         pq_top = knn_pq(emb, queries_table, k=k, n_sub=8, ksub=16,
                         n_iter=1, quant_scale=1).map_batches(
@@ -772,6 +785,61 @@ def build_queries() -> Dict[str, Callable]:
             _recall, batch_format="pyarrow", batch_size=None)
 
     q["knn_pq_recall_clustered"] = knn_pq_recall_clustered
+
+    def knn_ivf_recall_clustered(sf_dir):
+        """IVF ANN quality, oracle-checked (round-4 verdict Missing #4:
+        IVF recall had only pytest evidence because float k-means isn't
+        SQL-replayable). ops/similarity.knn_ivf_int is the integer IVF:
+        kmeans_int-style centroid training, one cell per corpus vector,
+        nprobe nearest cells per query, exact int64 L2 within probed
+        cells — deterministic end to end, so the probe sets, the top-5
+        AND the recall all have a composed SQL twin over the same
+        planted-cluster fixture knn_pq_recall_clustered uses. Bar:
+        cluster mates sit ~50x closer than strangers, so a working IVF
+        index must put each query's 5 mates in its probed cells —
+        recall_permille = 1000 expected (any value is value-checked)."""
+        from .ops.similarity import knn_bruteforce_l2int, knn_ivf_int
+
+        k = 5
+        emb, queries_table = _clustered_emb(sf_dir)
+
+        ivf_top = knn_ivf_int(
+            emb, queries_table, k=k, n_centroids=8, nprobe=2, n_iter=3,
+            quant_scale=1, seed=29).map_batches(
+            lambda t: pa.table({"query_id": t["query_id"],
+                                "neighbor_id": t["neighbor_id"],
+                                "side": pa.array(
+                                    np.zeros(t.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        ex_top = knn_bruteforce_l2int(
+            emb, queries_table, k=k, quant_scale=1).map_batches(
+            lambda t: pa.table({"query_id": t["query_id"],
+                                "neighbor_id": t["neighbor_id"],
+                                "side": pa.array(
+                                    np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow")
+
+        def _recall(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            p = df.filter(pl.col("side") == 0).select(
+                ["query_id", "neighbor_id"])
+            e = df.filter(pl.col("side") == 1).select(
+                ["query_id", "neighbor_id"])
+            overlap = p.join(e, on=["query_id", "neighbor_id"],
+                             how="semi").height
+            nq = e["query_id"].n_unique()
+            return pa.table({
+                "n_queries": pa.array([nq], pa.int64()),
+                "overlap": pa.array([overlap], pa.int64()),
+                "recall_permille": pa.array(
+                    [(1000 * overlap) // (nq * k) if nq else 1000],
+                    pa.int64()),
+            })
+
+        return ivf_top.union(ex_top).repartition(1).map_batches(
+            _recall, batch_format="pyarrow", batch_size=None)
+
+    q["knn_ivf_recall_clustered"] = knn_ivf_recall_clustered
 
     def embed_near_dups_lsh(sf_dir):
         """SRP-LSH near-dup pairs over a corpus with PLANTED duplicates:
@@ -2645,7 +2713,7 @@ def build_queries() -> Dict[str, Callable]:
     # Rotation note: ROTATION.md tracks which keys each round's window
     # covered; round 5 should rotate the still-uncovered remainder in.
     ordered: Dict[str, Callable] = {}
-    for name in DRIVER_WINDOW_R4:
+    for name in DRIVER_WINDOW_R5:
         ordered[name] = q[name]  # KeyError => window list out of sync
     for name, fn in q.items():
         if name not in ordered:
@@ -2699,6 +2767,52 @@ DRIVER_WINDOW_R4 = [
     "er_pagerank", "er_kcore2", "er_edge_triangles",
 ]
 assert len(DRIVER_WINDOW_R4) == 50, len(DRIVER_WINDOW_R4)
+
+
+# Round-5 driver window (first 50 queries() keys, see build_queries).
+# Keeps the 8 ER-core rows + the flagship late additions every round
+# (knn_pq_recall_clustered, bpe_train_merges, dup_substring_spans,
+# er_pagerank) + the NEW oracle-checkable IVF recall; the other 37
+# slots rotate in keys with no prior hard driver signal (ROTATION.md
+# ledger: cumulative driver-checked reaches 126 of 132 after this
+# window; the remainder is covered by the committed full local gate
+# artifact scripts/check_queries.py writes each round).
+DRIVER_WINDOW_R5 = [
+    # ER flagship core (always in-window)
+    "er_docs_build", "er_exact_dup_clusters", "er_block_stats",
+    "er_candidate_pairs", "er_match_edges", "er_clusters",
+    "er_clusters_after_delete", "er_clusters_full",
+    # flagship late additions (keep hard signal every round)
+    "knn_pq_recall_clustered", "bpe_train_merges",
+    "dup_substring_spans", "er_pagerank",
+    # NEW round-5: oracle-checked IVF recall (VERDICT r4 Missing #4)
+    "knn_ivf_recall_clustered",
+    # multimodal codecs (never driver-checked)
+    "media_feature_rows_png", "media_resize_4x_jpeg",
+    # curation / relational (never driver-checked)
+    "top3_longest_per_source", "docs_not_in_ref", "orders_fk_orphans",
+    "events_upserted", "join_size_orders_events",
+    # sketches (never driver-checked)
+    "hll_users_by_type_registers", "distinct_users_exact",
+    "quantiles_value_cents", "cms_user_registers",
+    "value_log_quantiles", "bloom_user_bits", "bloom_membership",
+    # export (never driver-checked)
+    "shuffle_export_shards", "mixture_sample", "event_zorder_keys",
+    # transcripts / profiling (never driver-checked)
+    "conv_turn_stats", "conv_lint_counts", "conv_id_dictionary",
+    "source_len_drift", "er_score_calibration",
+    # windows / streaming (never driver-checked; the two HUGEINT-fixed
+    # oracles rotate in here)
+    "moving_user_frame_sums", "trailing_1h_user_sums",
+    "event_type_transitions", "user_value_trends",
+    "hourly_top_event_types", "hourly_unique_users",
+    "daily_event_deltas",
+    # text analysis (never driver-checked)
+    "doc_source_lang_rollup", "sample3_hash_per_source",
+    "grams_only_in_src0", "grams_in_both_srcs", "docs_inverted_index",
+    "doc_len_outliers", "term_cooc_top20", "distinctive_terms",
+]
+assert len(DRIVER_WINDOW_R5) == 50, len(DRIVER_WINDOW_R5)
 
 
 # ---------------------------------------------------------- oracle_sql()
@@ -2798,6 +2912,84 @@ SELECT vec_id, cluster::BIGINT AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
   FROM af) WHERE rn = 1""")
+
+
+def _ivf_oracle(n_centroids: int, nprobe: int, n_iter: int,
+                quant_scale: int, seed: int, k: int, nq: int,
+                raw_sql: str) -> str:
+    """Unrolled integer IVF twin of ops/similarity.knn_ivf_int: the
+    _kmeans_oracle centroid unroll (seeded mix64-rank init, integer-
+    argmin assign with ties → smallest cluster, floor-div update, empty
+    cluster keeps its centroid), then cell assignment for every vector,
+    nprobe nearest cells per query (ties → smallest cluster), and exact
+    int64 squared-L2 top-k restricted to probed cells (ties →
+    neighbor_id ascending, self excluded)."""
+    salt = (seed * 0x9E3779B97F4A7C15) % 2**64
+    chain, last = _mix64_chain_sql("h0", "vec_id", "km")
+    parts = [f"""{raw_sql},
+pts AS (
+  SELECT vec_id,
+         CAST(floor(CAST(v AS DOUBLE) * {float(quant_scale)} + 0.5) AS BIGINT) AS q,
+         dim
+  FROM raw),
+h0 AS (SELECT vec_id::BIGINT AS vec_id,
+              CAST(xor(CAST(vec_id AS UBIGINT), {salt}::UBIGINT) AS HUGEINT) AS h
+       FROM embeddings),
+{chain},
+sel AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster
+        FROM {last} ORDER BY h, vec_id LIMIT {n_centroids}),
+c0 AS (SELECT s.cluster, p.dim, p.q AS val
+       FROM sel s JOIN pts p USING (vec_id))"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i} AS (
+  SELECT p.vec_id, c.cluster,
+         sum((p.q - c.val) * (p.q - c.val))::BIGINT AS d2
+  FROM pts p JOIN c{i - 1} c ON c.dim = p.dim GROUP BY 1, 2),
+asn{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rn
+    FROM a{i}) WHERE rn = 1),
+agg{i} AS (
+  SELECT a.cluster, p.dim, sum(p.q)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM asn{i} a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+c{i} AS (
+  SELECT pc.cluster, pc.dim,
+         CASE WHEN g.n IS NULL THEN pc.val
+              ELSE (g.s - (((g.s % g.n) + g.n) % g.n)) // g.n END AS val
+  FROM c{i - 1} pc LEFT JOIN agg{i} g
+    ON g.cluster = pc.cluster AND g.dim = pc.dim)""")
+    parts.append(f"""af AS (
+  SELECT p.vec_id, c.cluster,
+         sum((p.q - c.val) * (p.q - c.val))::BIGINT AS d2
+  FROM pts p JOIN c{n_iter} c ON c.dim = p.dim GROUP BY 1, 2),
+cell AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM af) WHERE rn = 1),
+qs AS (SELECT vec_id::BIGINT AS vec_id FROM embeddings
+       ORDER BY vec_id LIMIT {nq}),
+probe AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM af WHERE vec_id IN (SELECT vec_id FROM qs)) WHERE rn <= {nprobe}),
+dist AS (
+  SELECT pr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum((pq2.q - pc.q) * (pq2.q - pc.q))::BIGINT AS l2_dist
+  FROM probe pr
+  JOIN cell c ON c.cluster = pr.cluster AND c.vec_id != pr.vec_id
+  JOIN pts pq2 ON pq2.vec_id = pr.vec_id
+  JOIN pts pc ON pc.vec_id = c.vec_id AND pc.dim = pq2.dim
+  GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, l2_dist, rank::BIGINT AS rank FROM (
+  SELECT query_id, neighbor_id, l2_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist, neighbor_id) AS rank
+  FROM dist) WHERE rank <= {k}""")
 
 
 def _pq_oracle(n_sub: int, ksub: int, n_iter: int, quant_scale: int,
@@ -3576,6 +3768,23 @@ e AS ({_clust_exact}),
 ov AS (SELECT count(*)::BIGINT AS overlap
        FROM p JOIN e ON p.query_id = e.query_id
                     AND p.neighbor_id = e.neighbor_id),
+nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n FROM e)
+SELECT nq.n AS n_queries, ov.overlap,
+       ((1000 * ov.overlap) // (nq.n * 5))::BIGINT AS recall_permille
+FROM ov, nq"""
+
+    # IVF recall on the same clustered fixture: integer-centroid IVF
+    # (knn_ivf_int) unrolled in SQL — probe sets, top-5 and recall all
+    # value-checked (round-4 verdict Missing #4)
+    _clust_ivf = _ivf_oracle(n_centroids=8, nprobe=2, n_iter=3,
+                             quant_scale=1, seed=29, k=5, nq=10,
+                             raw_sql=_clustered_raw_sql())
+    o["knn_ivf_recall_clustered"] = f"""
+WITH i AS ({_clust_ivf}),
+e AS ({_clust_exact}),
+ov AS (SELECT count(*)::BIGINT AS overlap
+       FROM i JOIN e ON i.query_id = e.query_id
+                    AND i.neighbor_id = e.neighbor_id),
 nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n FROM e)
 SELECT nq.n AS n_queries, ov.overlap,
        ((1000 * ov.overlap) // (nq.n * 5))::BIGINT AS recall_permille
