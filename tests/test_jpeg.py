@@ -227,3 +227,108 @@ def test_color_fixture_twins_agree():
         assert int.from_bytes(twin[8:10], "little") == w3
         px = np.frombuffer(twin[12:], np.uint8).reshape(h, w3)
         assert (rgb.reshape(h, w3) == px).all()
+
+
+def _encode_color_custom(img, samp, order, q=None):
+    """Test-only mini encoder: baseline interleaved color JPEG with an
+    arbitrary per-component sampling grid AND an arbitrary SCAN
+    component order (the SOS list and the per-MCU data-unit interleave
+    both follow ``order``). Mirrors ops.jpeg._encode_color; exists to
+    produce the reordered-scan / non-divisor-grid files the library
+    encoder deliberately never emits."""
+    from triple_accel_ray.ops.jpeg import (
+        AC_CHR_BITS, AC_CHR_VALS, AC_LUM_BITS, AC_LUM_VALS,
+        DC_CHR_BITS, DC_CHR_VALS, DC_LUM_BITS, DC_LUM_VALS,
+        _BitWriter, _blockify, _box, _canonical_codes, _dct_quant_zz,
+        _encode_block, _rgb_to_ycbcr, _seg,
+    )
+
+    h, w = img.shape[:2]
+    q = np.ones(64, np.int64) if q is None else q
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    ycc = _rgb_to_ycbcr(img)
+    zzs = []
+    for c, (hc, vc) in enumerate(samp):
+        plane = ycc[..., c]
+        if hc < hmax or vc < vmax:
+            plane = _box(plane, vmax // vc, hmax // hc)
+        zzs.append(_dct_quant_zz(
+            _blockify(plane, h8=mcuy * vc * 8, w8=mcux * hc * 8) - 128.0, q))
+    lum = (_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+           _canonical_codes(AC_LUM_BITS, AC_LUM_VALS))
+    chro = (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
+            _canonical_codes(AC_CHR_BITS, AC_CHR_VALS))
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in order:
+                hc, vc = samp[c]
+                dc_c, ac_c = lum if c == 0 else chro
+                for by in range(vc):
+                    for bx in range(hc):
+                        n = (my * vc + by) * (hc * mcux) + (mx * hc + bx)
+                        pred[c] = _encode_block(bw, zzs[c][n], pred[c],
+                                                dc_c, ac_c)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, bytes([0x01]) + bytes(q[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for c, (hc, vc) in enumerate(samp):
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_CHR_VALS))
+    out += _seg(0xC4, bytes([0x11]) + bytes(AC_CHR_BITS) + bytes(AC_CHR_VALS))
+    sos = bytes([3])
+    for c in order:
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_color_scan_order_differs_from_frame_order():
+    """Round-4 advice: a scan listing components in a different order
+    than the frame header must decode identically, not pair tables and
+    sampling factors positionally. Same image, scan orders (Y,Cb,Cr)
+    vs (Cr,Cb,Y) -> identical pixels, equal to the library encoder's
+    canonical 4:4:4 output."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    canonical = jpeg_decode(jpeg_encode(img, subsampling="444"))
+    fwd = jpeg_decode(_encode_color_custom(img, [(1, 1)] * 3, (0, 1, 2)))
+    rev = jpeg_decode(_encode_color_custom(img, [(1, 1)] * 3, (2, 1, 0)))
+    assert np.array_equal(fwd, canonical)
+    assert np.array_equal(rev, canonical)
+    # and with subsampled chroma (4:2:0), where wrong sampling factors
+    # would desync the MCU block layout immediately
+    samp420 = [(2, 2), (1, 1), (1, 1)]
+    c420 = jpeg_decode(jpeg_encode(img, subsampling="420"))
+    r420 = jpeg_decode(_encode_color_custom(img, samp420, (2, 1, 0)))
+    assert np.array_equal(r420, c420)
+
+
+def test_color_non_divisor_sampling_grid_decodes():
+    """Round-4 advice: 3x1 luma with 1x1 chroma (3 does not divide into
+    replication) used to crash in np.stack with a shape mismatch; the
+    nearest-neighbor index upsample must decode it. Constant gray is
+    bit-exact (Y=R, Cb=Cr=128 round-trips losslessly); constant color
+    within the +-1 YCbCr integer-rounding envelope."""
+    samp = [(3, 1), (1, 1), (1, 1)]
+    gray = np.full((8, 24, 3), 77, np.uint8)
+    out = jpeg_decode(_encode_color_custom(gray, samp, (0, 1, 2)))
+    assert out.shape == gray.shape
+    assert np.array_equal(out, gray)
+    img = np.empty((8, 24, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 90, 160, 40
+    out = jpeg_decode(_encode_color_custom(img, samp, (0, 1, 2)))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1

@@ -371,7 +371,7 @@ def ssjoin_token_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         df = pl.from_arrow(pa.table({
             "doc_id": t[id_col].cast(pa.string()), "text": t[text_col]}))
         tok = (df.with_columns(tok=pl.col("text").str.extract_all(TOK))
-               .select(["doc_id", "tok"]).explode("tok")
+               .select(["doc_id", "tok"]).explode("tok", empty_as_null=True)
                .drop_nulls("tok").unique(["doc_id", "tok"]))
         if tok.height == 0:
             return pre_schema.empty_table()
@@ -479,9 +479,9 @@ def ssjoin_token_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
             "a": t["a_text"], "b": t["b_text"],
         })).with_row_index("pid")
         ta = (df.select("pid", tok=pl.col("a").str.extract_all(TOK))
-              .explode("tok").drop_nulls("tok").unique(["pid", "tok"]))
+              .explode("tok", empty_as_null=True).drop_nulls("tok").unique(["pid", "tok"]))
         tb = (df.select("pid", tok=pl.col("b").str.extract_all(TOK))
-              .explode("tok").drop_nulls("tok").unique(["pid", "tok"]))
+              .explode("tok", empty_as_null=True).drop_nulls("tok").unique(["pid", "tok"]))
         na = ta.group_by("pid").agg(na=pl.len().cast(pl.Int64))
         nb = tb.group_by("pid").agg(nb=pl.len().cast(pl.Int64))
         iv = (ta.join(tb, on=["pid", "tok"], how="inner")

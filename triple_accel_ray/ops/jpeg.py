@@ -513,7 +513,11 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG -> uint8 (h, w) for grayscale,
     uint8 (h, w, 3) RGB for 3-component YCbCr frames (any integer
     sampling-factor grid, e.g. 4:4:4 / 4:2:2 / 4:2:0; chroma upsampled
-    by sample replication).
+    nearest-neighbor — exact sample replication on divisor grids, index
+    mapping on non-divisor ones). Data-unit interleave and table lookup
+    follow the scan's own component sequence, so a scan listing
+    components in a different order than the frame header still decodes
+    correctly.
 
     Raises NotImplementedError on progressive/extended/arithmetic frames,
     restart intervals, or multi-scan non-interleaved color — the honest
@@ -631,10 +635,17 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     zzs = [np.zeros(((vc * mcuy) * (hc * mcux), 64), np.int64)
            for _, hc, vc, _ in comps]
     preds = [0] * len(comps)
-    tbls = [(huff[(0, td)], huff[(1, ta)]) for _, td, ta in scan]
+    # per-MCU data-unit order follows the SCAN's component sequence
+    # (A.2.3); Huffman tables AND sampling factors are looked up by the
+    # scan entry's own frame-component index ci — B.2.3 requires scan
+    # order to equal frame order, but pairing them positionally would
+    # silently decode garbage (wrong tables/factors per component) on a
+    # reordered-scan file instead of handling it
+    tbls = {ci: (huff[(0, td)], huff[(1, ta)]) for ci, td, ta in scan}
     for my in range(mcuy):
         for mx in range(mcux):
-            for (ci, _, _), (_, hc, vc, _) in zip(scan, comps):
+            for ci, _, _ in scan:
+                _, hc, vc, _ = comps[ci]
                 dc_tbl, ac_tbl = tbls[ci]
                 for by in range(vc):
                     for bx in range(hc):
@@ -647,9 +658,15 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         ch = -(-h * vc // vmax)                # component dims (A.1.1)
         cw = -(-w * hc // hmax)
         plane = _idct_plane(zz, quant[tq], hc * mcux, ch, cw)
-        if vc < vmax or hc < hmax:             # replicate-upsample
-            plane = np.repeat(np.repeat(plane, vmax // vc, axis=0),
-                              hmax // hc, axis=1)
+        if vc < vmax or hc < hmax:
+            # nearest-neighbor index upsample: output pixel (y, x) reads
+            # component pixel (y*vc//vmax, x*hc//hmax). Identical to
+            # replication (np.repeat) when the factors divide the max;
+            # unlike repeat it also covers non-divisor grids (e.g. 3x1
+            # luma with 2x1 chroma) instead of a shape-mismatch crash
+            rows = (np.arange(h, dtype=np.int64) * vc) // vmax
+            cols = (np.arange(w, dtype=np.int64) * hc) // hmax
+            plane = plane[rows][:, cols]
         planes.append(plane[:h, :w].astype(np.int64))
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 

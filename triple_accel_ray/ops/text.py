@@ -110,7 +110,7 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         df.with_row_index()
         .with_columns(pl.col(text_col).str.strip_chars().str.to_lowercase()
                       .str.split(by=" ").alias("toks"))
-        .explode("toks")
+        .explode("toks", empty_as_null=True)
         .filter(pl.col("toks").str.len_bytes() > 0)
         .with_columns(pl.col("toks").str.strip_chars(".,!?;:'\"()").alias("toks"))
         .group_by("index")
@@ -165,7 +165,7 @@ class LangId:
             df.with_columns(
                 pl.col("text").str.to_lowercase().str.split(by=" ").alias("toks")
             )
-            .explode("toks")
+            .explode("toks", empty_as_null=True)
             .with_columns(pl.col("toks").str.strip_chars(".,!?;:'\"()"))
             .join(self.lookup, left_on="toks", right_on="tok", how="inner")
             .group_by(["doc_id", "lang_cand"])
@@ -250,7 +250,7 @@ def heavy_hitter_tokens(docs, min_count: int = 200, text_col: str = "text"):
         df = pl.from_arrow(t.select([text_col]))
         out = (
             df.select(pl.col(text_col).str.extract_all(r"\S+").alias("token"))
-            .explode("token")
+            .explode("token", empty_as_null=True)
             .drop_nulls()
             .group_by("token")
             .agg(n=pl.len().cast(pl.Int64))
@@ -297,7 +297,7 @@ def repetition_score_batch(batch: pa.Table, text_col: str = "text",
 
     lines = (
         df.with_columns(l=pl.col(text_col).str.split("\n"))
-        .explode("l")
+        .explode("l", empty_as_null=True)
         .group_by([id_col, "l"])
         .agg(n=pl.len())
         .group_by(id_col)
@@ -319,7 +319,7 @@ def repetition_score_batch(batch: pa.Table, text_col: str = "text",
             a=pl.col("tk").list.slice(0, pl.col("tk").list.len() - 1),
             b=pl.col("tk").list.slice(1),
         )
-        .explode(["a", "b"])
+        .explode(["a", "b"], empty_as_null=True)
         .filter(pl.col("a").is_not_null())
         .with_columns(bg=pl.col("a") + " " + pl.col("b"))
         .group_by([id_col, "bg"])
@@ -444,7 +444,7 @@ def distinctive_terms(docs, k: int = 3, id_col: str = "doc_id",
                 pl.col(id_col),
                 pl.col(text_col).str.extract_all(r"[A-Za-z]+").alias("term"),
             )
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .drop_nulls()
             .with_columns(pl.col("term").str.to_lowercase())
             .group_by([id_col, "term"])
@@ -556,7 +556,7 @@ def inverted_index(docs, id_col: str = "doc_id", text_col: str = "text",
                 pl.col(text_col).str.extract_all(r"[A-Za-z]+")
                 .alias("term"),
             )
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .drop_nulls()
             .with_columns(pl.col("term").str.to_lowercase())
             .unique()
@@ -616,7 +616,7 @@ def term_cooccurrence(docs, vocab_k: int = 20, id_col: str = "doc_id",
         out = (
             df.select(pl.col(text_col).str.extract_all(r"[A-Za-z]+")
                       .alias("w"))
-            .explode("w").drop_nulls()
+            .explode("w", empty_as_null=True).drop_nulls()
             .with_columns(pl.col("w").str.to_lowercase())
             .group_by("w").agg(n=pl.len().cast(pl.Int64))
         )
@@ -647,7 +647,7 @@ def term_cooccurrence(docs, vocab_k: int = 20, id_col: str = "doc_id",
             df.select(
                 pl.col(id_col),
                 pl.col(text_col).str.extract_all(r"[A-Za-z]+").alias("w"))
-            .explode("w").drop_nulls()
+            .explode("w", empty_as_null=True).drop_nulls()
             .with_columns(pl.col("w").str.to_lowercase())
             .unique()
         )
@@ -866,7 +866,7 @@ def source_vocab_overlap(docs, source_col: str = "source",
             .select(pl.col(source_col).alias("source"),
                     pl.col(text_col).str.extract_all(r"[A-Za-z]+")
                     .alias("w"))
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls()
             .with_columns(pl.col("w").str.to_lowercase())
             .unique()
@@ -966,7 +966,7 @@ def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
             pl.from_arrow(t.select([text_col]))
             .select(pl.col(text_col).str.to_lowercase()
                     .str.extract_all(r"[a-z]+").alias("w"))
-            .explode("w").drop_nulls()
+            .explode("w", empty_as_null=True).drop_nulls()
             .group_by("w").agg(n=pl.len().cast(pl.Int64))
         )
         return df.to_arrow().cast(pa.schema([("w", pa.string()),
@@ -978,7 +978,7 @@ def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
             .with_row_index("d")
             .select("d", pl.col(text_col).str.to_lowercase()
                     .str.extract_all(r"[a-z]+").alias("w"))
-            .explode("w").drop_nulls()
+            .explode("w", empty_as_null=True).drop_nulls()
             .with_columns(w2=pl.col("w").shift(-1),
                           d2=pl.col("d").shift(-1))
             .filter(pl.col("d") == pl.col("d2"))
@@ -1093,7 +1093,7 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
             df.select(
                 pl.col(text_col).str.to_lowercase()
                 .str.extract_all(r"[a-z]+").alias("w"))
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls()
             .group_by("w").agg(freq=pl.len().cast(pl.Int64))
         )
@@ -1141,7 +1141,7 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
                 right=pl.col("l").list.slice(1),
             )
             .drop("l")
-            .explode(["left", "right"])
+            .explode(["left", "right"], empty_as_null=True)
             .drop_nulls()
             .group_by(["left", "right"])
             .agg(c=pl.col("freq").sum().cast(pl.Int64))
