@@ -4,6 +4,15 @@ operator benches) over $GRAFT_SF_DIR and prints ONE JSON line.
   python bench.py              # single run at $RAY_GRAFT_CPUS (default 32)
   python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
                                # same input; reports both + efficiency
+
+Reading fused_operator_stats: a suboperator reported as
+``N:Sort[cached Xs] = 0.0`` means that Sort executed ONCE (costing X
+seconds, already included in an earlier numbered stage that shares the
+lineage) and this stage reused the cached result — 0.0 is the reuse
+cost, not a free sort, and X is NOT double-counted in the stage sums.
+The convention exists because Ray Data re-reports shared upstream
+operators per consuming stage; round-3 readers mistook the raw doubled
+numbers for a Sort regression.
 """
 
 from __future__ import annotations
