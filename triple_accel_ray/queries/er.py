@@ -318,7 +318,7 @@ def register(q):
         a threshold-tuning pass reads. Texts attach to the labeled
         pairs via the pipeline's bucketed pair-text joins; scoring is
         the vectorized batch kernel."""
-        from .kernels.batch import levenshtein_batch
+        from ..kernels.batch import levenshtein_k_batch
         from ..pipeline.shuffle import bucket_join
 
         _, lbl_path = ensure_fixture(sf_dir)
@@ -354,8 +354,13 @@ def register(q):
                                 ("n", pa.int64())])
             if t.num_rows == 0:
                 return schema.empty_table()
-            d = levenshtein_batch(t["a_text"], t["b_text"])
-            bucket = np.minimum(d.astype(np.int64) // 10, 20)
+            # the histogram caps at bucket 20 (dist >= 200), so distances
+            # past 209 are indistinguishable — a k-capped band (width 419
+            # instead of the full ~1300 an unbounded distance needs) and
+            # -1 => bucket 20 produce the identical table ~4x faster
+            d = levenshtein_k_batch(t["a_text"], t["b_text"], 209)
+            bucket = np.where(d < 0, 20,
+                              np.minimum(d.astype(np.int64) // 10, 20))
             df = pl.DataFrame({
                 "dist_bucket": bucket,
                 "is_match": t["is_match"].to_numpy(zero_copy_only=False),
@@ -365,8 +370,12 @@ def register(q):
 
         from ray.data.aggregate import Sum
 
+        # batch_size=None: score each bucket-join output whole; the
+        # banded-Myers tier is W-group-gated, so bigger batches keep it
+        # engaged instead of fragmenting into per-group DP
         return (
-            with_texts.map_batches(_score, batch_format="pyarrow")
+            with_texts.map_batches(_score, batch_format="pyarrow",
+                                   batch_size=None)
             .groupby(["dist_bucket", "is_match"])
             .aggregate(Sum("n", alias_name="n"))
         )

@@ -14,7 +14,7 @@ def register(q):
         pairs = _adjacent_docs(sf_dir)
 
         def _score(t: pa.Table) -> pa.Table:
-            from .kernels.batch import levenshtein_batch
+            from ..kernels.batch import levenshtein_batch
 
             d = levenshtein_batch(t["a_text"], t["b_text"])
             return pa.table(
@@ -30,7 +30,7 @@ def register(q):
         pairs = _adjacent_docs(sf_dir)
 
         def _score(t: pa.Table) -> pa.Table:
-            from .kernels.batch import levenshtein_k_batch
+            from ..kernels.batch import levenshtein_k_batch
 
             d = levenshtein_k_batch(t["a_text"], t["b_text"], 25)
             return pa.table(
@@ -46,7 +46,7 @@ def register(q):
         pairs = _adjacent_docs(sf_dir)
 
         def _score(t: pa.Table) -> pa.Table:
-            from .kernels.batch import hamming_batch
+            from ..kernels.batch import hamming_batch
 
             a = pc.utf8_slice_codeunits(t["a_text"], 0, 64)
             b = pc.utf8_slice_codeunits(t["b_text"], 0, 64)
@@ -69,8 +69,8 @@ def register(q):
         pairs = _adjacent_docs(sf_dir)
 
         def _score(t: pa.Table) -> pa.Table:
-            from .kernels.batch import levenshtein_batch
-            from .kernels.types import RDAMERAU_COSTS
+            from ..kernels.batch import levenshtein_batch
+            from ..kernels.types import RDAMERAU_COSTS
 
             d = levenshtein_batch(t["a_text"], t["b_text"], RDAMERAU_COSTS)
             return pa.table(
@@ -138,7 +138,7 @@ def register(q):
         pairs = _adjacent_docs(sf_dir)
 
         def _j(t: pa.Table) -> pa.Table:
-            from .kernels.batch import to_byte_rows
+            from ..kernels.batch import to_byte_rows
 
             da, oa = to_byte_rows(t["a_text"])
             db, ob = to_byte_rows(t["b_text"])

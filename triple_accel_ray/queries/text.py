@@ -179,8 +179,8 @@ def register(q):
         """Distinct 8-byte character windows of one source's docs as
         injective little-endian packed int64 (ASCII < 2^56, so the uint64
         packing fits int64 and SQL replays it as an ascii()*256^k sum)."""
-        from .kernels.batch import to_byte_rows
-        from .kernels.vhash import packed_windows
+        from ..kernels.batch import to_byte_rows
+        from ..kernels.vhash import packed_windows
 
         docs = read_parquet_clean(
             _t(sf_dir, "documents"), columns=["text", "source"])
