@@ -404,3 +404,52 @@ def test_connected_components_edge_cases(ray_session):
                                 rd.from_arrow(nodes), num_partitions=3)
            .to_pandas())
     assert (out["cluster_id"] == "n0").all() and len(out) == 20
+
+
+def test_connected_components_delta_telemetry(ray_session):
+    """Round-5 delta propagation: (a) the stats dict records
+    per-iteration message volumes and changed counts; (b) message
+    volume TELESCOPES — later propagate rounds ship strictly less than
+    the first (only dirty sources emit), which the pre-delta engine
+    did not do (constant O(edges) per round); (c) labels still equal
+    union-find exactly on a chain + clusters graph."""
+    import ray.data as rd
+
+    from triple_accel_ray.pipeline.cluster import (
+        connected_components,
+        connected_components_local,
+    )
+
+    # one 120-node chain + 40 triangles, shuffled edge order
+    import random
+
+    rng = random.Random(31)
+    edges = [(f"x{i:04d}", f"x{i + 1:04d}") for i in range(119)]
+    base = 200
+    for t in range(40):
+        a, b, c = (f"x{base + 3 * t:04d}", f"x{base + 3 * t + 1:04d}",
+                   f"x{base + 3 * t + 2:04d}")
+        edges += [(a, b), (b, c), (a, c)]
+    rng.shuffle(edges)
+    nodes = sorted({x for e in edges for x in e})
+    et = pa.table({"a_id": [a for a, _ in edges],
+                   "b_id": [b for _, b in edges]})
+    nt = pa.table({"conv_id": nodes})
+
+    stats: dict = {}
+    got = (connected_components(
+               rd.from_arrow(et).repartition(9),
+               rd.from_arrow(nt).repartition(4), num_partitions=4,
+               on_nonconverge="raise", stats=stats)
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    want = (connected_components_local(et, nt).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    assert got.equals(want)
+
+    prop = stats["propagate_msg_rows"]
+    assert len(prop) >= 3                      # chain needs >1 round
+    assert stats["changed"][-1] == 0           # exact fixpoint
+    # telescoping: once triangles settle, only chain-frontier nodes
+    # stay dirty — volume must drop well below the full first round
+    assert min(prop[1:]) < prop[0]
+    assert prop[-1] < prop[0] // 2
