@@ -2411,3 +2411,49 @@ def test_bpe_merge_application_is_boundary_anchored(ray_session):
     # must then still see the genuine (th, e) pair with count 10
     assert got[1][1:] == ("h", "e", 12)
     assert ("th", "e", 10) in [g[1:] for g in got]
+
+
+def test_bpe_encode_token_counts_matches_classic(ray_session):
+    """Tokenizer application == classic list-based BPE: train 5 merges,
+    encode every word with the greedy leftmost scan, count tokens
+    weighted by word frequency."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import bpe_encode_token_counts
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the meat",
+        "a cat and a mat and a hat",
+        "that hat is the cat's hat",
+        "", "THE CAT, the cat!", "aaaa aaaa baaa",
+    ]
+    t = pa.table({"text": texts})
+    got = {r["token"]: r["n_total"] for r in
+           bpe_encode_token_counts(rd.from_arrow(t).repartition(3),
+                                   n_merges=5).take_all()}
+
+    freq = Counter(w for s in texts for w in re.findall(r"[a-z]+",
+                                                        s.lower()))
+    seqs = {w: list(w) for w in freq}
+    rows = _classic_bpe(texts, 5)
+    for _, l, rr, _ in rows:
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == rr):
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    want = Counter()
+    for w, f in freq.items():
+        for tok in seqs[w]:
+            want[tok] += f
+    assert got == dict(want)

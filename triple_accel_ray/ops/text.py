@@ -1049,7 +1049,10 @@ def bigram_lift_top(docs, k: int = 20, min_count: int = 50,
         _merge, batch_format="pyarrow", batch_size=None)
 
 
-def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
+SEP = "\x1f"  # BPE symbol wrapper (see _bpe_train)
+
+
+def _bpe_train(docs, n_merges: int, text_col: str):
     """Distributed BPE tokenizer training (the merge-table builder every
     from-scratch tokenizer run needs): lowercase ``[a-z]+`` words →
     word-frequency table (ONE corpus scan, then the corpus is never
@@ -1084,8 +1087,6 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
     all share those replace semantics, so the SQL twin (``_bpe_oracle``
     in queries.py, rounds unrolled) is value-exact."""
     from ray.data.aggregate import Sum
-
-    SEP = "\x1f"
 
     def _words(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select([text_col]))
@@ -1192,11 +1193,61 @@ def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
             _apply_merge(m["left"], m["right"]), batch_format="pyarrow"
         ).materialize()
 
+    return rows, vocab, out_schema
+
+
+def bpe_train_merges(docs, n_merges: int = 6, text_col: str = "text"):
     import ray.data as rd
 
+    rows, _vocab, out_schema = _bpe_train(docs, int(n_merges), text_col)
     return rd.from_arrow(pa.table({
         "round": pa.array([r[0] for r in rows], pa.int64()),
         "merge_left": pa.array([r[1] for r in rows], pa.string()),
         "merge_right": pa.array([r[2] for r in rows], pa.string()),
         "pair_count": pa.array([r[3] for r in rows], pa.int64()),
     }).cast(out_schema))
+
+
+def bpe_encode_token_counts(docs, n_merges: int = 6,
+                            text_col: str = "text"):
+    """Tokenizer APPLICATION — the other half of the tokenizer story
+    bpe_train_merges starts: train the merge table, ENCODE the corpus
+    with it, and return the resulting token frequency table
+    (token, n_total) — the vocabulary histogram a capacity-planning or
+    fertility analysis reads after tokenizer training.
+
+    Encoding reuses the trainer's incrementally-materialized
+    symbolization directly (the final ``seq`` column IS the encoded
+    corpus, one row per distinct word with its corpus frequency), so
+    application costs one vocab-sized split-and-weigh pass — no corpus
+    re-scan, no per-document merge replay. Scale shape: the merge list
+    is the only broadcast state; the output is vocabulary-sized.
+
+    Shares the boundary-anchored symbol encoding (every symbol wrapped
+    in its own chr(31) pair), so the SQL twin (``_bpe_encode_oracle``)
+    replays training and splits the same seq column — value-exact."""
+    from ray.data.aggregate import Sum
+
+    _rows, vocab, _schema = _bpe_train(docs, int(n_merges), text_col)
+    out_schema = pa.schema([("token", pa.string()), ("n_total", pa.int64())])
+
+    def _tokens(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(
+                token=pl.col("seq").str.strip_chars(SEP)
+                .str.split(SEP + SEP))
+            .select("freq", "token")
+            .explode("token", empty_as_null=True)
+            .drop_nulls()
+            .group_by("token")
+            .agg(n_total=pl.col("freq").sum().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return (
+        vocab.map_batches(_tokens, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("n_total", alias_name="n_total"))
+    )

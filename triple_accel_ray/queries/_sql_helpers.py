@@ -338,6 +338,24 @@ seq{r + 1} AS (
     return "WITH " + ",\n".join(parts) + "\n" + unions
 
 
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """SQL twin of ops/text.bpe_encode_token_counts: replay the
+    _bpe_oracle training unroll, then split the FINAL symbolization
+    (``seq{n}``) into tokens and aggregate corpus frequencies — the
+    token histogram of the encoded corpus."""
+    train = _bpe_oracle(n_merges)
+    # reuse the training CTE chain verbatim; swap the merge-table tail
+    # (the UNION ALL over m0..m{n-1}) for the token split over seq{n}
+    head = train[:train.index("\nSELECT 1::BIGINT AS round")]
+    return head + f"""
+SELECT t AS token, sum(freq)::BIGINT AS n_total
+FROM (SELECT freq,
+             unnest(string_split(trim(seq, chr(31)),
+                                 chr(31) || chr(31))) AS t
+      FROM seq{n_merges})
+WHERE t <> '' GROUP BY 1"""
+
+
 def _gram_novelty_oracle(gram: int = 8) -> str:
     """SQL twin of ops/text.gram_novelty: the same mod-2^64 polynomial
     gram hash as the fingerprints oracle (documents are ASCII, so
@@ -568,6 +586,7 @@ __all__ = [
     "_P32",
     "_P64",
     "_XS33",
+    "_bpe_encode_oracle",
     "_bpe_oracle",
     "_clustered_raw_sql",
     "_fingerprints_oracle",

@@ -289,6 +289,22 @@ def register(q):
 
     q["bpe_train_merges"] = bpe_train_merges_q
 
+    def bpe_encoded_token_counts(sf_dir):
+        """Tokenizer APPLICATION (ops/text.bpe_encode_token_counts):
+        train the 6-round merge table, encode the corpus with it, and
+        return the token frequency table (token, n_total) — the
+        vocabulary histogram a capacity-planning pass reads after
+        tokenizer training. Encoding reuses the trainer's materialized
+        symbolization (one vocab-sized split-and-weigh pass; no corpus
+        re-scan); the SQL twin replays training and splits the same
+        final seq column."""
+        from ..ops.text import bpe_encode_token_counts
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+        return bpe_encode_token_counts(docs, n_merges=6)
+
+    q["bpe_encoded_token_counts"] = bpe_encoded_token_counts
+
 
 def register_sql(o):
     fx, W, docs_cte, sig_pairs_cte, scored_cte = _er_oracle_prelude()  # noqa: F841
@@ -585,3 +601,5 @@ FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.w < b.w
 GROUP BY 1, 2"""
 
     o["bpe_train_merges"] = _bpe_oracle(n_merges=6)
+
+    o["bpe_encoded_token_counts"] = _bpe_encode_oracle(n_merges=6)
