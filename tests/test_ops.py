@@ -2457,3 +2457,51 @@ def test_bpe_encode_token_counts_matches_classic(ray_session):
         for tok in seqs[w]:
             want[tok] += f
     assert got == dict(want)
+
+
+def test_lm_bigram_fit_scores_vs_python_replay(ray_session):
+    """CCNet-style bigram LM filter == a dict-based python replay:
+    add-one conditional fit in integer per-mille, OOV counts 0,
+    V = trained vocab size; docs with < 2 words score 0. Also checks
+    the discrimination property: in-domain text outscores off-domain."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from triple_accel_ray.ops.text import lm_bigram_fit_scores
+
+    rows = [
+        (0, "src0", "the cat sat on the mat"),
+        (1, "src0", "the cat ate the fish"),
+        (2, "src0", "a cat and a mat"),
+        (3, "src1", "the cat sat on the mat"),     # in-domain text
+        (4, "src1", "zzz qqq xxx yyy zzz"),        # off-domain text
+        (5, "src1", "word"),                       # < 2 words
+        (6, "src1", ""),                           # empty
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": [r[1] for r in rows],
+                  "text": [r[2] for r in rows]})
+    got = {r["doc_id"]: (r["n_bigrams"], r["fit_sum"],
+                         r["avg_fit_permille"])
+           for r in lm_bigram_fit_scores(
+               rd.from_arrow(t).repartition(3),
+               train_source="src0").take_all()}
+
+    toks = {i: re.findall(r"[a-z]+", s.lower()) for i, _, s in rows}
+    uni, big = Counter(), Counter()
+    for i, src, _ in rows:
+        if src == "src0":
+            uni.update(toks[i])
+            big.update(zip(toks[i], toks[i][1:]))
+    V = max(len(uni), 1)
+    want = {}
+    for i, _, _ in rows:
+        pairs = list(zip(toks[i], toks[i][1:]))
+        fits = [(1000 * (big[p] + 1)) // (uni[p[0]] + V) for p in pairs]
+        s = sum(fits)
+        want[i] = (len(pairs), s, s // len(pairs) if pairs else 0)
+    assert got == want
+    assert got[3][2] > got[4][2]          # in-domain beats off-domain
+    assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)

@@ -1251,3 +1251,143 @@ def bpe_encode_token_counts(docs, n_merges: int = 6,
         vocab.map_batches(_tokens, batch_format="pyarrow")
         .groupby("token").aggregate(Sum("n_total", alias_name="n_total"))
     )
+
+
+def lm_bigram_fit_scores(docs, train_source: str = "src0",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         source_col: str = "source"):
+    """CCNet-style n-gram language-model quality filter, integer-exact:
+    train an add-one-smoothed BIGRAM LM on the ``train_source`` slice,
+    then score EVERY document by how well the model predicts its word
+    sequence — the classic "keep what looks like the reference corpus"
+    signal (Wenzek et al. 2020 use a 5-gram KenLM; the bigram form
+    keeps the same shape with exactly replayable integer arithmetic).
+
+    Per document: for each adjacent lowercase ``[a-z]+`` word pair
+    (w1, w2), fit = floor(1000 * (c(w1,w2) + 1) / (c(w1) + V)) — the
+    add-one conditional in per-mille, with c() = 0 for out-of-vocab
+    and V = trained vocabulary size. → (doc_id, n_bigrams, fit_sum,
+    avg_fit_permille) with avg = fit_sum // n_bigrams (0 for docs with
+    < 2 words). Every quantity is integer, so the DuckDB twin is
+    value-exact.
+
+    Scale shape: the unigram/bigram count tables are VOCABULARY-sized
+    (trained-slice bigram types), built by per-block partials + one
+    grouped sum, concatenated off-driver in a Ray task and broadcast
+    once (the same contract as shipping a KenLM binary to every
+    worker); scoring is then a stateless map — each document's bigrams
+    live inside its own row, so per-doc aggregation happens in-batch
+    and NO row ever shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok_re = r"[a-z]+"
+
+    def _train_partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                            ("kind", pa.int8()), ("n", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = pl.from_arrow(t.select([source_col, text_col])).filter(
+            pl.col(source_col) == train_source)
+        if df.height == 0:
+            return schema.empty_table()
+        toks = df.select(
+            l=pl.col(text_col).str.to_lowercase().str.extract_all(tok_re))
+        uni = (
+            toks.select(w1=pl.col("l"))
+            .explode("w1", empty_as_null=True).drop_nulls()
+            .group_by("w1").agg(n=pl.len().cast(pl.Int64))
+            .with_columns(w2=pl.lit(""), kind=pl.lit(0, pl.Int8))
+        )
+        big = (
+            toks.select(
+                w1=pl.col("l").list.slice(0, pl.col("l").list.len() - 1),
+                w2=pl.col("l").list.slice(1))
+            .explode(["w1", "w2"], empty_as_null=True).drop_nulls()
+            .group_by(["w1", "w2"]).agg(n=pl.len().cast(pl.Int64))
+            .with_columns(kind=pl.lit(1, pl.Int8))
+        )
+        return pl.concat([uni.select("w1", "w2", "kind", "n"),
+                          big.select("w1", "w2", "kind", "n")]
+                         ).to_arrow().cast(schema)
+
+    counts = (
+        docs.map_batches(_train_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2", "kind"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+    @ray.remote
+    def _build_model(*parts):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            e = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "kind": pa.array([], pa.int8()),
+                          "n": pa.array([], pa.int64())})
+            return e, 0
+        tab = pa.concat_tables(tabs, promote_options="default")
+        v = int(pl.from_arrow(tab).filter(pl.col("kind") == 0).height)
+        return tab, v
+
+    model_ref = _build_model.remote(*counts.to_arrow_refs())
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_bigrams", pa.int64()),
+        ("fit_sum", pa.int64()), ("avg_fit_permille", pa.int64()),
+    ])
+
+    class _Scorer:
+        """Model tables loaded once per actor (broadcast ref)."""
+
+        def __init__(self):
+            tab, v = ray.get(model_ref)
+            # degenerate guard (empty training slice): keep the add-one
+            # denominator positive; the SQL twin applies greatest(V, 1)
+            self.V = max(v, 1)
+            df = pl.from_arrow(tab)
+            self.uni = (df.filter(pl.col("kind") == 0)
+                        .select("w1", cu=pl.col("n")))
+            self.big = (df.filter(pl.col("kind") == 1)
+                        .select("w1", "w2", cb=pl.col("n")))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            df = pl.from_arrow(t.select([id_col, text_col]))
+            toks = df.select(
+                id_col,
+                l=pl.col(text_col).str.to_lowercase()
+                .str.extract_all(tok_re))
+            bg = (
+                toks.select(
+                    id_col,
+                    w1=pl.col("l").list.slice(0,
+                                              pl.col("l").list.len() - 1),
+                    w2=pl.col("l").list.slice(1))
+                .explode(["w1", "w2"], empty_as_null=True).drop_nulls()
+            )
+            scored = (
+                bg.join(self.big, on=["w1", "w2"], how="left")
+                .join(self.uni, on="w1", how="left")
+                .with_columns(
+                    fit=(1000 * (pl.col("cb").fill_null(0) + 1))
+                    // (pl.col("cu").fill_null(0) + self.V))
+                .group_by(id_col)
+                .agg(n_bigrams=pl.len().cast(pl.Int64),
+                     fit_sum=pl.col("fit").sum().cast(pl.Int64))
+            )
+            out = (
+                df.select(id_col).join(scored, on=id_col, how="left")
+                .with_columns(
+                    n_bigrams=pl.col("n_bigrams").fill_null(0),
+                    fit_sum=pl.col("fit_sum").fill_null(0))
+                .with_columns(
+                    avg_fit_permille=pl.when(pl.col("n_bigrams") > 0)
+                    .then(pl.col("fit_sum") // pl.col("n_bigrams"))
+                    .otherwise(0).cast(pl.Int64))
+            )
+            return out.to_arrow().cast(out_schema)
+
+    return docs.map_batches(_Scorer, batch_format="pyarrow",
+                            concurrency=(1, 8))

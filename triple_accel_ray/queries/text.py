@@ -305,6 +305,23 @@ def register(q):
 
     q["bpe_encoded_token_counts"] = bpe_encoded_token_counts
 
+    def lm_fit_scores(sf_dir):
+        """CCNet-style LM quality filter (ops/text.lm_bigram_fit_scores):
+        add-one bigram LM trained on the src0 slice, every document
+        scored by integer per-mille conditional fit — (doc_id,
+        n_bigrams, fit_sum, avg_fit_permille). The model tables are
+        vocabulary-sized, built off-driver and broadcast once; scoring
+        is a stateless in-batch map (a doc's bigrams live in its own
+        row), so no row ever shuffles."""
+        from ..ops.text import lm_bigram_fit_scores
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"),
+            columns=["doc_id", "source", "text"])
+        return lm_bigram_fit_scores(docs, train_source="src0")
+
+    q["lm_fit_scores"] = lm_fit_scores
+
 
 def register_sql(o):
     fx, W, docs_cte, sig_pairs_cte, scored_cte = _er_oracle_prelude()  # noqa: F841
@@ -603,3 +620,39 @@ GROUP BY 1, 2"""
     o["bpe_train_merges"] = _bpe_oracle(n_merges=6)
 
     o["bpe_encoded_token_counts"] = _bpe_encode_oracle(n_merges=6)
+
+    o["lm_fit_scores"] = r"""
+WITH docw AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+bg AS (
+  SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, source, l, unnest(range(1, len(l))) AS i
+        FROM docw)),
+uni_t AS (
+  SELECT u AS w1, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(l) AS u FROM docw WHERE source = 'src0')
+  GROUP BY 1),
+vsz AS (SELECT greatest(count(*), 1)::BIGINT AS v FROM uni_t),
+big_t AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb
+  FROM bg WHERE source = 'src0' GROUP BY 1, 2),
+fit AS (
+  SELECT b.doc_id,
+         (1000 * (coalesce(t.cb, 0) + 1))
+           // (coalesce(u.cu, 0) + (SELECT v FROM vsz)) AS fit
+  FROM bg b
+  LEFT JOIN big_t t ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN uni_t u ON u.w1 = b.w1),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(fit)::BIGINT AS fit_sum
+  FROM fit GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.fit_sum, 0)::BIGINT AS fit_sum,
+       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+            THEN a.fit_sum // a.n_bigrams ELSE 0 END::BIGINT
+         AS avg_fit_permille
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
