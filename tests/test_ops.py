@@ -2505,3 +2505,75 @@ def test_lm_bigram_fit_scores_vs_python_replay(ray_session):
     assert got == want
     assert got[3][2] > got[4][2]          # in-domain beats off-domain
     assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)
+
+
+def test_near_dup_survivors_best_keeps_argmax(ray_session):
+    """Rank-aware dedup == python replay: minhash pairs -> union-find ->
+    per-component argmax by (score DESC, id ASC). Corpus planted so the
+    best member of each dup cluster is NOT the min id (the min-id rule
+    would pick differently), plus singletons."""
+    import ray.data as rd
+
+    from triple_accel_ray.ops.dedup import (
+        minhash_dup_pairs,
+        near_dup_survivors_best,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = []
+    # cluster A: ids 10, 11, 12 near-identical; longest is 12
+    rows.append((10, base))
+    rows.append((11, base + " again"))
+    rows.append((12, base + " again and again and again"))
+    # cluster B: ids 20, 21; longest is 21 (token set disjoint from A
+    # so the two clusters cannot link at threshold 0.5)
+    alt = ("seventeen purple elephants carefully carry wooden crates "
+           "across narrow bridges while curious villagers watch from "
+           "crowded balconies above")
+    rows.append((20, alt))
+    rows.append((21, alt + " every single evening"))
+    # singletons
+    rows.append((30, "completely different text about distributed "
+                     "query engines and arrow batches"))
+    rows.append((31, "another unrelated document mentioning tokenizers "
+                     "vocabularies and merges"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+
+    got = {r["doc_id"]: (r["cluster_size"], r["score"])
+           for r in near_dup_survivors_best(
+               ds, threshold=0.5, num_buckets=4).take_all()}
+
+    # python replay over the SAME pair stream
+    pairs = [(r["a_id"], r["b_id"]) for r in minhash_dup_pairs(
+        ds, threshold=0.5, num_buckets=4).take_all()]
+    parent = {str(r[0]): str(r[0]) for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for r in rows:
+        comp.setdefault(find(str(r[0])), []).append(r)
+    want = {}
+    for members in comp.values():
+        best = sorted(members, key=lambda r: (-len(r[1]), str(r[0])))[0]
+        want[str(best[0])] = (len(members), len(best[1]))
+    assert {str(k): v for k, v in got.items()} == want
+    # the planted clusters must have merged and kept their longest
+    # (op output ids are strings; the registry query casts to int64)
+    assert got.get("12") == (3, len(rows[2][1]))
+    assert got.get("21") == (2, len(rows[4][1]))
+    assert not {"10", "11", "20"} & set(got)

@@ -1468,3 +1468,111 @@ def duplicate_spans(docs, w: int = 40, stride: int = 1,
     ).union(docs.map_batches(_zero_rows, batch_format="pyarrow").map_batches(
         _doc_bucket, batch_format="pyarrow"))
     return bucket_partition(span_rows, _spans, num_buckets)
+
+
+def near_dup_survivors_best(docs, threshold: float = 0.5,
+                            num_buckets: int = 32,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            score_col: str = "n_chars",
+                            max_iters: int = 50):
+    """Rank-aware dedup ACTION: like :func:`near_dup_survivors`, but the
+    representative kept per near-dup component is the member with the
+    HIGHEST ``score_col`` (ties → min string id), not the min id — the
+    "keep the longest / best-quality member of each duplicate cluster"
+    rule production curation actually uses. Singletons survive.
+
+    → (doc_id string, cluster_size, score) — one row per surviving doc.
+
+    Scale shape: minhash pairs → distributed connected components
+    (both keep their own tests/oracles), then the labels pick up scores
+    via one id-width bucket join and the per-component argmax runs as
+    per-block partial bests (vectorized sort-head) followed by ONE
+    hash(cluster)-bucketed reduce over the already-reduced partials —
+    the classic combiner shape; no component's rows ever gather in one
+    task before being reduced."""
+    import pyarrow.compute as pc
+
+    from ..pipeline.cluster import connected_components
+    from ..pipeline.shuffle import bucket_join, bucket_partition
+
+    pairs = minhash_dup_pairs(
+        docs, id_col=id_col, text_col=text_col,
+        threshold=threshold, num_buckets=num_buckets,
+    )
+    nodes = docs.map_batches(
+        lambda t: pa.table({"conv_id": pc.cast(t[id_col], pa.string())}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components(
+        pairs.select_columns(["a_id", "b_id"]), nodes,
+        num_partitions=num_buckets, max_iters=max_iters,
+        on_nonconverge="raise",
+    )
+    scores = docs.map_batches(
+        lambda t: pa.table(
+            {"conv_id": pc.cast(t[id_col], pa.string()),
+             "score": pc.cast(t[score_col], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    labeled = bucket_join(
+        cc, scores, "conv_id", "conv_id",
+        pa.schema([("conv_id", pa.string()), ("cluster_id", pa.string())]),
+        pa.schema([("conv_id", pa.string()), ("score", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    part_schema = pa.schema([
+        ("cluster_id", pa.string()), ("best_id", pa.string()),
+        ("score", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def _partial_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        out = (
+            pl.from_arrow(t)
+            .sort(["cluster_id", "score", "conv_id"],
+                  descending=[False, True, False])
+            .group_by("cluster_id", maintain_order=True)
+            .agg(best_id=pl.col("conv_id").first(),
+                 score=pl.col("score").first(),
+                 n=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(part_schema)
+
+    out_schema = pa.schema([
+        (id_col, pa.string()), ("cluster_size", pa.int64()),
+        ("score", pa.int64()),
+    ])
+
+    def _final_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        out = (
+            pl.from_arrow(t)
+            .sort(["cluster_id", "score", "best_id"],
+                  descending=[False, True, False])
+            .group_by("cluster_id", maintain_order=True)
+            .agg(best_id=pl.col("best_id").first(),
+                 score=pl.col("score").first(),
+                 cluster_size=pl.col("n").sum().cast(pl.Int64))
+            .select(pl.col("best_id").alias(id_col), "cluster_size",
+                    "score")
+        )
+        return out.to_arrow().cast(out_schema)
+
+    partials = labeled.map_batches(
+        _partial_best, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: _bucket_col(t, num_buckets), batch_format="pyarrow")
+    return bucket_partition(partials, _final_best, num_buckets)
+
+
+def _bucket_col(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Append hash(cluster_id) % num_buckets as the reduce bucket."""
+    if t.num_rows == 0:
+        return t.append_column("bucket", pa.array([], pa.int32()))
+    b = (pl.from_arrow(t.select(["cluster_id"]))["cluster_id"]
+         .hash(seed=77) % np.uint64(num_buckets)).cast(pl.Int32)
+    return t.append_column("bucket", b.to_arrow())

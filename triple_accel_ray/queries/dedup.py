@@ -131,6 +131,31 @@ def register(q):
 
     q["dedup_minhash_survivors"] = dedup_minhash_survivors
 
+    def dedup_best_survivors(sf_dir):
+        """Rank-aware dedup ACTION (ops/dedup.near_dup_survivors_best):
+        minhash pairs -> connected components -> keep the LONGEST
+        member (n_chars; ties -> min string id) per near-dup component
+        — the keep-the-best-member rule production curation uses,
+        instead of min-id. -> (doc_id, cluster_size, score)."""
+        import pyarrow.compute as pc
+
+        from ..ops.dedup import near_dup_survivors_best
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"),
+            columns=["doc_id", "text", "n_chars"])
+        surv = near_dup_survivors_best(
+            docs, threshold=0.5, num_buckets=16, score_col="n_chars")
+        return surv.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                 "cluster_size": t["cluster_size"],
+                 "score": t["score"]}),
+            batch_format="pyarrow",
+        )
+
+    q["dedup_best_survivors"] = dedup_best_survivors
+
     def dedup_simhash_survivors(sf_dir):
         """Simhash dedup ACTION (ops/dedup.simhash_survivors): band
         near-dup pairs -> distributed connected components -> keep the
@@ -283,6 +308,34 @@ dropped AS (
 )
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id::VARCHAR NOT IN (SELECT id FROM dropped)"""
+
+    # rank-aware survivors: same closure, but the kept representative is
+    # the component argmax by (n_chars DESC, id ASC) and the row carries
+    # cluster_size + score; singletons are their own component
+    o["dedup_best_survivors"] = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+und AS (SELECT a_id AS x, b_id AS y FROM prs
+        UNION ALL SELECT b_id, a_id FROM prs),
+cc(id, label) AS (
+  SELECT DISTINCT x, x FROM und
+  UNION
+  SELECT u.x, c.label FROM und u JOIN cc c ON c.id = u.y
+),
+comp AS (SELECT id, min(label) AS root FROM cc GROUP BY id),
+alln AS (
+  SELECT d.doc_id::VARCHAR AS id,
+         coalesce(c.root, d.doc_id::VARCHAR) AS root,
+         d.n_chars::BIGINT AS score
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id::VARCHAR),
+ranked AS (
+  SELECT id, root, score,
+         count(*) OVER (PARTITION BY root) AS csize,
+         row_number() OVER (PARTITION BY root
+                            ORDER BY score DESC, id) AS rn
+  FROM alln)
+SELECT CAST(id AS BIGINT) AS doc_id, csize::BIGINT AS cluster_size,
+       score
+FROM ranked WHERE rn = 1"""
 
     # simhash survivors: the simhash pair oracle inlined as a subquery,
     # then the same recursive transitive closure + min-label rule as the
