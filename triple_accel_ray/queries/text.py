@@ -322,6 +322,48 @@ def register(q):
 
     q["lm_fit_scores"] = lm_fit_scores
 
+    def source_token_fertility(sf_dir):
+        """Tokenizer fertility per source — BPE pre-tokens per
+        whitespace word in integer per-mille, the capacity/mixture
+        planning diagnostic (a source with high fertility costs more
+        tokens per word of text). Pure composition of the two token
+        counters (each keeps its own oracle): per-block counts, one
+        source-keyed grouped sum."""
+        from ray.data.aggregate import Sum
+
+        from ..ops.text import bpe_token_count_batch, token_count_batch
+
+        docs = read_parquet_clean(
+            _t(sf_dir, "documents"), columns=["source", "text"])
+
+        def _counts(t: pa.Table) -> pa.Table:
+            t = token_count_batch(t)
+            t = bpe_token_count_batch(t)
+            return t.select(["source", "token_count", "bpe_token_count"])
+
+        agg = (
+            docs.map_batches(_counts, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("token_count", alias_name="n_words"),
+                       Sum("bpe_token_count", alias_name="n_bpe_tokens"))
+        )
+
+        def _fert(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            out = df.with_columns(
+                fertility_permille=pl.when(pl.col("n_words") > 0)
+                .then((1000 * pl.col("n_bpe_tokens"))
+                      // pl.col("n_words"))
+                .otherwise(0).cast(pl.Int64))
+            return out.to_arrow().cast(pa.schema(
+                [("source", pa.string()), ("n_words", pa.int64()),
+                 ("n_bpe_tokens", pa.int64()),
+                 ("fertility_permille", pa.int64())]))
+
+        return agg.map_batches(_fert, batch_format="pyarrow")
+
+    q["source_token_fertility"] = source_token_fertility
+
 
 def register_sql(o):
     fx, W, docs_cte, sig_pairs_cte, scored_cte = _er_oracle_prelude()  # noqa: F841
@@ -342,6 +384,29 @@ FROM documents"""
         "SELECT doc_id, len(regexp_extract_all(text, '"
         + _bpe_pat.replace("'", "''")
         + "'))::BIGINT AS bpe_token_count FROM documents"
+    )
+
+    o["source_token_fertility"] = (
+        r"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = ''
+              THEN 0
+              ELSE len(regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                     '\s+'))
+         END::BIGINT AS w,
+         len(regexp_extract_all(text, '"""
+        + _bpe_pat.replace("'", "''")
+        + r"""'))::BIGINT AS b
+  FROM documents),
+agg AS (SELECT source, sum(w)::BIGINT AS n_words,
+               sum(b)::BIGINT AS n_bpe_tokens
+        FROM per_doc GROUP BY 1)
+SELECT source, n_words, n_bpe_tokens,
+       CASE WHEN n_words > 0 THEN (1000 * n_bpe_tokens) // n_words
+            ELSE 0 END::BIGINT AS fertility_permille
+FROM agg"""
     )
 
     o["heavy_hitter_tokens"] = r"""
