@@ -220,6 +220,53 @@ def register(q):
 
     q["dup_substring_spans"] = dup_substring_spans
 
+    def dup_coverage_scores(sf_dir):
+        """Per-document duplicate-text coverage in integer per-mille —
+        the fraction-of-corpus-duplicated number Lee et al. 2021 report
+        (their Fig. 1), as a per-doc curation signal: coverage =
+        1000 * dup_bytes // n_chars over the byte-verified merged spans
+        of ops/dedup.duplicate_spans. Pure composition: the doc-sized
+        spans table picks up n_chars via one id-width bucket join."""
+        import pyarrow.compute as pc
+
+        from ..ops.dedup import duplicate_spans
+        from ..pipeline.shuffle import bucket_join
+
+        docs = read_parquet_clean(_t(sf_dir, "documents"))
+        spans = duplicate_spans(docs, w=24, stride=1).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id",
+                pc.cast(t["doc_id"], pa.string())),
+            batch_format="pyarrow")
+        lens = docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.cast(t["doc_id"], pa.string()),
+                 "n_chars": pc.cast(t["n_chars"], pa.int64())}),
+            batch_format="pyarrow")
+        j = bucket_join(
+            spans, lens, "doc_id", "doc_id",
+            pa.schema([("doc_id", pa.string()),
+                       ("n_dup_spans", pa.int64()),
+                       ("dup_bytes", pa.int64())]),
+            pa.schema([("doc_id", pa.string()), ("n_chars", pa.int64())]),
+            num_buckets=16)
+
+        def _cov(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            out = df.select(
+                doc_id=pl.col("doc_id").cast(pl.Int64),
+                dup_bytes=pl.col("dup_bytes"),
+                coverage_permille=pl.when(pl.col("n_chars") > 0)
+                .then((1000 * pl.col("dup_bytes")) // pl.col("n_chars"))
+                .otherwise(0).cast(pl.Int64))
+            return out.to_arrow().cast(pa.schema(
+                [("doc_id", pa.int64()), ("dup_bytes", pa.int64()),
+                 ("coverage_permille", pa.int64())]))
+
+        return j.map_batches(_cov, batch_format="pyarrow")
+
+    q["dup_coverage_scores"] = dup_coverage_scores
+
 
 def register_sql(o):
     fx, W, docs_cte, sig_pairs_cte, scored_cte = _er_oracle_prelude()  # noqa: F841
@@ -408,3 +455,19 @@ SELECT d.doc_id, count(s.s)::BIGINT AS n_dup_spans,
        coalesce(sum(s.e - s.s), 0)::BIGINT AS dup_bytes
 FROM documents d LEFT JOIN spans s USING (doc_id)
 GROUP BY d.doc_id"""
+
+    # per-doc duplicate coverage: the spans aggregate above + n_chars
+    o["dup_coverage_scores"] = o["dup_substring_spans"].replace(
+        "SELECT d.doc_id, count(s.s)::BIGINT AS n_dup_spans,",
+        "SELECT d.doc_id, d.n_chars,").replace(
+        """FROM documents d LEFT JOIN spans s USING (doc_id)
+GROUP BY d.doc_id""",
+        """FROM documents d LEFT JOIN spans s USING (doc_id)
+GROUP BY d.doc_id, d.n_chars""") + """
+"""
+    o["dup_coverage_scores"] = f"""
+WITH base AS ({o["dup_coverage_scores"].strip()})
+SELECT doc_id, dup_bytes,
+       CASE WHEN n_chars > 0 THEN (1000 * dup_bytes) // n_chars
+            ELSE 0 END::BIGINT AS coverage_permille
+FROM base"""
